@@ -1,0 +1,67 @@
+"""Measurement-cadence (frequency) estimation — SURVEY.md §2.8 T9.
+
+The reference infers each label's measurement period from the timestamp
+gaps of its history (libnntsc/exporter.py:736-822): take consecutive
+timestamp differences, then
+
+1. if one gap value accounts for >= 50%% of the diffs, use it (the mode);
+2. else use the smallest gap that accounts for >= 20%%;
+3. else fall back to the rounded mean gap.
+
+(The reference samples only the first 200 diffs because its rows pass
+through the driver anyway, exporter.py:509-510; the distributed version uses
+all diffs — strictly more information, same rule chain.)
+
+Spark-first: a lag window per stream computes diffs without collecting;
+the rule chain is a conditional over per-(stream, diff) counts — two
+shuffles on the stream key, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_FREQUENCY = 300  # reference fallback (exporter.py:793-796)
+
+
+def timestamp_diffs(fact: DataFrame, key: str = "stream_id") -> DataFrame:
+    w = Window.partitionBy(key).orderBy("timestamp")
+    return (
+        fact.select(key, "timestamp")
+        .withColumn("diff", F.col("timestamp") - F.lag("timestamp").over(w))
+        .where(F.col("diff").isNotNull())
+    )
+
+
+def estimate_frequency(fact: DataFrame, key: str = "stream_id") -> DataFrame:
+    """Per-key frequency estimate -> DataFrame(key, frequency BIGINT)."""
+    diffs = timestamp_diffs(fact, key)
+    counted = diffs.groupBy(key, "diff").agg(F.count(F.lit(1)).alias("cnt"))
+    per_key = counted.groupBy(key).agg(
+        F.sum("cnt").alias("total"),
+        # mode diff: max by (count, then smaller diff wins ties)
+        F.min_by(F.col("diff"), F.struct((-F.col("cnt")).alias("n"), F.col("diff"))).alias(
+            "mode_diff"
+        ),
+        F.max("cnt").alias("mode_cnt"),
+        F.sum(F.col("cnt") * F.col("diff")).alias("wsum"),
+    )
+    # smallest diff with share >= 20%: needs total first, so a second pass
+    with_total = counted.join(per_key.select(key, "total"), key)
+    small20 = (
+        with_total.where(F.col("cnt") * 5 >= F.col("total"))
+        .groupBy(key)
+        .agg(F.min("diff").alias("small20"))
+    )
+    out = (
+        per_key.join(small20, key, "left")
+        .select(
+            key,
+            F.when(F.col("mode_cnt") * 2 >= F.col("total"), F.col("mode_diff"))
+            .when(F.col("small20").isNotNull(), F.col("small20"))
+            .otherwise(F.round(F.col("wsum") / F.col("total")).cast("long"))
+            .alias("frequency"),
+        )
+    )
+    return out

@@ -1,0 +1,49 @@
+"""NNTSC_MATRIX — dashboard summary cells from rollups.
+
+Reference flow (libnntsc/dbselect.py:181-205 select_matrix_data +
+influx.py:384-394): default the window to the last 24 h, pick the rollup
+granularity by span (>= 1 h span -> 1-hour bins with the start snapped down
+to the hour, else 1-minute bins), query once for *all* labels' streams, then
+re-aggregate per label with the algebraic merge rules.
+
+Spark-first: the "query once for all streams then python-side merge per
+label" loop (influx.py:414-513) is exactly one broadcast-join + groupBy over
+the rollup table (operators.rollup.merge_rollup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from .rollup import build_rollup, merge_rollup, snap_down
+
+HOUR = 3600
+MINUTE = 60
+DAY = 86400
+
+
+def choose_rollup_binsize(start: int, stop: int) -> int:
+    """Span >= 1 h -> hourly rollup, else minute rollup (influx.py:384-394)."""
+    return HOUR if (stop - start) >= HOUR else MINUTE
+
+
+def select_matrix_data(
+    fact: DataFrame,
+    label_map: DataFrame,
+    value_cols: Sequence[str],
+    start: int,
+    stop: int,
+) -> DataFrame:
+    """Matrix summary: one row per label over [start, stop].
+
+    Batch form builds the rollup inline; in production the rollup tables are
+    maintained incrementally (streaming job) and this becomes a pure
+    merge_rollup over the stored rollup — the expressions are shared so both
+    paths agree bit-for-bit.
+    """
+    binsize = choose_rollup_binsize(start, stop)
+    snapped = snap_down(start, binsize)
+    rollup = build_rollup(fact, binsize, value_cols)
+    return merge_rollup(rollup, label_map, value_cols, snapped, stop)

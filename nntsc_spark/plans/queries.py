@@ -1,0 +1,532 @@
+"""Driver-facing query registry: every SURVEY.md §2 operator as a
+(spark_builder, duckdb_oracle_sql) pair over the synthetic testdata.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash, columns sorted by name):
+
+- Every computed column is aliased identically on both sides.
+- Double aggregates are rounded identically on both sides (4 decimals for
+  means/rates, 2 for large sums) so cross-engine summation order can't flip
+  the hash.
+- Integer-like outputs are BIGINT on both sides (Spark ints are cast).
+- The ``events`` table maps onto the engine's fact shape via
+  sources.tables.events_fact (stream_id=user_id, timestamp=epoch seconds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.aggregations import mode_agg, smoke_rows
+from ..operators.activity import build_stream_stats
+from ..operators.aggregate import select_aggregated_data
+from ..operators.frequency import estimate_frequency
+from ..operators.labels import build_label_map, labels_where_sql
+from ..operators.matrix import select_matrix_data
+from ..operators.rollup import build_rollup
+from ..operators.select import select_data
+from ..sources.tables import EVENTS_FACT_SQL, events_fact, load_table
+
+# ---------------------------------------------------------------------------
+# Fixed, deterministic query parameters (events span 2024-01-01..01-30 UTC)
+# ---------------------------------------------------------------------------
+
+T0 = 1704067200  # 2024-01-01 00:00:00 UTC
+START = T0 + 86400  # Jan 2
+STOP = T0 + 15 * 86400  # Jan 16
+LABELS = {
+    "groupA": list(range(0, 50)),
+    "groupB": list(range(50, 100)),
+    "groupC": list(range(100, 150)),
+}
+LABEL_CASE = labels_where_sql(LABELS)
+HOUR = 3600
+DAY = 86400
+
+_FACT_CTE = f"fact AS ({EVENTS_FACT_SQL})"
+_LABELED_CTE = (
+    f"labeled AS (SELECT f.*, {LABEL_CASE} AS nntsclabel FROM fact f "
+    f"WHERE {LABEL_CASE} IS NOT NULL)"
+)
+
+
+def _label_map(spark: SparkSession) -> DataFrame:
+    return build_label_map(spark, LABELS)
+
+
+# ---------------------------------------------------------------------------
+# Core NNTSC query surface over the events fact table
+# ---------------------------------------------------------------------------
+
+
+def q_select_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4/J1/O1: raw history selection with label tagging."""
+    fact = events_fact(spark, sf_dir)
+    return select_data(
+        fact, _label_map(spark), ["value", "event_type"], START, STOP, order=False
+    )
+
+
+SQL_SELECT_RAW = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT value, event_type, timestamp, stream_id, nntsclabel
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+"""
+
+
+def q_agg_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: the workhorse binned aggregation (hourly bins, 5 aggs)."""
+    fact = events_fact(spark, sf_dir)
+    out = select_aggregated_data(
+        fact,
+        _label_map(spark),
+        aggcols=[
+            ("value", "avg"),
+            ("value", "max"),
+            ("value", "min"),
+            ("value", "sum"),
+            ("value", "count"),
+        ],
+        start=START,
+        stop=STOP,
+        binsize=HOUR,
+        order=False,
+    )
+    return out.select(
+        "nntsclabel",
+        "binstart",
+        "timestamp",
+        F.round("value_avg", 4).alias("value_avg"),
+        F.round("value_max", 4).alias("value_max"),
+        F.round("value_min", 4).alias("value_min"),
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_count",
+    )
+
+
+SQL_AGG_BIN = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, timestamp - (timestamp % {HOUR}) AS binstart,
+       max(timestamp) AS timestamp,
+       round(avg(value), 4) AS value_avg,
+       round(max(value), 4) AS value_max,
+       round(min(value), 4) AS value_min,
+       round(sum(value), 4) AS value_sum,
+       count(value) AS value_count
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+GROUP BY nntsclabel, binstart
+"""
+
+
+def q_agg_single_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 binsize=0: one summary bin per label with min(timestamp) binstart."""
+    fact = events_fact(spark, sf_dir)
+    out = select_aggregated_data(
+        fact,
+        _label_map(spark),
+        aggcols=[("value", "avg"), ("value", "count")],
+        start=START,
+        stop=STOP,
+        binsize=0,
+        order=False,
+    )
+    return out.select(
+        "nntsclabel",
+        "binstart",
+        "timestamp",
+        F.round("value_avg", 4).alias("value_avg"),
+        "value_count",
+    )
+
+
+SQL_AGG_SINGLE_BIN = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, min(timestamp) AS binstart, max(timestamp) AS timestamp,
+       round(avg(value), 4) AS value_avg, count(value) AS value_count
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+GROUP BY nntsclabel
+"""
+
+
+def q_agg_groupcols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with extra group columns (daily bins x event_type)."""
+    fact = events_fact(spark, sf_dir)
+    out = select_aggregated_data(
+        fact,
+        _label_map(spark),
+        aggcols=[("value", "sum"), ("value", "stddev")],
+        start=START,
+        stop=STOP,
+        groupcols=["event_type"],
+        binsize=DAY,
+        order=False,
+    )
+    return out.select(
+        "nntsclabel",
+        "event_type",
+        "binstart",
+        "timestamp",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_stddev", 4).alias("value_stddev"),
+    )
+
+
+SQL_AGG_GROUPCOLS = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, event_type, timestamp - (timestamp % {DAY}) AS binstart,
+       max(timestamp) AS timestamp,
+       round(sum(value), 4) AS value_sum,
+       round(stddev_samp(value), 4) AS value_stddev
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+GROUP BY nntsclabel, event_type, binstart
+"""
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 "most": modal event_type per label and day (ties -> smallest value)."""
+    fact = events_fact(spark, sf_dir)
+    from ..operators.aggregate import with_binstart
+    from ..operators.labels import apply_labels
+    from ..operators.select import time_filter
+
+    labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
+    binned = with_binstart(labeled, DAY)
+    return mode_agg(binned, ["nntsclabel", "binstart"], "event_type", "mode_event_type")
+
+
+SQL_AGG_MODE = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+counted AS (
+  SELECT nntsclabel, timestamp - (timestamp % {DAY}) AS binstart,
+         event_type, count(*) AS cnt
+  FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+  GROUP BY nntsclabel, binstart, event_type
+), ranked AS (
+  SELECT nntsclabel, binstart, event_type,
+         row_number() OVER (PARTITION BY nntsclabel, binstart
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counted
+)
+SELECT nntsclabel, binstart, event_type AS mode_event_type
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 smoke: ntile(20) percentile fan per label (row form).
+
+    Deterministic tie-break: ntile ordering is (value, event_id).
+    """
+    fact = events_fact(spark, sf_dir)
+    from ..operators.labels import apply_labels
+    from ..operators.select import time_filter
+
+    labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
+    out = smoke_rows(labeled, ["nntsclabel"], "value", order_cols=["value", "event_id"])
+    return out.select(
+        "nntsclabel",
+        F.col("tile").cast("long").alias("tile"),
+        F.round("tile_avg", 4).alias("tile_avg"),
+    )
+
+
+SQL_SMOKE = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+tiled AS (
+  SELECT nntsclabel, value,
+         ntile(20) OVER (PARTITION BY nntsclabel ORDER BY value, event_id) AS tile
+  FROM labeled
+  WHERE timestamp >= {START} AND timestamp <= {STOP} AND value IS NOT NULL
+)
+SELECT nntsclabel, tile, round(avg(value), 4) AS tile_avg
+FROM tiled GROUP BY nntsclabel, tile
+"""
+
+
+def q_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/§3.3: matrix cell per label via rollup + algebraic merge."""
+    fact = events_fact(spark, sf_dir)
+    out = select_matrix_data(
+        fact, _label_map(spark), ["value"], START, START + DAY
+    )
+    return out.select(
+        "nntsclabel",
+        "timestamp",
+        "binstart",
+        F.round("sum_value", 4).alias("sum_value"),
+        "count_value",
+        F.round("max_value", 4).alias("max_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("stddev_value", 4).alias("stddev_value"),
+    )
+
+
+SQL_MATRIX = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+rollup AS (
+  SELECT stream_id, nntsclabel, timestamp - (timestamp % {HOUR}) AS binstart,
+         max(timestamp) AS ts, avg(value) AS mean_v, count(value) AS n,
+         sum(value) AS sum_v, max(value) AS max_v, min(value) AS min_v,
+         stddev_samp(value) AS sd_v
+  FROM labeled GROUP BY stream_id, nntsclabel, binstart
+)
+SELECT nntsclabel, max(ts) AS timestamp, min(binstart) AS binstart,
+       round(sum(sum_v), 4) AS sum_value,
+       sum(n) AS count_value,
+       round(max(max_v), 4) AS max_value,
+       round(min(min_v), 4) AS min_value,
+       round(sum(mean_v * n) / sum(n), 4) AS avg_value,
+       round(sqrt(sum(sd_v * sd_v * n) / sum(n)), 4) AS stddev_value
+FROM rollup
+WHERE binstart >= {START} AND binstart <= {START + DAY}
+GROUP BY nntsclabel
+"""
+
+
+def q_rollup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 rollup maintenance: per-(stream, hour) pre-aggregate rows."""
+    fact = events_fact(spark, sf_dir)
+    out = build_rollup(fact, HOUR, ["value"])
+    return out.select(
+        "stream_id",
+        "binstart",
+        "timestamp",
+        F.round("mean_value", 4).alias("mean_value"),
+        "magiccount_value",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("stddev_value", 4).alias("stddev_value"),
+    )
+
+
+SQL_ROLLUP_BUILD = f"""
+WITH {_FACT_CTE}
+SELECT stream_id, timestamp - (timestamp % {HOUR}) AS binstart,
+       max(timestamp) AS timestamp,
+       round(avg(value), 4) AS mean_value,
+       count(value) AS magiccount_value,
+       round(sum(value), 4) AS sum_value,
+       round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value,
+       round(stddev_samp(value), 4) AS stddev_value
+FROM fact GROUP BY stream_id, binstart
+"""
+
+
+def q_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: per-stream cadence estimation from timestamp gaps."""
+    fact = events_fact(spark, sf_dir)
+    return estimate_frequency(fact)
+
+
+SQL_FREQUENCY = f"""
+WITH {_FACT_CTE},
+diffs AS (
+  SELECT stream_id,
+         timestamp - lag(timestamp) OVER (PARTITION BY stream_id ORDER BY timestamp) AS diff
+  FROM fact
+), d AS (SELECT * FROM diffs WHERE diff IS NOT NULL),
+counted AS (
+  SELECT stream_id, diff, count(*) AS cnt FROM d GROUP BY stream_id, diff
+), per_key AS (
+  SELECT stream_id, sum(cnt) AS total, max(cnt) AS mode_cnt,
+         sum(cnt * diff) AS wsum
+  FROM counted GROUP BY stream_id
+), mode_pick AS (
+  SELECT stream_id, diff AS mode_diff FROM (
+    SELECT stream_id, diff,
+           row_number() OVER (PARTITION BY stream_id ORDER BY cnt DESC, diff ASC) AS rn
+    FROM counted) WHERE rn = 1
+), small20 AS (
+  SELECT c.stream_id, min(c.diff) AS small20
+  FROM counted c JOIN per_key p ON c.stream_id = p.stream_id
+  WHERE c.cnt * 5 >= p.total GROUP BY c.stream_id
+)
+SELECT p.stream_id,
+       CASE WHEN p.mode_cnt * 2 >= p.total THEN m.mode_diff
+            WHEN s.small20 IS NOT NULL THEN s.small20
+            ELSE CAST(round(p.wsum / p.total) AS BIGINT) END AS frequency
+FROM per_key p
+JOIN mode_pick m ON p.stream_id = m.stream_id
+LEFT JOIN small20 s ON p.stream_id = s.stream_id
+"""
+
+
+def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream activity stats (first/last ts, row counts)."""
+    fact = events_fact(spark, sf_dir)
+    return build_stream_stats(fact)
+
+
+SQL_STREAM_STATS = f"""
+WITH {_FACT_CTE}
+SELECT stream_id, min(timestamp) AS first_ts, max(timestamp) AS last_ts,
+       count(*) AS rows FROM fact GROUP BY stream_id
+"""
+
+
+def q_arraysize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/F2: array-length function over the embeddings table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.size("embedding").cast("long").alias("arraysize"), "label"
+    )
+
+
+SQL_ARRAYSIZE = "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS arraysize, label FROM embeddings"
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage on the TPC-H-ish tables (join/sort/limit surface + bench)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan-heavy aggregation over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "2002-09-01"
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + group + deterministic top-k."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("o_orderstatus") == "O")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way join with broadcast dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark builder, duckdb oracle sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "select_raw": (q_select_raw, SQL_SELECT_RAW),
+    "agg_bin": (q_agg_bin, SQL_AGG_BIN),
+    "agg_single_bin": (q_agg_single_bin, SQL_AGG_SINGLE_BIN),
+    "agg_groupcols": (q_agg_groupcols, SQL_AGG_GROUPCOLS),
+    "agg_mode": (q_agg_mode, SQL_AGG_MODE),
+    "smoke": (q_smoke, SQL_SMOKE),
+    "matrix": (q_matrix, SQL_MATRIX),
+    "rollup_build": (q_rollup_build, SQL_ROLLUP_BUILD),
+    "frequency": (q_frequency, SQL_FREQUENCY),
+    "stream_stats": (q_stream_stats, SQL_STREAM_STATS),
+    "arraysize": (q_arraysize, SQL_ARRAYSIZE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

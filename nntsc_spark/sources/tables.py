@@ -1,0 +1,62 @@
+"""Table loaders over the driver-generated parquet testdata.
+
+The reference reassembles per-stream physical tables with UNION ALL
+(reference: libnntsc/dbselect.py:633-647) — here a single columnar scan with
+predicate pushdown replaces that layout entirely (SURVEY.md §2.1 S3): one
+date-partitioned fact table; ``stream_id IN (...)`` + parquet min-max stats
+prune at the row-group level, and at cluster scale date partitions prune at
+the directory level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS) which Spark rejects unless nanos
+    # are surfaced as raw longs; harmless for the other tables (micros).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the synthetic ``events`` table onto the engine's fact-table shape.
+
+    ``user_id`` plays the role of ``stream_id``; ``ts`` (read as nanosecond
+    longs) becomes integer epoch seconds — the reference stores integer epoch
+    seconds everywhere (libnntsc/database.py:872).  Integer arithmetic keeps
+    the bin math inside whole-stage codegen.
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("stream_id"),
+        F.expr("ts DIV 1000000000").alias("timestamp"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
+#: DuckDB-side equivalent of :func:`events_fact` for oracle SQL assembly.
+EVENTS_FACT_SQL = (
+    "SELECT user_id AS stream_id, epoch_us(ts) // 1000000 AS timestamp, "
+    "event_type, value, event_id FROM events"
+)

@@ -1,0 +1,157 @@
+"""Query-layer operator tests against a tiny in-memory fact table.
+
+These encode the reference's non-obvious query semantics (SURVEY.md §2):
+bin arithmetic, single-bin fallback, label CASE first-match-wins, mode
+tie-breaks, smoke ntile fan, matrix algebraic merge, frequency rule chain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nntsc_spark.functions.aggregations import mode_agg, smoke_agg, smoke_rows
+from nntsc_spark.operators.activity import active_streams, build_stream_stats
+from nntsc_spark.operators.aggregate import select_aggregated_data
+from nntsc_spark.operators.frequency import estimate_frequency
+from nntsc_spark.operators.labels import apply_labels, build_label_map
+from nntsc_spark.operators.rollup import build_rollup, merge_rollup
+from nntsc_spark.operators.select import select_data
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    rows = []
+    # stream 1: every 10s from t=100, values 1..10
+    for i in range(10):
+        rows.append((1, 100 + 10 * i, float(i + 1)))
+    # stream 2: every 30s from t=100, values 100..
+    for i in range(5):
+        rows.append((2, 100 + 30 * i, float(100 + i)))
+    # stream 3: outside the queried range
+    rows.append((3, 10_000, 7.0))
+    return spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def label_map(spark):
+    return build_label_map(spark, {"L1": [1], "L2": [2, 3]})
+
+
+def test_label_first_match_wins(spark):
+    lm = build_label_map(spark, {"a": [1, 2], "b": [2, 3]})
+    got = {r.stream_id: r.nntsclabel for r in lm.collect()}
+    assert got == {1: "a", 2: "a", 3: "b"}
+
+
+def test_select_data_forced_columns_and_bounds(fact, label_map):
+    out = select_data(fact, label_map, ["value"], 100, 160, order=False)
+    assert set(out.columns) == {"value", "timestamp", "stream_id", "nntsclabel"}
+    rows = out.collect()
+    # inclusive bounds: stream1 ts 100..160 (7 rows) + stream2 ts 100,130,160
+    assert len(rows) == 10
+    assert all(100 <= r.timestamp <= 160 for r in rows)
+
+
+def test_agg_bin_arithmetic(fact, label_map):
+    out = select_aggregated_data(
+        fact, label_map, [("value", "avg"), ("value", "count")],
+        start=100, stop=190, binsize=60, order=False,
+    ).collect()
+    by_key = {(r.nntsclabel, r.binstart): r for r in out}
+    # stream1 bin 60: ts 100,110 -> binstart 60... wait ts-ts%60: 100->60? 100%60=40 -> 60
+    assert (("L1", 60) in by_key) and (("L1", 120) in by_key) and (("L1", 180) in by_key)
+    r = by_key[("L1", 60)]
+    assert r.value_count == 2 and r.value_avg == pytest.approx(1.5)
+    assert r.timestamp == 110  # max ts in bin (A4)
+
+
+def test_agg_single_bin(fact, label_map):
+    out = select_aggregated_data(
+        fact, label_map, [("value", "sum")], start=100, stop=200, binsize=0,
+        order=False,
+    ).collect()
+    r = {x.nntsclabel: x for x in out}
+    # binstart = min(timestamp) per label (dbselect.py:303-307 semantics);
+    # single (col, func) pair keeps the bare column name (rename rule only
+    # applies to duplicated columns, dbselect.py:810-821)
+    assert r["L1"].binstart == 100 and r["L1"].timestamp == 190
+    assert r["L1"].value == pytest.approx(sum(range(1, 11)))
+    # stream 2's last row (ts=220, value=104) is outside stop=200
+    assert r["L2"].value == pytest.approx(sum(range(100, 104)))
+
+
+def test_mode_tie_breaks_smallest(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")], "k long, v string"
+    )
+    out = mode_agg(df, ["k"], "v", "mode_v").collect()
+    assert out[0].mode_v == "a"  # tie between a(2) and b(2) -> smallest
+
+
+def test_smoke_matches_ntile_reference(spark):
+    # 40 values in one group -> 20 tiles of 2; tile mean = mean of each pair
+    vals = [float(v) for v in range(1, 41)]
+    df = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
+    arr = smoke_agg(df, ["k"], "v", "smoke").collect()[0].smoke
+    assert len(arr) == 20
+    assert arr[0] == pytest.approx(1.5) and arr[19] == pytest.approx(39.5)
+    # n < 20 -> fewer tiles, no padding (influx.py:699-713 trimming analogue)
+    df5 = spark.createDataFrame([(1, float(v)) for v in range(5)], "k long, v double")
+    arr5 = smoke_agg(df5, ["k"], "v", "smoke").collect()[0].smoke
+    assert len(arr5) == 5
+
+
+def test_smoke_rows_null_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0)], "k long, v double"
+    )
+    rows = smoke_rows(df, ["k"], "v").collect()
+    assert sum(1 for _ in rows) == 2  # nulls dropped before tiling
+
+
+def test_rollup_merge_algebra(spark):
+    # two bins for one stream; check weighted avg + pooled stddev formula
+    rows = [(1, 10, 1.0), (1, 20, 3.0), (1, 70, 5.0), (1, 80, 9.0), (1, 85, 10.0)]
+    fact = spark.createDataFrame(rows, "stream_id long, timestamp long, value double")
+    lm = build_label_map(spark, {"L": [1]})
+    rollup = build_rollup(fact, 60, ["value"])
+    merged = merge_rollup(rollup, lm, ["value"]).collect()[0]
+    assert merged.count_value == 5
+    assert merged.sum_value == pytest.approx(28.0)
+    assert merged.max_value == 9.0 or merged.max_value == 10.0
+    # weighted avg: (2*2 + 3*8) / 5
+    assert merged.avg_value == pytest.approx((2.0 * 2 + 8.0 * 3) / 5)
+    # pooled stddev: sqrt((sd1^2*2 + sd2^2*3)/5), sample stddevs
+    sd1 = math.sqrt(2.0)  # stddev_samp([1,3])
+    sd2 = math.sqrt(7.0)  # stddev_samp([5,9,10])
+    assert merged.stddev_value == pytest.approx(
+        math.sqrt((sd1**2 * 2 + sd2**2 * 3) / 5)
+    )
+
+
+def test_frequency_rule_chain(spark):
+    rows = []
+    # stream 1: strict 10s cadence -> mode majority -> 10
+    for i in range(20):
+        rows.append((1, 1000 + 10 * i))
+    # stream 2: diffs [10]*4 + [100]*16 -> mode=100 (80%>=50%) -> 100
+    ts = 1000
+    for d in [10] * 4 + [100] * 16:
+        rows.append((2, ts))
+        ts += d
+    rows.append((2, ts))
+    df = spark.createDataFrame(rows, "stream_id long, timestamp long")
+    freq = {r.stream_id: r.frequency for r in estimate_frequency(df).collect()}
+    assert freq[1] == 10
+    assert freq[2] == 100
+
+
+def test_stream_stats_and_activity(fact):
+    stats = build_stream_stats(fact)
+    act = active_streams(stats, 0, 500).collect()
+    assert {r.stream_id for r in act} == {1, 2}  # stream 3 starts at 10_000
