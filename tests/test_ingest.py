@@ -1,0 +1,338 @@
+"""Ingest-transform tests mirroring the reference parser test goldens
+(FIXTURES.md; reference tests/: IcmpParser_test.py etc.).
+
+The three measurement classes every parser test feeds:
+- lost:   probe sent, no reply  (rtt=None, loss=1)
+- good:   reply received        (rtt>0, loss=0)
+- failed: test couldn't run     (address='0.0.0.0', everything None)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nntsc_spark.ingest.amp_dns import process_dns
+from nntsc_spark.ingest.amp_fastping import process_fastping
+from nntsc_spark.ingest.amp_icmp import process_icmp
+from nntsc_spark.ingest.amp_tcpping import process_tcpping
+from nntsc_spark.ingest.amp_throughput import process_throughput
+from nntsc_spark.ingest.amp_traceroute import (
+    process_astraceroute,
+    process_traceroute_ip,
+)
+from nntsc_spark.ingest.amp_traceroute_pathlen import process_pathlen
+from nntsc_spark.ingest.rrd_smokeping import process_smokeping
+from nntsc_spark.ingest.streams import attach_stream_ids, upsert_streams
+from nntsc_spark.functions.scalars import extract_paths_columns
+
+ICMP_RAW_SCHEMA = (
+    "source string, timestamp long, rtt long, loss long, random boolean, "
+    "target string, address string, packet_size long"
+)
+
+
+def icmp_testdata():
+    # the reference's IcmpParser_test.py input classes: lost/good/failed
+    return [
+        ("amp", 0, None, 1, False, "lost.example.com", "192.0.2.1", 84),
+        ("amp", 0, None, 1, False, "good.example.com", "192.0.2.254", 84),
+        ("amp", 0, 1000, 0, False, "good.example.com", "198.51.100.254", 84),
+        ("amp", 0, 2000, 0, False, "good.example.com", "203.0.113.254", 84),
+        ("amp", 0, None, None, False, "doesnotexist.invalid", "0.0.0.0", 84),
+    ]
+
+
+def test_icmp_golden(spark):
+    raw = spark.createDataFrame(icmp_testdata(), ICMP_RAW_SCHEMA)
+    out = {r["destination"]: r.asDict() for r in process_icmp(raw).collect()}
+
+    lost = out["lost.example.com"]
+    assert lost["loss"] == 1 and lost["rtts"] == [None]
+    assert lost["median"] is None and lost["results"] == 1
+    assert lost["lossrate"] == pytest.approx(1.0)
+
+    good = out["good.example.com"]
+    assert good["loss"] == 1
+    assert good["rtts"] == [1000, 2000, None]
+    assert good["median"] == 1500  # int mean of middle two
+    assert good["results"] == 3
+    assert good["lossrate"] == pytest.approx(1 / 3)
+    assert good["packet_size_int"] == 84
+
+    failed = out["doesnotexist.invalid"]
+    assert failed["loss"] is None and failed["results"] is None
+    assert failed["lossrate"] is None and failed["median"] is None
+    assert failed["rtts"] == []
+    assert failed["family"] == "ipv4"  # '.' in '0.0.0.0'
+
+
+def test_icmp_median_truncation(spark):
+    # even count with odd sum: int((3+4)/2) == 3 (python2-style truncation,
+    # common.py:256-262)
+    rows = [
+        ("amp", 0, 3, 0, False, "t", "1.2.3.4", 84),
+        ("amp", 0, 4, 0, False, "t", "1.2.3.4", 84),
+    ]
+    raw = spark.createDataFrame(rows, ICMP_RAW_SCHEMA)
+    out = process_icmp(raw).collect()[0]
+    assert out["median"] == 3
+
+
+def test_icmp_random_packet_size(spark):
+    rows = [("amp", 0, 5, 0, True, "t", "fe80::1", 84)]
+    raw = spark.createDataFrame(rows, ICMP_RAW_SCHEMA)
+    out = process_icmp(raw).collect()[0]
+    assert out["packet_size"] == "random" and out["family"] == "ipv6"
+
+
+TCPPING_RAW_SCHEMA = ICMP_RAW_SCHEMA + ", port long, icmptype long"
+
+
+def test_tcpping_icmperror_padding(spark):
+    # good rtt + one icmp error (type 3) + one loss ->
+    # rtts = [rtt] + [None](loss) + [None](icmperror)
+    rows = [
+        ("amp", 0, 500, 0, False, "t", "1.1.1.1", 84, 443, None),
+        ("amp", 0, None, 1, False, "t", "1.1.1.1", 84, 443, None),
+        ("amp", 0, None, 0, False, "t", "1.1.1.1", 84, 443, 3),
+    ]
+    raw = spark.createDataFrame(rows, TCPPING_RAW_SCHEMA)
+    out = process_tcpping(raw).collect()[0]
+    assert out["port"] == "443"
+    assert out["icmperrors"] == 1
+    assert out["rtts"] == [500, None, None]
+    assert out["median"] == 500
+    assert out["loss"] == 1
+    # results: rtt truthy (1) + loss truthy (1); icmp-error row has neither
+    assert out["results"] == 2
+
+
+DNS_RAW = (
+    "source string, timestamp long, destination string, instance string, "
+    "address string, query string, query_type string, query_class string, "
+    "udp_payload_size long, recurse boolean, dnssec boolean, nsid boolean, "
+    "query_len long, response_size long, rtt long"
+)
+
+
+def test_dns_tristate_lossrate(spark):
+    rows = [
+        # sent + answered
+        ("amp", 0, "a.ns", "i", "1.2.3.4", "q", "A", "IN", 4096, True, False,
+         False, 40, 100, 2000),
+        # sent + no answer
+        ("amp", 0, "b.ns", "i", "1.2.3.5", "q", "A", "IN", 4096, True, False,
+         False, 40, None, None),
+        # not sent
+        ("amp", 0, "c.ns", "i", "1.2.3.6", "q", "A", "IN", 4096, True, False,
+         False, None, None, None),
+    ]
+    raw = spark.createDataFrame(rows, DNS_RAW)
+    out = {r["destination"]: r.asDict() for r in process_dns(raw).collect()}
+    assert out["a.ns"]["requests"] == 1 and out["a.ns"]["lossrate"] == 0.0
+    assert out["b.ns"]["requests"] == 1 and out["b.ns"]["lossrate"] == 1.0
+    assert out["c.ns"]["requests"] == 0 and out["c.ns"]["lossrate"] is None
+
+
+def test_dns_first_result_per_stream_wins(spark):
+    rows = [
+        ("amp", 0, "a.ns", "i", "1.2.3.4", "q", "A", "IN", 4096, True, False,
+         False, 40, 100, 111),
+        ("amp", 0, "a.ns", "i", "1.2.3.4", "q", "A", "IN", 4096, True, False,
+         False, 40, 100, 999),
+    ]
+    raw = spark.createDataFrame(rows, DNS_RAW)
+    out = process_dns(raw).collect()
+    assert len(out) == 1 and out[0]["rtt"] == 111
+
+
+THROUGHPUT_RAW = (
+    "source string, timestamp long, target string, address string, "
+    "protocol string, direction string, duration long, runtime long, "
+    "bytes long, packets long, write_size long, tcpreused boolean"
+)
+
+
+def test_throughput_rate_zero_vs_none(spark):
+    rows = [
+        ("amp", 0, "t", "1.1.1.1", "default", "out", 10000, 10, 1000, 8, 131072, False),
+        ("amp", 0, "t", "1.1.1.1", "default", "in", 10000, 0, 0, 0, 131072, False),
+        ("amp", 0, "t", "1.1.1.1", "default", "both", 10000, None, None, None, 131072, False),
+    ]
+    raw = spark.createDataFrame(rows, THROUGHPUT_RAW)
+    out = {r["direction"]: r.asDict() for r in process_throughput(raw).collect()}
+    assert out["out"]["rate"] == pytest.approx(100.0)
+    assert out["in"]["rate"] == 0.0  # runtime==0 -> 0.0, not NULL
+    assert out["both"]["rate"] is None  # runtime NULL -> NULL
+    assert all(r["unused"] is True for r in out.values())
+
+
+FASTPING_RAW = (
+    "source string, timestamp long, destination string, address string, "
+    "packet_size long, packet_rate long, packet_count long, preprobe boolean, "
+    "runtime long, samples long, percentiles array<double>"
+)
+
+
+def test_fastping_mangle(spark):
+    pct = [float(i * 100) for i in range(1, 20)]
+    rows = [
+        ("amp", 0, "t", "1.1.1.1", 64, 10, 100, False, 10, 80, pct),
+        ("amp", 0, "u", "1.1.1.1", 64, 10, 100, False, 10, None, None),
+        ("amp", 0, "v", "1.1.1.1", 64, 10, 100, False, None, None, None),
+    ]
+    raw = spark.createDataFrame(rows, FASTPING_RAW)
+    out = {r["destination"]: r.asDict() for r in process_fastping(raw).collect()}
+    # median = percentiles[8] (0-based), lossrate = 1 - samples/packet_count
+    assert out["t"]["median"] == 900
+    assert out["t"]["lossrate"] == pytest.approx(1.0 - 80 / 100)
+    assert out["u"]["median"] is None and out["u"]["lossrate"] == 1.0
+    assert out["u"]["percentiles"] == []
+    assert out["v"]["median"] is None and out["v"]["lossrate"] is None
+    assert out["v"]["percentiles"] is None
+
+
+SMOKEPING_RAW = (
+    "filename string, source string, host string, family string, "
+    "minres long, highrows long, timestamp long, loss double, "
+    "median double, pings array<double>"
+)
+
+
+def test_smokeping_ms_conversion(spark):
+    rows = [
+        ("f.rrd", "src", "h", "ipv4", 300, 1008, 100, 2.0, 0.0215,
+         [0.02, None, 0.025]),
+        ("g.rrd", "src", "h", "ipv4", 300, 1008, 100, None, None, None),
+    ]
+    raw = spark.createDataFrame(rows, SMOKEPING_RAW)
+    out = {r["filename"]: r.asDict() for r in process_smokeping(raw).collect()}
+    f = out["f.rrd"]
+    assert f["median"] == pytest.approx(21.5)
+    assert f["pings"] == [20.0, None, 25.0]
+    assert f["pingsent"] == 3
+    assert f["lossrate"] == pytest.approx(2 / 3)
+    g = out["g.rrd"]
+    assert g["pingsent"] == 0 and g["lossrate"] is None and g["median"] is None
+
+
+TRACEROUTE_RAW = (
+    "source string, timestamp long, target string, address string, "
+    "packet_size long, random boolean, error_type long, error_code long, "
+    "ip long, as long, length long, "
+    "hops array<struct<address:string,rtt:bigint,asn:bigint>>"
+)
+
+
+def _hop(addr, rtt, asn):
+    return (addr, rtt, asn)
+
+
+def test_aspath_rle_extraction(spark):
+    # hops through AS 100,100,200,-1,-1: RLE = 2.100, 1.200, 2.-1
+    hops = [
+        _hop("10.0.0.1", 100, 100),
+        _hop("10.0.0.2", 200, 100),
+        _hop("10.0.1.1", 300, 200),
+        _hop(None, None, -1),
+        _hop(None, None, -1),
+    ]
+    df = spark.createDataFrame(
+        [("amp", 0, "t", "1.1.1.1", 60, False, None, None, 1, 0, 5, hops)],
+        TRACEROUTE_RAW,
+    )
+    out = extract_paths_columns(df, "hops").collect()[0]
+    assert out["aspath"] == ["2.100", "1.200", "2.-1"]
+    assert out["aspath_length"] == 5
+    assert out["responses"] == 3  # trailing -1 run removed
+    assert out["uniqueas"] == 2  # 100, 200 (negatives excluded)
+    assert out["path"] == ["10.0.0.1", "10.0.0.2", "10.0.1.1", None, None]
+    assert out["hop_rtt"] == [100, 200, 300, None, None]
+
+
+def test_traceroute_ip_facts_and_dictionaries(spark):
+    hops_a = [_hop("10.0.0.1", 100, None), _hop("10.0.0.2", 150, None)]
+    rows = [
+        ("amp", 0, "t", "1.1.1.1", 60, False, None, None, 1, 0, 2, hops_a),
+        ("amp", 60, "t", "1.1.1.1", 60, False, None, None, 1, 0, 2, hops_a),
+    ]
+    raw = spark.createDataFrame(rows, TRACEROUTE_RAW)
+    fact, paths, aspaths = process_traceroute_ip(raw)
+    fact_rows = fact.collect()
+    assert len(fact_rows) == 2
+    # same path in both batches -> interned once, same path_id
+    assert paths.count() == 1
+    pids = {r["path_id"] for r in fact_rows}
+    assert len(pids) == 1
+    assert paths.collect()[0]["length"] == 2
+
+
+def test_astraceroute_most_common_path(spark):
+    h1 = [_hop("10.0.0.1", 100, 100)]
+    h2 = [_hop("10.0.0.1", 100, 200)]
+    rows = [
+        ("amp", 0, "t", "1.1.1.1", 60, False, None, None, 0, 1, 1, h1),
+        ("amp", 0, "t", "1.1.1.1", 60, False, None, None, 0, 1, 1, h1),
+        ("amp", 0, "t", "1.1.1.1", 60, False, None, None, 0, 1, 1, h2),
+    ]
+    raw = spark.createDataFrame(rows, TRACEROUTE_RAW)
+    fact, aspaths = process_astraceroute(raw)
+    out = fact.collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["addresses"] == 3 and r["errors"] == 0
+    win = {x["aspath_id"]: x["aspath"] for x in aspaths.collect()}
+    assert win[r["aspath_id"]] == ["1.100"]  # 2 votes beats 1
+
+
+def test_pathlen_markers_and_mode(spark):
+    complete = ["10.0.0.1", "10.0.0.2"]
+    incomplete = ["10.0.0.1", "10.0.0.2", None, None]
+    rows = [
+        ("amp", 0, "t", "1.1.1.1", 60, False, None, None, 1, 0, 2, None),
+        ("amp", 0, "u", "1.1.1.1", 60, False, None, None, 1, 0, 2, None),
+    ]
+    df = spark.createDataFrame(rows, TRACEROUTE_RAW).drop("hops")
+    df = df.withColumn(
+        "path",
+        F.when(F.col("target") == "t", F.lit(complete)).otherwise(
+            F.lit(incomplete).cast("array<string>")
+        ),
+    )
+    # manually exercise path_length semantics through process_pathlen:
+    # complete len-2 path -> 2.0; incomplete (len field 4, two trailing
+    # nulls) -> 4 + 0.5 - 2 = 2.5
+    df = df.withColumn(
+        "length", F.when(F.col("target") == "t", F.lit(2)).otherwise(F.lit(4))
+    )
+    out = {r["destination"]: r.asDict() for r in process_pathlen(df).collect()}
+    assert out["t"]["path_length"] == 2.0
+    assert out["u"]["path_length"] == 2.5
+    assert out["t"]["unused"] is True
+
+
+def test_stream_id_upsert_and_attach(spark):
+    raw = spark.createDataFrame(icmp_testdata(), ICMP_RAW_SCHEMA)
+    data = process_icmp(raw)
+    ucols = ["source", "destination", "family", "packet_size"]
+    streams = upsert_streams(None, data.select(*ucols), ucols)
+    assert streams.count() == 3
+    ids = {r["stream_id"] for r in streams.collect()}
+    assert ids == {1, 2, 3}
+    # second batch with one new stream: existing keep ids, new gets 4
+    raw2 = spark.createDataFrame(
+        [("amp", 60, 10, 0, False, "new.example.com", "5.6.7.8", 84)],
+        ICMP_RAW_SCHEMA,
+    )
+    data2 = process_icmp(raw2)
+    streams2 = upsert_streams(streams, data2.select(*ucols), ucols)
+    assert streams2.count() == 4
+    old = {
+        (r["destination"], r["stream_id"]) for r in streams.collect()
+    }
+    assert old <= {
+        (r["destination"], r["stream_id"]) for r in streams2.collect()
+    }
+    fact = attach_stream_ids(data2, streams2, ucols)
+    assert fact.collect()[0]["stream_id"] == 4
