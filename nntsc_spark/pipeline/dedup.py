@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+
+- *exact*: one hash-groupBy — the shuffle key is the content hash, so data
+  skew is impossible by construction.
+- *MinHash+LSH*: shingle explode -> K min-hash aggregates (one groupBy) ->
+  band buckets -> candidate pairs ONLY within equal buckets (equi-join on
+  (band, band_hash), never a cross join) -> exact Jaccard verification over
+  the candidates.  Each stage shuffles on a uniform hash key.
+- *SimHash*: 60-bit signatures from md5 token hashes; near-dup = equal
+  signature band or small Hamming distance; majority vote via a bit explode
+  (60x row blowup on the token-hash table, map-side combinable).
+- All hashes are md5-derived so the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+#: md5 prefix length in hex chars -> 60-bit non-negative bigint
+HASH_HEX_LEN = 15
+SIMHASH_BITS = 60
+
+
+def md5_long(col: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative bigint (portable:
+    DuckDB ``('0x' || substring(md5(x),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, HASH_HEX_LEN), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content hash; keep the smallest doc_id as survivor.
+
+    Output: (content_hash, survivor_doc_id, n_copies).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    toks = tokens_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + off + 1).cast("int")) for off in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+    """K min-hash values per doc, permutation i = md5('<i>:' || shingle).
+
+    One groupBy with K min aggregates — no explode over permutations, so the
+    shuffle volume is exactly the shingle table size.
+    Output: (doc_id, mh0..mh{k-1}) as hex strings (min over uniformly
+    distributed fixed-length hex == min over the integer values).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
+    """Band the signature: band b hash = md5(mh[b*rows] || ',' || ...).
+
+    Output: (doc_id, band, band_hash).
+    """
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        parts.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct doc pairs sharing >= 1 LSH bucket (equi-join, bucket-local)."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs via shingle-set joins.
+
+    Output: (d1, d2, jaccard) for pairs >= threshold, jaccard rounded to 4.
+    """
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        pairs.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
+    candidates -> exact-Jaccard verify."""
+    sh = shingles(docs, text_col, shingle_n)
+    sigs = minhash_signatures(sh, k)
+    banded = lsh_bands(sigs, bands, rows)
+    cands = candidate_pairs(banded)
+    return jaccard_verify(cands, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document over token md5 hashes.
+
+    Majority vote per bit: explode (token_hash, bit) -> sum(+-1) -> assemble.
+    Output: (doc_id, simhash bigint).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("token")
+    )
+    hashed = toks.select("doc_id", md5_long(F.col("token")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        # shiftright/shiftleft by a *column* needs the SQL form
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark >= 3.0)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, candidate-free — for bounded corpora / validation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold, candidates generated by
+    shared-shingle co-occurrence (inverted index join — still no cross
+    join; a pair only materializes if it shares at least one shingle)."""
+    sh = shingles(docs, text_col, n)
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return jaccard_verify(pairs, sh, threshold)

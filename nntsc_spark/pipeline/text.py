@@ -1,0 +1,98 @@
+"""Text analysis operators over a document corpus.
+
+All expressions are deterministic and portable to ANSI-ish SQL so the
+DuckDB oracle can verify them: tokenization is a plain single-space split
+(matching the synthetic corpus), hashes are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small deterministic stopword list used for quality/language scoring
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def token_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text)).cast("long")
+
+
+def stopword_count_expr(text: Column | str) -> Column:
+    toks = tokens_expr(text)
+    return F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, stopword ratio, mean token
+    length, and a BPE-ish subword token estimate (chars/4, ceil).
+
+    The quality score is a simple monotone combination — the point is the
+    distributed shape (pure projection, no shuffle), not the scoring model.
+    """
+    toks = token_count_expr(text_col)
+    stops = stopword_count_expr(text_col)
+    nchars = F.length(F.col(text_col)).cast("long")
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        F.round(stops / toks.cast("double"), 4).alias("stopword_ratio"),
+        F.round(nchars / toks.cast("double"), 4).alias("mean_token_len"),
+        ((nchars + 3) / 4).cast("long").alias("est_subword_tokens"),
+        F.round(
+            F.least(F.lit(1.0), stops / toks.cast("double") * 5.0)
+            * F.when((toks >= 10) & (toks <= 1000), 1.0).otherwise(0.5),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword heuristic language ID.
+
+    Scores the document against per-language stopword lists; highest ratio
+    wins, 'und' when no list clears the floor.  The synthetic corpus is
+    English-ish, so the en list matches the corpus vocabulary.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks).cast("double")
+    en = F.size(F.filter(toks, lambda x: x.isin(["the", "a", "of", "and"]))) / n
+    de = F.size(F.filter(toks, lambda x: x.isin(["der", "die", "das", "und"]))) / n
+    fr = F.size(F.filter(toks, lambda x: x.isin(["le", "la", "les", "et"]))) / n
+    return docs.select(
+        "doc_id",
+        F.round(en, 4).alias("score_en"),
+        F.round(de, 4).alias("score_de"),
+        F.round(fr, 4).alias("score_fr"),
+        F.when((en >= de) & (en >= fr) & (en >= 0.01), "en")
+        .when((de > en) & (de >= fr) & (de >= 0.01), "de")
+        .when((fr > en) & (fr > de) & (fr >= 0.01), "fr")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 4) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-gram shingles
+    (winnowing with a single global window — a rolling-hash family member).
+
+    Documents shorter than ``ngram`` tokens fall back to hashing the whole
+    text.  Pure projection + array fold; no shuffle.
+    """
+    toks = tokens_expr(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - ngram),
+        lambda i: F.md5(F.concat_ws(" ", *[
+            F.element_at(toks, (i + off + 1).cast("int")) for off in range(ngram)
+        ])),
+    )
+    fp = F.when(
+        F.size(toks) >= ngram, F.array_min(shingles)
+    ).otherwise(F.md5(F.col(text_col)))
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,312 @@
+"""Driver-facing registry for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal) with DuckDB oracles.
+
+Hash portability: every comparable hash is md5-based; DuckDB reproduces
+Spark's values exactly (verified: conv(substr(md5,1,15),16,10) ==
+('0x'||substr(md5,1,15))::BIGINT).  Cosines are computed in DOUBLE on both
+sides (DuckDB list_dot_product must be fed DOUBLE[] — on FLOAT[] it sums in
+float and diverges) and rounded to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..pipeline.multimodal import documents_as_media, extract_features
+from ..pipeline.similarity import brute_force_near_duplicates, brute_force_topk
+from ..pipeline.text import fingerprint, language_id, quality_features
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nchars
+  FROM documents
+), f AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+           AS n_stopwords,
+         nchars
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       round(n_stopwords / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+       round(nchars / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+       CAST((nchars + 3) // 4 AS BIGINT) AS est_subword_tokens,
+       round(least(1.0, n_stopwords / CAST(n_tokens AS DOUBLE) * 5.0)
+             * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END), 4)
+         AS quality_score
+FROM f
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LANGID = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','a','of','and'))) / CAST(len(toks) AS DOUBLE) AS en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und'))) / CAST(len(toks) AS DOUBLE) AS de,
+    len(list_filter(toks, x -> x IN ('le','la','les','et'))) / CAST(len(toks) AS DOUBLE) AS fr
+  FROM t
+)
+SELECT doc_id, round(en, 4) AS score_en, round(de, 4) AS score_de,
+       round(fr, 4) AS score_fr,
+       CASE WHEN en >= de AND en >= fr AND en >= 0.01 THEN 'en'
+            WHEN de > en AND de >= fr AND de >= 0.01 THEN 'de'
+            WHEN fr > en AND fr > de AND fr >= 0.01 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(l) >= 4 THEN
+         list_min([md5(l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])
+                   FOR i IN range(len(l) - 3)])
+       ELSE md5(text) END AS fingerprint
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS survivor_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# shared CTE text for shingle-based oracles (3-gram shingles, distinct)
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         s.shingle
+  FROM toks, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                   FOR i IN range(greatest(len(l) - 2, 1))]) AS shingle
+  ) s
+  WHERE s.shingle IS NOT NULL
+)
+"""
+
+_SIGS_CTE = (
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+    )
+    + " FROM shingles GROUP BY doc_id)"
+)
+
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2*b} || ',' || mh{2*b+1}) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    + ")"
+)
+
+_JACCARD_TAIL = """
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles s1 ON s1.doc_id = c.d1
+  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+  GROUP BY c.d1, c.d2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+)
+SELECT i.d1, i.d2,
+       round(i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), {_JACCARD_TAIL}
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SHINGLES_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), {_JACCARD_TAIL}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, LATERAL (SELECT unnest(range(60)) AS bit) b
+), votes AS (
+  SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, k=5
+    )
+
+
+SQL_SIMILARITY_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+               4) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            4) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/typed-column path: binary payload sizes + checksums (no
+    decode; the scan prunes to the needed columns)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("checksum"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode path (deterministic fake decoder) — rows-only
+    check (no SQL oracle: the Arrow-batched UDF pipeline is the point)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake_decode=True)
+
+
+REGISTRY = {
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_features": (q_multimodal_features, None),
+}

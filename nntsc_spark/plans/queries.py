@@ -505,8 +505,11 @@ GROUP BY r_name, n_name
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+from .pipeline_queries import REGISTRY as PIPELINE_REGISTRY  # noqa: E402
+
 #: name -> (spark builder, duckdb oracle sql | None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    **PIPELINE_REGISTRY,
     "select_raw": (q_select_raw, SQL_SELECT_RAW),
     "agg_bin": (q_agg_bin, SQL_AGG_BIN),
     "agg_single_bin": (q_agg_single_bin, SQL_AGG_SINGLE_BIN),

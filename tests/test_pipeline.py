@@ -1,0 +1,132 @@
+"""Training-data pipeline operator tests (dedup/similarity/text/multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nntsc_spark.pipeline.dedup import (
+    exact_duplicates,
+    hamming_distance,
+    md5_long,
+    minhash_near_duplicates,
+    minhash_signatures,
+    shingles,
+    simhash_signatures,
+)
+from nntsc_spark.pipeline.multimodal import (
+    documents_as_media,
+    extract_features,
+    media_repartition,
+)
+from nntsc_spark.pipeline.similarity import (
+    brute_force_near_duplicates,
+    brute_force_topk,
+    lsh_topk,
+)
+from nntsc_spark.pipeline.text import fingerprint, quality_features
+from nntsc_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different words entirely unrelated text here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_duplicates(docs).collect()
+    assert len(out) == 3  # docs 0+1 collapse
+    dup = [r for r in out if r["n_copies"] == 2][0]
+    assert dup["survivor_doc_id"] == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r.d1, r.d2): r.jaccard for r in minhash_near_duplicates(docs).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert not any(3 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_minhash_signature_determinism(spark, docs):
+    sh = shingles(docs)
+    a = minhash_signatures(sh, 4).orderBy("doc_id").collect()
+    b = minhash_signatures(sh, 4).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_simhash_similar_docs_close(docs):
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    df = docs.sparkSession.createDataFrame(
+        [(sig[0], sig[1]), (sig[0], sig[2]), (sig[0], sig[3])], "a long, b long"
+    )
+    d01, d02, d03 = [
+        r[0] for r in df.select(hamming_distance(F.col("a"), F.col("b"))).collect()
+    ]
+    assert d01 == 0  # identical text -> identical simhash
+    assert d02 < d03  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(emb, [0], k=2).collect()
+    assert [r.neighbor_id for r in out] == [3, 1]  # by cosine to [1,0]
+    assert out[0].rank == 1 and out[0].cosine > out[1].cosine
+
+
+def test_lsh_recall_against_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, 5).collect()}
+    ls = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, qids, 5).collect()}
+    assert len(bf & ls) / len(bf) >= 0.5  # approximate, but far above chance
+
+
+def test_numpy_neardup_matches_expression_math(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.v1, r.v2): r.cosine for r in
+           brute_force_near_duplicates(emb, threshold=0.9).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] == pytest.approx(0.9902, abs=1e-4)
+
+
+def test_quality_and_fingerprint_shapes(docs):
+    q = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert q[0].n_tokens == 9 and q[0].n_stopwords == 2  # two 'the'
+    f = fingerprint(docs).collect()
+    fps = {r.doc_id: r.fingerprint for r in f}
+    assert fps[0] == fps[1] and fps[0] != fps[3]
+
+
+def test_multimodal_plumbing(docs):
+    media = documents_as_media(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert feats[0].checksum == feats[1].checksum  # same bytes
+    assert feats[0].feat_mean is not None
+    # repartition by byte budget returns same rows
+    assert media_repartition(media, target_bytes=64).count() == 4
+
+
+def test_multimodal_real_decode_raises(docs):
+    import pytest as _pytest
+
+    media = documents_as_media(docs)
+    with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, fake_decode=False).collect()
