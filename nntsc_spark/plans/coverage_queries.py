@@ -1,0 +1,281 @@
+"""Additional SURVEY.md §2 coverage queries: smoke arrays, percentile fan,
+count-gate, most_array, chunk-alignment equivalence, activity-pruned
+selection, traceroute-shape dictionary joins, catalog listing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import list_collections
+from ..functions.aggregations import most_array_agg, smoke_agg
+from ..operators.activity import build_stream_stats, prune_label_map
+from ..operators.aggregate import select_aggregated_data, with_binstart
+from ..operators.chunking import chunked_union
+from ..operators.labels import apply_labels
+from ..operators.select import select_data, time_filter
+from ..sources.tables import EVENTS_FACT_SQL, events_fact, load_table
+from .queries import DAY, HOUR, LABELS, START, STOP, T0, _label_map
+
+_FACT_CTE = f"fact AS ({EVENTS_FACT_SQL})"
+from .queries import _LABELED_CTE  # noqa: E402
+
+
+def q_smoke_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 array form: the 20-element smoke fan per label, serialized to a
+    canonical string (cross-engine array hashing is avoided by emitting
+    text — the reference wire format pickles arrays anyway)."""
+    fact = events_fact(spark, sf_dir)
+    labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
+    # deterministic ntile order via (value, event_id)
+    from ..functions.aggregations import smoke_rows
+
+    rows = smoke_rows(labeled, ["nntsclabel"], "value", ["value", "event_id"])
+    return rows.groupBy("nntsclabel").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tile", "tile_avg"))),
+                lambda s: F.round(s["tile_avg"], 4).cast("string"),
+            ),
+        ).alias("smoke")
+    )
+
+
+SQL_SMOKE_ARRAY = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+tiled AS (
+  SELECT nntsclabel, value,
+         ntile(20) OVER (PARTITION BY nntsclabel ORDER BY value, event_id) AS tile
+  FROM labeled
+  WHERE timestamp >= {START} AND timestamp <= {STOP} AND value IS NOT NULL
+), per_tile AS (
+  SELECT nntsclabel, tile, avg(value) AS tile_avg
+  FROM tiled GROUP BY nntsclabel, tile
+)
+SELECT nntsclabel,
+       string_agg(CAST(round(tile_avg, 4) AS VARCHAR), ',' ORDER BY tile) AS smoke
+FROM per_tile GROUP BY nntsclabel
+"""
+
+
+def q_percentile_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: the Influx smoke emulation — percentile(5..95 step 5) + max as
+    p100, exact linear-interpolated percentiles (both engines interpolate)."""
+    fact = events_fact(spark, sf_dir)
+    labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
+    pcts = [i / 100 for i in range(5, 100, 5)]
+    arr = ",".join(str(p) for p in pcts)
+    out = labeled.groupBy("nntsclabel").agg(
+        F.expr(f"percentile(value, array({arr}))").alias("_p"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )
+    cols = [
+        F.round(F.element_at("_p", i + 1), 4).alias(f"p{5 * (i + 1)}")
+        for i in range(len(pcts))
+    ]
+    return out.select("nntsclabel", *cols, "p100")
+
+
+_PCT_COLS = ", ".join(
+    f"round(quantile_cont(value, {i / 100}), 4) AS p{i}" for i in range(5, 100, 5)
+)
+
+SQL_PERCENTILE_FAN = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, {_PCT_COLS}, round(max(value), 4) AS p100
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+GROUP BY nntsclabel
+"""
+
+
+def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: bins whose requested count aggregate is 0 are dropped entirely
+    (influx.py:686-692) — here: daily bins that saw no 'purchase' events."""
+    fact = events_fact(spark, sf_dir).where(F.col("event_type") == "purchase")
+    out = select_aggregated_data(
+        fact,
+        _label_map(spark),
+        aggcols=[("value", "count"), ("value", "sum")],
+        start=START,
+        stop=STOP,
+        binsize=DAY,
+        order=False,
+    )
+    return out.where(F.col("value_count") > 0).select(
+        "nntsclabel",
+        "binstart",
+        "timestamp",
+        "value_count",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
+SQL_COUNT_GATE = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, timestamp - (timestamp % {DAY}) AS binstart,
+       max(timestamp) AS timestamp,
+       count(value) AS value_count,
+       round(sum(value), 4) AS value_sum
+FROM labeled
+WHERE timestamp >= {START} AND timestamp <= {STOP} AND event_type = 'purchase'
+GROUP BY nntsclabel, binstart
+HAVING count(value) > 0
+"""
+
+
+def q_most_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 most_array: mode over array-typed values — each stream-day's
+    sorted event-type multiset is the array; the per-label mode of those
+    arrays, serialized canonically (arrays are directly groupable in Spark;
+    the reference had to serialize to strings, dbselect.py:824-827)."""
+    fact = events_fact(spark, sf_dir)
+    labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
+    per_day = (
+        with_binstart(labeled, DAY)
+        .groupBy("nntsclabel", "stream_id", "binstart")
+        .agg(F.array_sort(F.collect_list("event_type")).alias("day_types"))
+    )
+    mode = most_array_agg(per_day, ["nntsclabel"], "day_types", "most_array")
+    return mode.select(
+        "nntsclabel", F.concat_ws(",", "most_array").alias("most_array")
+    )
+
+
+SQL_MOST_ARRAY = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+per_day AS (
+  SELECT nntsclabel, stream_id, timestamp - (timestamp % {DAY}) AS binstart,
+         list_sort(list(event_type)) AS day_types
+  FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+  GROUP BY nntsclabel, stream_id, binstart
+), counted AS (
+  SELECT nntsclabel, array_to_string(day_types, ',') AS most_array,
+         count(*) AS cnt
+  FROM per_day GROUP BY nntsclabel, most_array
+), ranked AS (
+  SELECT nntsclabel, most_array,
+         row_number() OVER (PARTITION BY nntsclabel
+                            ORDER BY cnt DESC, most_array ASC) AS rn
+  FROM counted
+)
+SELECT nntsclabel, most_array FROM ranked WHERE rn = 1
+"""
+
+
+def q_chunked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 equivalence: 7-day bin-aligned chunking unioned == direct
+    aggregation (the oracle runs the direct form)."""
+    fact = events_fact(spark, sf_dir)
+    lm = _label_map(spark)
+
+    def one_chunk(s: int, e: int) -> DataFrame:
+        out = select_aggregated_data(
+            fact, lm, [("value", "sum"), ("value", "count")],
+            start=s, stop=e, binsize=HOUR, order=False,
+        )
+        return out.select(
+            "nntsclabel", "binstart", "timestamp",
+            F.round("value_sum", 4).alias("value_sum"), "value_count",
+        )
+
+    return chunked_union(one_chunk, START, STOP, HOUR)
+
+
+SQL_CHUNKED_AGG = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE}
+SELECT nntsclabel, timestamp - (timestamp % {HOUR}) AS binstart,
+       max(timestamp) AS timestamp,
+       round(sum(value), 4) AS value_sum,
+       count(value) AS value_count
+FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
+GROUP BY nntsclabel, binstart
+"""
+
+
+ACT_START = T0
+ACT_STOP = T0 + 1800  # first 30 min: not every stream has data yet
+
+
+def q_activity_pruned_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 end-to-end: stream-stats pruning feeds the label map before the
+    scan; only streams with data in [start, stop] survive."""
+    fact = events_fact(spark, sf_dir)
+    stats = build_stream_stats(fact)
+    lm = prune_label_map(_label_map(spark), stats, ACT_START, ACT_STOP)
+    return select_data(
+        fact, lm, ["value", "event_type"], ACT_START, ACT_STOP, order=False
+    )
+
+
+SQL_ACTIVITY_PRUNED_SELECT = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+stats AS (
+  SELECT stream_id, min(timestamp) AS first_ts, max(timestamp) AS last_ts
+  FROM fact GROUP BY stream_id
+), active AS (
+  SELECT stream_id FROM stats
+  WHERE first_ts <= {ACT_STOP} AND last_ts >= {ACT_START}
+)
+SELECT l.value, l.event_type, l.timestamp, l.stream_id, l.nntsclabel
+FROM labeled l JOIN active a ON l.stream_id = a.stream_id
+WHERE l.timestamp >= {ACT_START} AND l.timestamp <= {ACT_STOP}
+"""
+
+
+def q_traceroute_shape_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/J2/J3 shape: fact LEFT JOINed to two broadcast dictionary tables
+    (the traceroute paths/aspaths reassembly, amp_traceroute.py:662-703),
+    exercised on the testdata star schema: lineitem ⟕ part ⟕ supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.where(F.col("l_orderkey") % 100 == 0)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "p_name",
+            "p_retailprice",
+            "l_suppkey",
+            "s_name",
+            F.round(F.col("l_extendedprice"), 2).alias("price"),
+        )
+    )
+
+
+SQL_TRACEROUTE_SHAPE_JOIN = """
+SELECT l_orderkey, l_linenumber, l_partkey, p_name, p_retailprice,
+       l_suppkey, s_name, round(l_extendedprice, 2) AS price
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey % 100 = 0
+"""
+
+
+def q_catalog_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the collections catalog (all 14 reference collections)."""
+    return list_collections(spark)
+
+
+REGISTRY = {
+    "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
+    "percentile_fan": (q_percentile_fan, SQL_PERCENTILE_FAN),
+    "count_gate": (q_count_gate, SQL_COUNT_GATE),
+    "most_array": (q_most_array, SQL_MOST_ARRAY),
+    "chunked_agg": (q_chunked_agg, SQL_CHUNKED_AGG),
+    "activity_pruned_select": (
+        q_activity_pruned_select,
+        SQL_ACTIVITY_PRUNED_SELECT,
+    ),
+    "traceroute_shape_join": (
+        q_traceroute_shape_join,
+        SQL_TRACEROUTE_SHAPE_JOIN,
+    ),
+    "catalog_collections": (q_catalog_collections, None),
+}

@@ -510,6 +510,7 @@ from .pipeline_queries import REGISTRY as PIPELINE_REGISTRY  # noqa: E402
 #: name -> (spark builder, duckdb oracle sql | None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     **PIPELINE_REGISTRY,
+    # coverage_queries registered at module bottom (circular import)
     "select_raw": (q_select_raw, SQL_SELECT_RAW),
     "agg_bin": (q_agg_bin, SQL_AGG_BIN),
     "agg_single_bin": (q_agg_single_bin, SQL_AGG_SINGLE_BIN),
@@ -533,3 +534,8 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+from .coverage_queries import REGISTRY as COVERAGE_REGISTRY  # noqa: E402
+
+REGISTRY.update(COVERAGE_REGISTRY)
