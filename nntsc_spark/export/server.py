@@ -1,0 +1,325 @@
+"""Export server: threaded TCP server answering the reference's protocol
+with Spark-backed query execution.
+
+Architecture parity with libnntsc/exporter.py:55-103: one listener, one
+thread per client connection, worker execution per job; the per-label query
+loop is gone (one Spark job covers all labels), and the dual-store
+Postgres/Influx split is gone (one fact table).
+
+Reference behaviors kept:
+
+- history flushed in <=10,000-row HISTORY messages with ``more`` flag
+  (exporter.py:434-445); streams in 1,000-row STREAMS batches
+  (exporter.py:641-657)
+- every label ends with HISTORY_DONE carrying last_ts (exporter.py:907-971)
+- frequency estimate attached to each label's first history block
+  (T9, export.frequency)
+- SUBSCRIBE: history replay first; live rows arriving meanwhile are
+  buffered per (client, stream) and released after HISTORY_DONE, dropping
+  rows <= last history ts — the T2 seam dedup (exporter.py:1026-1052)
+- live rows are column-filtered per subscription + forced label/timestamp
+  (P6, exporter.py:1244-1256) and time-bounded (P7)
+- PUSH markers fan out on ingest batch boundaries (T3,
+  exporter.py:1304-1349)
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import collection_schema, list_collections
+from ..operators.aggregate import select_aggregated_data
+from ..operators.labels import build_label_map
+from ..operators.matrix import select_matrix_data
+from ..operators.select import select_data
+from .frequency import estimate_frequency_rows
+from .protocol import Msg, Req, pack, read_message
+
+HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
+STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
+
+
+@dataclass
+class Subscription:
+    sock: socket.socket
+    colname: str
+    stream_ids: set[int]
+    columns: list[str] | None
+    start: int | None
+    end: int | None
+    waiting: bool = True  # history replay in progress
+    buffered: list[tuple[int, int, dict]] = field(default_factory=list)
+    last_history_ts: int = 0
+
+
+class ExportServer:
+    """``collections``: name -> dict(fact=DataFrame, streams=DataFrame)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        collections: dict[str, dict[str, DataFrame]],
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.collections = collections
+        self._srv = socket.create_server((host, port))
+        self.port = self._srv.getsockname()[1]
+        self._subs: list[Subscription] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._srv.close()
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                sock, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._client_loop, args=(sock,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _client_loop(self, sock: socket.socket) -> None:
+        try:
+            while True:
+                msg = read_message(sock)
+                if msg is None:
+                    return
+                mtype, body = msg
+                try:
+                    self._dispatch(sock, mtype, body)
+                except Exception as e:  # report, keep the connection
+                    self._send(sock, Msg.ERROR, {"error": str(e)})
+        finally:
+            with self._lock:
+                self._subs = [s for s in self._subs if s.sock is not sock]
+            sock.close()
+
+    def _send(self, sock: socket.socket, mtype: Msg, body: object) -> None:
+        try:
+            with self._lock:
+                sock.sendall(pack(mtype, body))
+        except OSError:
+            # client went away mid-send; its subscriptions are reaped by the
+            # client loop's finally block
+            pass
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _dispatch(self, sock: socket.socket, mtype: Msg, body) -> None:
+        if mtype == Msg.REQUEST:
+            self._handle_request(sock, body)
+        elif mtype == Msg.AGGREGATE:
+            self._handle_aggregate(sock, body)
+        elif mtype == Msg.SUBSCRIBE:
+            self._handle_subscribe(sock, body)
+        elif mtype == Msg.MATRIX:
+            self._handle_matrix(sock, body)
+        else:
+            self._send(sock, Msg.ERROR, {"error": f"bad msgtype {mtype}"})
+
+    def _handle_request(self, sock: socket.socket, body) -> None:
+        req = Req(body["request"])
+        if req == Req.COLLECTIONS:
+            rows = [r.asDict() for r in list_collections(self.spark).collect()]
+            self._send(sock, Msg.COLLECTIONS, rows)
+        elif req == Req.SCHEMAS:
+            self._send(
+                sock,
+                Msg.SCHEMAS,
+                {"collection": body["collection"],
+                 **collection_schema(body["collection"])},
+            )
+        elif req == Req.STREAMS:
+            streams = self.collections[body["collection"]]["streams"]
+            minid = body.get("minid", 0)
+            rows = [
+                r.asDict()
+                for r in streams.where(f"stream_id > {int(minid)}").collect()
+            ]
+            for i in range(0, max(len(rows), 1), STREAMS_BATCH_ROWS):
+                batch = rows[i : i + STREAMS_BATCH_ROWS]
+                self._send(
+                    sock,
+                    Msg.STREAMS,
+                    {
+                        "collection": body["collection"],
+                        "streams": batch,
+                        "more": i + STREAMS_BATCH_ROWS < len(rows),
+                    },
+                )
+
+    # -- history delivery ---------------------------------------------------
+
+    def _ship_history(
+        self, sock: socket.socket, colname: str, df: DataFrame, binsize: int
+    ) -> dict[str, int]:
+        """Stream per-label history in flush-sized blocks; returns last ts
+        per label.  Uses toLocalIterator so the driver never holds the full
+        result (O6 bounded-memory delivery)."""
+        last_ts: dict[str, int] = {}
+        pending: dict[str, list[dict]] = {}
+        freqs: dict[str, int] = {}
+
+        def flush(label: str, more: bool) -> None:
+            rows = pending.pop(label, [])
+            if label not in freqs:
+                freqs[label] = estimate_frequency_rows(
+                    [r["timestamp"] for r in rows], binsize or None
+                )
+            self._send(
+                sock,
+                Msg.HISTORY,
+                {
+                    "collection": colname,
+                    "label": label,
+                    "history": rows,
+                    "more": more,
+                    "freq": freqs[label],
+                },
+            )
+
+        for row in df.toLocalIterator():
+            d = row.asDict()
+            label = d["nntsclabel"]
+            pending.setdefault(label, []).append(d)
+            last_ts[label] = max(last_ts.get(label, 0), d["timestamp"] or 0)
+            if len(pending[label]) >= HISTORY_FLUSH_ROWS:
+                flush(label, more=True)
+        for label in list(pending):
+            flush(label, more=False)
+        return last_ts
+
+    def _label_map(self, labels: dict[str, list[int]]):
+        return build_label_map(self.spark, labels)
+
+    def _handle_aggregate(self, sock: socket.socket, body) -> None:
+        colname = body["collection"]
+        fact = self.collections[colname]["fact"]
+        out = select_aggregated_data(
+            fact,
+            self._label_map(body["labels"]),
+            body["aggcols"],
+            body.get("start"),
+            body.get("stop"),
+            body.get("groupcols", ()),
+            body.get("binsize", 300),
+        )
+        last = self._ship_history(sock, colname, out, body.get("binsize", 300))
+        for label in body["labels"]:
+            self._send(
+                sock,
+                Msg.HISTORY_DONE,
+                {"collection": colname, "label": label,
+                 "last_ts": last.get(label, 0)},
+            )
+
+    def _handle_matrix(self, sock: socket.socket, body) -> None:
+        colname = body["collection"]
+        fact = self.collections[colname]["fact"]
+        out = select_matrix_data(
+            fact,
+            self._label_map(body["labels"]),
+            body["value_cols"],
+            body["start"],
+            body["stop"],
+        )
+        rows = [r.asDict() for r in out.collect()]
+        self._send(sock, Msg.HISTORY, {"collection": colname, "matrix": rows})
+
+    def _handle_subscribe(self, sock: socket.socket, body) -> None:
+        colname = body["collection"]
+        fact = self.collections[colname]["fact"]
+        labels: dict[str, list[int]] = body["labels"]
+        sub = Subscription(
+            sock=sock,
+            colname=colname,
+            stream_ids={int(s) for ids in labels.values() for s in ids},
+            columns=body.get("columns"),
+            start=body.get("start"),
+            end=body.get("end"),
+        )
+        # register BEFORE history runs so concurrent live rows buffer (T2)
+        with self._lock:
+            self._subs.append(sub)
+        out = select_data(
+            fact,
+            self._label_map(labels),
+            body.get("columns") or [],
+            body.get("start"),
+            body.get("stop"),
+        )
+        last = self._ship_history(sock, colname, out, 0)
+        sub.last_history_ts = max(last.values(), default=0)
+        for label in labels:
+            self._send(
+                sock,
+                Msg.HISTORY_DONE,
+                {"collection": colname, "label": label,
+                 "last_ts": last.get(label, 0)},
+            )
+        # release buffered live rows past the seam (exporter.py:907-971)
+        with self._lock:
+            buffered, sub.buffered, sub.waiting = sub.buffered, [], False
+        for colid, sid, row in buffered:
+            if (row.get("timestamp") or 0) > sub.last_history_ts:
+                self._send_live(sub, sid, row)
+
+    # -- live path (called by ingest) ---------------------------------------
+
+    def publish_live(self, colname: str, stream_id: int, rows: list[dict]) -> None:
+        """Fan out freshly ingested rows to matching subscriptions (S9)."""
+        with self._lock:
+            subs = list(self._subs)
+        for sub in subs:
+            if sub.colname != colname or stream_id not in sub.stream_ids:
+                continue
+            for row in rows:
+                ts = row.get("timestamp") or 0
+                if sub.start is not None and ts < sub.start:
+                    continue  # P7 lower bound
+                if sub.end and ts > sub.end:
+                    continue
+                if sub.waiting:
+                    sub.buffered.append((0, stream_id, row))
+                else:
+                    self._send_live(sub, stream_id, row)
+
+    def _send_live(self, sub: Subscription, stream_id: int, row: dict) -> None:
+        if sub.columns:
+            keep = set(sub.columns) | {"timestamp", "stream_id", "nntsclabel"}
+            row = {k: v for k, v in row.items() if k in keep}
+        self._send(
+            sub.sock,
+            Msg.LIVE,
+            {"collection": sub.colname, "stream_id": stream_id, "result": row},
+        )
+
+    def push_marker(self, colname: str, timestamp: int) -> None:
+        """T3: batch-boundary watermark — 'all data up to ts delivered'."""
+        with self._lock:
+            subs = list(self._subs)
+        for sub in subs:
+            if sub.colname == colname and not sub.waiting:
+                self._send(
+                    sub.sock,
+                    Msg.PUSH,
+                    {"collection": colname, "timestamp": timestamp},
+                )

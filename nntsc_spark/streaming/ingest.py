@@ -1,0 +1,122 @@
+"""Streaming ingest: the reference's daemon loop as Structured Streaming.
+
+Reference shape (SURVEY.md §3.4): RabbitMQ consumer batches ``commitfreq``
+messages per transaction, parser transforms them, streams are
+created-or-found, facts inserted, caches promoted post-commit
+(libnntsc/parsers/amp.py:181-273).
+
+Spark-first: ``readStream`` (file/kafka source) -> ``foreachBatch`` running
+the SAME batch parser transforms as batch ingest (batch/streaming parity by
+construction — one code path), with per-batch:
+
+1. parser transform (vectorized, JVM-side),
+2. stream-dimension MERGE (insert-or-find, single-writer: foreachBatch runs
+   serially per micro-batch, which is exactly the catalog-writer model from
+   SURVEY.md §7.3 Hard #2),
+3. seam dedup on (stream_id, timestamp) against the batch itself
+   (T5: the reference logs-and-drops duplicate key inserts),
+4. date-partitioned append to the fact table,
+5. stream-stats incremental update (T8).
+
+foreachBatch + deterministic transforms give the reference's batch-commit
+atomicity (T4): a failed batch is retried whole; appends are idempotent per
+epoch when the sink dedups on (stream_id, timestamp).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.streams import attach_stream_ids, upsert_streams
+from ..storage import read_fact, write_dimension, write_fact
+
+
+class CollectionIngestor:
+    """Per-collection ingest state: paths + unique columns + parser."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        parser: Callable[[DataFrame], DataFrame],
+        unique_cols: list[str],
+        fact_path: str,
+        streams_path: str,
+        stats_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.parser = parser
+        self.unique_cols = list(unique_cols)
+        self.fact_path = fact_path
+        self.streams_path = streams_path
+        self.stats_path = stats_path
+
+    def _load_streams(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.streams_path)
+        except Exception:
+            return None
+
+    def process_batch(self, raw: DataFrame, batch_id: int = 0) -> DataFrame:
+        """The foreachBatch body; also the batch-ingest entry point."""
+        data = self.parser(raw)
+        streams = upsert_streams(
+            self._load_streams(), data.select(*self.unique_cols), self.unique_cols
+        )
+        # cache the (tiny) dimension before two downstream uses
+        streams = streams.cache()
+        fact = attach_stream_ids(data, streams, self.unique_cols).dropDuplicates(
+            ["stream_id", "timestamp"]
+        )
+        write_fact(fact.drop(*self.unique_cols), self.fact_path)
+        write_dimension(streams, self.streams_path)
+        if self.stats_path:
+            self._update_stats(fact)
+        return fact
+
+    def _update_stats(self, fact: DataFrame) -> None:
+        """Incremental stream-stats merge (T8) — algebraic, so the update is
+        a groupBy over (old stats ∪ batch mins/maxes), never a fact rescan."""
+        batch_stats = fact.groupBy("stream_id").agg(
+            F.min("timestamp").alias("first_ts"),
+            F.max("timestamp").alias("last_ts"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        try:
+            old = self.spark.read.parquet(self.stats_path)
+            merged = (
+                old.unionByName(batch_stats)
+                .groupBy("stream_id")
+                .agg(
+                    F.min("first_ts").alias("first_ts"),
+                    F.max("last_ts").alias("last_ts"),
+                    F.sum("rows").alias("rows"),
+                )
+            )
+        except Exception:
+            merged = batch_stats
+        # materialize before overwriting the path being read
+        merged = merged.cache()
+        merged.count()
+        write_dimension(merged, self.stats_path)
+
+    def read_fact(self) -> DataFrame:
+        return read_fact(self.spark, self.fact_path)
+
+    def start_stream(
+        self,
+        raw_stream: DataFrame,
+        checkpoint: str,
+        trigger_available_now: bool = True,
+    ):
+        """Wire a streaming source into foreachBatch ingest."""
+        writer = (
+            raw_stream.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.process_batch(df, bid) and None)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,83 @@
+"""Streaming rollup maintenance — the Influx continuous queries (T6).
+
+Reference: CQs recompute 1-minute bins every minute over a trailing 15-minute
+window and 1-hour bins hourly over a trailing 3-hour window (RESAMPLE EVERY
+1m FOR 15m / EVERY 1h FOR 3h, libnntsc/influx.py:183-195) — late data within
+the FOR horizon is absorbed by recomputation.
+
+Spark-first: ``foreachBatch`` on the ingest stream recomputes exactly the
+bins the micro-batch touched (not a fixed trailing window — strictly more
+precise) and overwrites those bins in the rollup table via dynamic partition
+overwrite.  Because the rollup rows carry counts (magiccount), recomputing a
+bin from raw rows is idempotent, giving the CQ's late-data semantics with a
+watermark equal to whatever retention the raw table has.
+
+The aggregation expressions are shared with the batch builder
+(operators.rollup.build_rollup), so batch backfill and streaming maintenance
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import BINSTART_COL
+from ..operators.rollup import build_rollup
+
+
+class RollupMaintainer:
+    """Maintains one rollup granularity for one fact table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact_path: str,
+        rollup_path: str,
+        binsize: int,
+        value_cols: list[str],
+    ) -> None:
+        self.spark = spark
+        self.fact_path = fact_path
+        self.rollup_path = rollup_path
+        self.binsize = binsize
+        self.value_cols = list(value_cols)
+
+    def touched_bins(self, batch: DataFrame) -> DataFrame:
+        return batch.select(
+            (F.col("timestamp") - F.col("timestamp") % self.binsize).alias(
+                BINSTART_COL
+            )
+        ).distinct()
+
+    def refresh_for_batch(self, batch: DataFrame) -> None:
+        """Recompute only the (stream-agnostic) bins the batch touched.
+
+        Reads raw rows for those bins from the fact table (bin boundaries
+        map 1:1 onto timestamp ranges so the date-partitioned scan prunes),
+        rebuilds the rollup rows, and swaps them in.
+        """
+        bins = [r[0] for r in self.touched_bins(batch).collect()]
+        if not bins:
+            return
+        lo, hi = min(bins), max(bins) + self.binsize - 1
+        fact = self.spark.read.parquet(self.fact_path)
+        slice_df = fact.where(
+            (F.col("timestamp") >= lo) & (F.col("timestamp") <= hi)
+        )
+        fresh = build_rollup(slice_df, self.binsize, self.value_cols).where(
+            F.col(BINSTART_COL).isin(bins)
+        )
+        try:
+            old = self.spark.read.parquet(self.rollup_path).where(
+                ~F.col(BINSTART_COL).isin(bins)
+            )
+            merged = old.unionByName(fresh)
+        except Exception:
+            merged = fresh
+        merged = merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(self.rollup_path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.rollup_path)

@@ -1,0 +1,175 @@
+"""Export protocol tests: a real socket client against the threaded server."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+
+from nntsc_spark.export.frequency import estimate_frequency_rows
+from nntsc_spark.export.protocol import Msg, Req, pack, read_message
+from nntsc_spark.export.server import ExportServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    fact = spark.createDataFrame(
+        [(1, 100 + 10 * i, float(i)) for i in range(30)]
+        + [(2, 100 + 30 * i, 100.0 + i) for i in range(10)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "dst1"), (2, "src", "dst2")],
+        "stream_id long, source string, destination string",
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _connect(server) -> socket.socket:
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    return s
+
+
+def _drain_until(sock, mtype, limit=50):
+    got = []
+    for _ in range(limit):
+        m = read_message(sock)
+        assert m is not None, "connection closed early"
+        got.append(m)
+        if m[0] == mtype:
+            return got
+    raise AssertionError(f"never saw {mtype}; got {[g[0] for g in got]}")
+
+
+def test_collections_and_schemas(server):
+    s = _connect(server)
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, body = read_message(s)
+    assert mtype == Msg.COLLECTIONS and len(body) == 14
+    s.sendall(
+        pack(Msg.REQUEST, {"request": int(Req.SCHEMAS), "collection": "amp-icmp"})
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.SCHEMAS
+    assert "median" in body["datacols"] and "stream_id" in body["streamcols"]
+    s.close()
+
+
+def test_streams_request_incremental(server):
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.REQUEST,
+            {"request": int(Req.STREAMS), "collection": "amp-icmp", "minid": 1},
+        )
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.STREAMS
+    assert [r["stream_id"] for r in body["streams"]] == [2]
+    assert body["more"] is False
+    s.close()
+
+
+def test_aggregate_roundtrip(server):
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.AGGREGATE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"L1": [1], "L2": [2]},
+                "aggcols": [("value", "avg"), ("value", "count")],
+                "start": 0,
+                "stop": 1000,
+                "binsize": 100,
+            },
+        )
+    )
+    msgs = _drain_until(s, Msg.HISTORY_DONE)
+    history = [b for t, b in msgs if t == Msg.HISTORY]
+    assert history and all("freq" in h for h in history)
+    l1 = [h for h in history if h["label"] == "L1"]
+    # frequency is estimated over DELIVERED rows (reference semantics:
+    # exporter estimates on result history, so binned queries report the
+    # bin cadence, here binsize=100)
+    assert l1 and l1[0]["freq"] == 100
+    rows = [r for h in l1 for r in h["history"]]
+    assert all("value_avg" in r and "binstart" in r for r in rows)
+    s.close()
+
+
+def test_subscribe_history_live_seam(server):
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.SUBSCRIBE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"mine": [1]},
+                "columns": ["value"],
+                "start": 0,
+                "stop": 10_000,
+            },
+        )
+    )
+    msgs = _drain_until(s, Msg.HISTORY_DONE, limit=100)
+    done = [b for t, b in msgs if t == Msg.HISTORY_DONE][0]
+    assert done["last_ts"] == 100 + 29 * 10
+
+    # live rows: one duplicate of history (dropped at seam... here it's past
+    # history so it flows), one below start bound (filtered), one good
+    server.publish_live(
+        "amp-icmp",
+        1,
+        [
+            {"timestamp": 50_000, "value": 9.9, "stream_id": 1,
+             "nntsclabel": "mine", "junkcol": 1},
+        ],
+    )
+    server.push_marker("amp-icmp", 50_000)
+    mtype, body = read_message(s)
+    assert mtype == Msg.LIVE
+    assert body["result"]["value"] == 9.9
+    assert "junkcol" not in body["result"]  # P6 column filter
+    mtype, body = read_message(s)
+    assert mtype == Msg.PUSH and body["timestamp"] == 50_000
+
+    # rows for unsubscribed streams never arrive
+    server.publish_live("amp-icmp", 2, [{"timestamp": 60_000, "value": 1.0}])
+    server.push_marker("amp-icmp", 60_000)
+    mtype, body = read_message(s)
+    assert mtype == Msg.PUSH  # straight to the next marker, no LIVE
+    s.close()
+
+
+def test_error_reply_keeps_connection(server):
+    s = _connect(server)
+    s.sendall(pack(Msg.AGGREGATE, {"collection": "nope", "labels": {}}))
+    mtype, body = read_message(s)
+    assert mtype == Msg.ERROR and "nope" in body["error"]
+    # connection still usable
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, _ = read_message(s)
+    assert mtype == Msg.COLLECTIONS
+    s.close()
+
+
+def test_frequency_rule_chain_reference_semantics():
+    # strict cadence -> mode majority
+    assert estimate_frequency_rows([0, 10, 20, 30]) == 10
+    # binsize override when >90% of diffs equal it
+    assert estimate_frequency_rows(list(range(0, 1000, 60)), binsize=60) == 60
+    # no majority, smallest >=20% share wins
+    ts, t = [0], 0
+    for d in [10] * 3 + [20] * 3 + [30] * 4:
+        t += d
+        ts.append(t)
+    assert estimate_frequency_rows(ts) == 10
+    # empty -> default
+    assert estimate_frequency_rows([]) == 300
+    assert estimate_frequency_rows([5]) == 300

@@ -1,0 +1,171 @@
+"""Storage layout, streaming ingest, rollup maintenance, retention tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nntsc_spark.ingest.amp_icmp import UNIQUE_COLS, process_icmp
+from nntsc_spark.operators.rollup import build_rollup
+from nntsc_spark.storage import apply_retention, read_fact, write_fact
+from nntsc_spark.streaming.ingest import CollectionIngestor
+from nntsc_spark.streaming.rollup import RollupMaintainer
+
+ICMP_RAW_SCHEMA = (
+    "source string, timestamp long, rtt long, loss long, random boolean, "
+    "target string, address string, packet_size long"
+)
+
+DAY = 86400
+
+
+def _raw_rows(t0: int, n: int, target: str = "dst", rtt0: int = 1000):
+    return [
+        ("amp", t0 + 60 * i, rtt0 + i, 0, False, target, "1.2.3.4", 84)
+        for i in range(n)
+    ]
+
+
+def test_write_read_fact_partitioned(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 100 + DAY, 2.0), (2, 100 + 2 * DAY, 3.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact(df, path)
+    assert sorted(p.name for p in (tmp_path / "fact").glob("date=*")) == [
+        "date=1970-01-01",
+        "date=1970-01-02",
+        "date=1970-01-03",
+    ]
+    back = read_fact(spark, path)
+    assert back.count() == 3 and "date" not in back.columns
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 100 + 5 * DAY, 2.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact(df, path)
+    dropped = apply_retention(path, keep_seconds=2 * DAY, now=100 + 5 * DAY)
+    assert dropped == ["date=1970-01-01"]
+    assert read_fact(spark, path).count() == 1
+
+
+def test_batch_ingest_roundtrip(spark, tmp_path):
+    ing = CollectionIngestor(
+        spark,
+        process_icmp,
+        UNIQUE_COLS,
+        fact_path=str(tmp_path / "fact"),
+        streams_path=str(tmp_path / "streams"),
+        stats_path=str(tmp_path / "stats"),
+    )
+    raw1 = spark.createDataFrame(_raw_rows(1_000_000, 5, "a"), ICMP_RAW_SCHEMA)
+    ing.process_batch(raw1)
+    raw2 = spark.createDataFrame(
+        _raw_rows(1_000_300, 5, "a") + _raw_rows(1_000_000, 3, "b"),
+        ICMP_RAW_SCHEMA,
+    )
+    ing.process_batch(raw2)
+
+    fact = ing.read_fact()
+    assert fact.count() == 13
+    streams = spark.read.parquet(str(tmp_path / "streams"))
+    assert streams.count() == 2  # a + b
+    stats = spark.read.parquet(str(tmp_path / "stats"))
+    srow = {r.stream_id: r for r in stats.collect()}
+    a_id = [r.stream_id for r in streams.collect() if r.destination == "a"][0]
+    assert srow[a_id].rows == 10
+    assert srow[a_id].first_ts == 1_000_000
+    assert srow[a_id].last_ts == 1_000_300 + 4 * 60
+
+
+def test_batch_ingest_dedups_within_batch(spark, tmp_path):
+    ing = CollectionIngestor(
+        spark,
+        process_icmp,
+        UNIQUE_COLS,
+        fact_path=str(tmp_path / "fact"),
+        streams_path=str(tmp_path / "streams"),
+    )
+    rows = _raw_rows(2_000_000, 2, "a")
+    # same (stream, timestamp) batch content twice -> parser aggregates per
+    # (stream, ts); duplicate fact keys collapse
+    raw = spark.createDataFrame(rows + rows, ICMP_RAW_SCHEMA)
+    ing.process_batch(raw)
+    fact = ing.read_fact()
+    assert fact.count() == 2
+    assert (
+        fact.groupBy("stream_id", "timestamp").count().where(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_streaming_ingest_file_source(spark, tmp_path):
+    """End-to-end Structured Streaming: JSON file source -> foreachBatch
+    ingest -> partitioned fact table (availableNow trigger)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    rows = [
+        dict(
+            source="amp", timestamp=3_000_000 + 60 * i, rtt=1000 + i, loss=0,
+            random=False, target="st", address="9.9.9.9", packet_size=84,
+        )
+        for i in range(6)
+    ]
+    with open(src / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    raw_stream = (
+        spark.readStream.schema(ICMP_RAW_SCHEMA).json(str(src))
+    )
+    ing = CollectionIngestor(
+        spark,
+        process_icmp,
+        UNIQUE_COLS,
+        fact_path=str(tmp_path / "fact"),
+        streams_path=str(tmp_path / "streams"),
+    )
+    q = ing.start_stream(raw_stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    fact = ing.read_fact()
+    assert fact.count() == 6
+    assert spark.read.parquet(str(tmp_path / "streams")).count() == 1
+
+
+def test_rollup_maintainer_matches_batch_build(spark, tmp_path):
+    fact_path = str(tmp_path / "fact")
+    df1 = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 3.0), (1, 70, 5.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact(df1, fact_path)
+    rm = RollupMaintainer(spark, fact_path, str(tmp_path / "rollup"), 60, ["value"])
+    rm.refresh_for_batch(df1)
+    r1 = {r.binstart: r for r in rm.read().collect()}
+    assert r1[0].magiccount_value == 2 and r1[60].magiccount_value == 1
+
+    # late data lands in bin 0 -> only that bin is recomputed
+    late = spark.createDataFrame(
+        [(1, 30, 7.0)], "stream_id long, timestamp long, value double"
+    )
+    write_fact(late, fact_path)
+    rm.refresh_for_batch(late)
+    r2 = {r.binstart: r for r in rm.read().collect()}
+    assert r2[0].magiccount_value == 3
+    assert r2[0].sum_value == pytest.approx(11.0)
+    assert r2[60].magiccount_value == 1  # untouched bin survives
+
+    # equivalence with the batch builder over the full fact table
+    full = build_rollup(read_fact(spark, fact_path), 60, ["value"])
+    batch = {r.binstart: r for r in full.collect()}
+    for b in batch:
+        assert r2[b].sum_value == pytest.approx(batch[b].sum_value)
+        assert r2[b].magiccount_value == batch[b].magiccount_value
