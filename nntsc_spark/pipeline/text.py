@@ -83,16 +83,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 4) -> Data
     (winnowing with a single global window — a rolling-hash family member).
 
     Documents shorter than ``ngram`` tokens fall back to hashing the whole
-    text.  Pure projection + array fold; no shuffle.
+    text.  Shingles come from the codegen-friendly exploded form (see
+    pipeline.dedup.shingles for why not a transform/element_at lambda);
+    the min-hash is then one groupBy on doc_id.
     """
-    toks = tokens_expr(text_col)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - ngram),
-        lambda i: F.md5(F.concat_ws(" ", *[
-            F.element_at(toks, (i + off + 1).cast("int")) for off in range(ngram)
-        ])),
+    from ..pipeline.dedup import shingles as _shingles
+
+    mins = (
+        _shingles(docs.select("doc_id", text_col), text_col, ngram)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("_fp"))
     )
-    fp = F.when(
-        F.size(toks) >= ngram, F.array_min(shingles)
-    ).otherwise(F.md5(F.col(text_col)))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return (
+        docs.join(mins, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_fp"), F.md5(F.col(text_col))).alias("fingerprint"),
+        )
+    )

@@ -26,7 +26,7 @@ def q_smoke_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 array form: the 20-element smoke fan per label, serialized to a
     canonical string (cross-engine array hashing is avoided by emitting
     text — the reference wire format pickles arrays anyway)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
     # deterministic ntile order via (value, event_id)
     from ..functions.aggregations import smoke_rows
@@ -63,7 +63,7 @@ FROM per_tile GROUP BY nntsclabel
 def q_percentile_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: the Influx smoke emulation — percentile(5..95 step 5) + max as
     p100, exact linear-interpolated percentiles (both engines interpolate)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
     pcts = [i / 100 for i in range(5, 100, 5)]
     arr = ",".join(str(p) for p in pcts)
@@ -93,7 +93,7 @@ GROUP BY nntsclabel
 def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: bins whose requested count aggregate is 0 are dropped entirely
     (influx.py:686-692) — here: daily bins that saw no 'purchase' events."""
-    fact = events_fact(spark, sf_dir).where(F.col("event_type") == "purchase")
+    fact = events_fact(spark, sf_dir, START, STOP).where(F.col("event_type") == "purchase")
     out = select_aggregated_data(
         fact,
         _label_map(spark),
@@ -130,7 +130,7 @@ def q_most_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted event-type multiset is the array; the per-label mode of those
     arrays, serialized canonically (arrays are directly groupable in Spark;
     the reference had to serialize to strings, dbselect.py:824-827)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     labeled = apply_labels(time_filter(fact, START, STOP), _label_map(spark))
     per_day = (
         with_binstart(labeled, DAY)
@@ -167,7 +167,7 @@ SELECT nntsclabel, most_array FROM ranked WHERE rn = 1
 def q_chunked_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 equivalence: 7-day bin-aligned chunking unioned == direct
     aggregation (the oracle runs the direct form)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     lm = _label_map(spark)
 
     def one_chunk(s: int, e: int) -> DataFrame:
@@ -202,10 +202,11 @@ def q_activity_pruned_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 end-to-end: stream-stats pruning feeds the label map before the
     scan; only streams with data in [start, stop] survive."""
     fact = events_fact(spark, sf_dir)
+    fact_bounded = events_fact(spark, sf_dir, ACT_START, ACT_STOP)
     stats = build_stream_stats(fact)
     lm = prune_label_map(_label_map(spark), stats, ACT_START, ACT_STOP)
     return select_data(
-        fact, lm, ["value", "event_type"], ACT_START, ACT_STOP, order=False
+        fact_bounded, lm, ["value", "event_type"], ACT_START, ACT_STOP, order=False
     )
 
 

@@ -183,11 +183,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLES_CTE},
-cand AS (
-  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
   FROM shingles a JOIN shingles b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-), {_JACCARD_TAIL}
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+)
+SELECT i.d1, i.d2,
+       round(i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes z1 ON z1.doc_id = i.d1
+JOIN sizes z2 ON z2.doc_id = i.d2
+WHERE i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE) >= 0.5
 """
 
 

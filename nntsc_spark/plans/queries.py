@@ -64,7 +64,7 @@ def _label_map(spark: SparkSession) -> DataFrame:
 
 def q_select_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P4/J1/O1: raw history selection with label tagging."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     return select_data(
         fact, _label_map(spark), ["value", "event_type"], START, STOP, order=False
     )
@@ -79,7 +79,7 @@ FROM labeled WHERE timestamp >= {START} AND timestamp <= {STOP}
 
 def q_agg_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A4: the workhorse binned aggregation (hourly bins, 5 aggs)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     out = select_aggregated_data(
         fact,
         _label_map(spark),
@@ -123,7 +123,7 @@ GROUP BY nntsclabel, binstart
 
 def q_agg_single_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 binsize=0: one summary bin per label with min(timestamp) binstart."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     out = select_aggregated_data(
         fact,
         _label_map(spark),
@@ -153,7 +153,7 @@ GROUP BY nntsclabel
 
 def q_agg_groupcols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 with extra group columns (daily bins x event_type)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     out = select_aggregated_data(
         fact,
         _label_map(spark),
@@ -187,7 +187,7 @@ GROUP BY nntsclabel, event_type, binstart
 
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 "most": modal event_type per label and day (ties -> smallest value)."""
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     from ..operators.aggregate import with_binstart
     from ..operators.labels import apply_labels
     from ..operators.select import time_filter
@@ -220,7 +220,7 @@ def q_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic tie-break: ntile ordering is (value, event_id).
     """
-    fact = events_fact(spark, sf_dir)
+    fact = events_fact(spark, sf_dir, START, STOP)
     from ..operators.labels import apply_labels
     from ..operators.select import time_filter
 
@@ -248,7 +248,9 @@ FROM tiled GROUP BY nntsclabel, tile
 
 def q_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/§3.3: matrix cell per label via rollup + algebraic merge."""
-    fact = events_fact(spark, sf_dir)
+    # the merge includes the whole bin at binstart == stop, so the raw
+    # pushdown bound must extend to that bin's END (stop + binsize - 1)
+    fact = events_fact(spark, sf_dir, START, START + DAY + HOUR - 1)
     out = select_matrix_data(
         fact, _label_map(spark), ["value"], START, START + DAY
     )

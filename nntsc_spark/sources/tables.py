@@ -38,15 +38,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_fact(
+    spark: SparkSession,
+    sf_dir: str,
+    start: int | None = None,
+    stop: int | None = None,
+) -> DataFrame:
     """Map the synthetic ``events`` table onto the engine's fact-table shape.
 
     ``user_id`` plays the role of ``stream_id``; ``ts`` (read as nanosecond
     longs) becomes integer epoch seconds — the reference stores integer epoch
     seconds everywhere (libnntsc/database.py:872).  Integer arithmetic keeps
     the bin math inside whole-stage codegen.
+
+    ``start``/``stop`` (inclusive epoch seconds) are applied to the RAW
+    nanosecond column: a predicate on the derived ``timestamp`` (``ts DIV
+    1e9``) is an expression and never reaches the parquet scan, whereas
+    ``ts >= start*1e9`` is a plain column comparison that pushes down to
+    row-group pruning — the difference between scanning a day and scanning
+    100 TB.  Equivalence: ``ts DIV 1e9 >= s  <=>  ts >= s*1e9`` and
+    ``ts DIV 1e9 <= e  <=>  ts < (e+1)*1e9`` for non-negative epochs.
     """
-    return load_table(spark, sf_dir, "events").select(
+    df = load_table(spark, sf_dir, "events")
+    if start is not None:
+        df = df.where(F.col("ts") >= int(start) * 1_000_000_000)
+    if stop is not None:
+        df = df.where(F.col("ts") < (int(stop) + 1) * 1_000_000_000)
+    return df.select(
         F.col("user_id").alias("stream_id"),
         F.expr("ts DIV 1000000000").alias("timestamp"),
         "event_type",
