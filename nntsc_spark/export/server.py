@@ -210,15 +210,25 @@ class ExportServer:
     def _label_map(self, labels: dict[str, list[int]]):
         return build_label_map(self.spark, labels)
 
+    def _default_window(self, body) -> tuple[int, int]:
+        """P5: stop defaults to now, start to stop - 24 h when omitted
+        (libnntsc/dbselect.py:263-267)."""
+        import time as _time
+
+        stop = body.get("stop") or int(_time.time())
+        start = body.get("start") or stop - 86400
+        return start, stop
+
     def _handle_aggregate(self, sock: socket.socket, body) -> None:
         colname = body["collection"]
         fact = self.collections[colname]["fact"]
+        start, stop = self._default_window(body)
         out = select_aggregated_data(
             fact,
             self._label_map(body["labels"]),
             body["aggcols"],
-            body.get("start"),
-            body.get("stop"),
+            start,
+            stop,
             body.get("groupcols", ()),
             body.get("binsize", 300),
         )

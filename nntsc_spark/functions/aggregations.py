@@ -141,6 +141,14 @@ def smoke_agg(
     )
 
 
+def trim_smoke_fan(fan: Column, n: Column) -> Column:
+    """Influx-percentile-fan trimming (libnntsc/influx.py:699-713): when a
+    group holds fewer than 20 values, only the first ceil(n * 20 / 20) =
+    n distinct percentile slots are meaningful — the tail repeats the max.
+    Keep ``n`` entries when n < 20, the full fan otherwise."""
+    return F.when(n < 20, F.slice(fan, 1, n.cast("int"))).otherwise(fan)
+
+
 def smoke_rows(
     df: DataFrame,
     group_cols: Sequence[str],
