@@ -209,25 +209,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(tokens_expr(text_col)).alias("token")
     )
     hashed = toks.select("doc_id", md5_long(F.col("token")).alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright/shiftleft by a *column* needs the SQL form
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
+    # one aggregation with 60 vote columns instead of a 60x bit explode:
+    # the explode form shuffles |tokens| x 60 rows; this shuffles |tokens|
+    # rows with 60 small aggregates (map-side combined), ~60x less traffic
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -1,0 +1,116 @@
+"""Driver-level oracle checks for the INGEST math (A13/A14/F5).
+
+The parser transforms have golden unit tests, but the driver gate only sees
+the ten parquet tables — so this module derives a deterministic raw-icmp
+batch FROM the events table and runs the real ``process_icmp`` transform on
+it; the DuckDB oracle recomputes the exact same semantics in SQL (integer
+truncating median over sorted non-null rtts, loss-padded rtt arrays,
+truthy-results counting, lossrate null propagation).
+
+Derivation (pure, engine-independent):
+- one raw result per event; batch key = hourly bin
+- target  = 'dst' || (stream_id % 5)     (a few streams per batch)
+- address = even stream -> '192.0.2.x' (ipv4), odd -> 'fe80::x' (ipv6)
+- error events are lost probes (rtt NULL, loss 1); others rtt = value*100
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.amp_icmp import process_icmp
+from ..sources.tables import EVENTS_FACT_SQL, events_fact
+from .queries import START, STOP
+
+HOUR = 3600
+
+
+def _derive_raw_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = events_fact(spark, sf_dir, START, STOP)
+    return fact.select(
+        F.lit("amp").alias("source"),
+        (F.col("timestamp") - F.col("timestamp") % HOUR).alias("timestamp"),
+        F.when(
+            F.col("event_type") != "error", F.floor(F.col("value") * 100).cast("long")
+        ).alias("rtt"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).cast("long").alias("loss"),
+        F.lit(False).alias("random"),
+        F.concat(F.lit("dst"), (F.col("stream_id") % 5).cast("string")).alias(
+            "target"
+        ),
+        F.when(
+            F.col("stream_id") % 2 == 0,
+            F.concat(F.lit("192.0.2."), F.col("stream_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("fe80::"), F.col("stream_id").cast("string")))
+        .alias("address"),
+        F.lit(84).cast("long").alias("packet_size"),
+    )
+
+
+def q_ingest_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/A14/F5 through the REAL icmp ingest transform."""
+    out = process_icmp(_derive_raw_icmp(spark, sf_dir))
+    rtts_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("rtts"), lambda x: F.coalesce(x.cast("string"), F.lit("null"))
+        ),
+    )
+    return out.select(
+        "source",
+        "destination",
+        "family",
+        "packet_size",
+        "timestamp",
+        "median",
+        "loss",
+        "results",
+        F.round("lossrate", 4).alias("lossrate"),
+        rtts_str.alias("rtts_str"),
+    )
+
+
+SQL_INGEST_ICMP = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+raw AS (
+  SELECT 'amp' AS source,
+         timestamp - (timestamp % {HOUR}) AS timestamp,
+         CASE WHEN event_type != 'error' THEN CAST(floor(value * 100) AS BIGINT) END AS rtt,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS loss,
+         'dst' || CAST(stream_id % 5 AS VARCHAR) AS target,
+         CASE WHEN stream_id % 2 = 0
+              THEN '192.0.2.' || CAST(stream_id AS VARCHAR)
+              ELSE 'fe80::' || CAST(stream_id AS VARCHAR) END AS address
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+), agg AS (
+  SELECT source, target AS destination,
+         CASE WHEN contains(address, '.') THEN 'ipv4' ELSE 'ipv6' END AS family,
+         '84' AS packet_size, timestamp,
+         list(rtt ORDER BY rtt) FILTER (WHERE rtt IS NOT NULL) AS sorted_rtts,
+         sum(loss) AS loss,
+         sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0 THEN 1 END)
+           AS results
+  FROM raw
+  GROUP BY source, destination, family, packet_size, timestamp
+)
+SELECT source, destination, family, packet_size, timestamp,
+       CASE WHEN len(sorted_rtts) = 0 THEN NULL
+            WHEN len(sorted_rtts) % 2 = 1
+              THEN sorted_rtts[len(sorted_rtts) // 2 + 1]
+            ELSE (sorted_rtts[len(sorted_rtts) // 2]
+                  + sorted_rtts[len(sorted_rtts) // 2 + 1]) // 2
+       END AS median,
+       loss, results,
+       round(CASE WHEN results IS NOT NULL AND results != 0
+                  THEN loss / CAST(results AS DOUBLE) END, 4) AS lossrate,
+       ltrim(coalesce(array_to_string(sorted_rtts, ','), '')
+             || repeat(',null', CAST(CASE WHEN loss > 0 THEN loss ELSE 0 END AS BIGINT)),
+             ',') AS rtts_str
+FROM agg
+"""
+
+REGISTRY = {
+    "ingest_icmp": (q_ingest_icmp, SQL_INGEST_ICMP),
+}

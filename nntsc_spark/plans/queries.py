@@ -539,5 +539,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 from .coverage_queries import REGISTRY as COVERAGE_REGISTRY  # noqa: E402
+from .ingest_queries import REGISTRY as INGEST_REGISTRY  # noqa: E402
 
 REGISTRY.update(COVERAGE_REGISTRY)
+REGISTRY.update(INGEST_REGISTRY)

@@ -45,6 +45,8 @@ class CollectionIngestor:
         fact_path: str,
         streams_path: str,
         stats_path: str | None = None,
+        collection: str | None = None,
+        exporter=None,
     ) -> None:
         self.spark = spark
         self.parser = parser
@@ -52,6 +54,12 @@ class CollectionIngestor:
         self.fact_path = fact_path
         self.streams_path = streams_path
         self.stats_path = stats_path
+        #: optional live-export hook: an ExportServer (or anything with
+        #: publish_live/push_marker) fed each batch's rows (S9/T3 — the
+        #: reference's parser->exporter publishLiveData path,
+        #: libnntsc/parsers/common.py:246-249)
+        self.collection = collection
+        self.exporter = exporter
 
     def _load_streams(self) -> DataFrame | None:
         try:
@@ -74,7 +82,27 @@ class CollectionIngestor:
         write_dimension(streams, self.streams_path)
         if self.stats_path:
             self._update_stats(fact)
+        if self.exporter is not None and self.collection:
+            self._export_live(fact)
         return fact
+
+    def _export_live(self, fact: DataFrame) -> None:
+        """Fan the batch out to live subscribers + emit the PUSH watermark.
+
+        Micro-batches are small (commitfreq-scale), so iterating them
+        driver-side matches the reference's per-row live path; the batch
+        boundary marker is the max timestamp (T3 semantics: 'all data up to
+        ts delivered', exporter.py:1304-1349)."""
+        by_stream: dict[int, list[dict]] = {}
+        max_ts = 0
+        for row in fact.drop(*self.unique_cols).toLocalIterator():
+            d = row.asDict()
+            by_stream.setdefault(d["stream_id"], []).append(d)
+            max_ts = max(max_ts, d["timestamp"] or 0)
+        for sid, rows in by_stream.items():
+            self.exporter.publish_live(self.collection, sid, rows)
+        if by_stream:
+            self.exporter.push_marker(self.collection, max_ts)
 
     def _update_stats(self, fact: DataFrame) -> None:
         """Incremental stream-stats merge (T8) — algebraic, so the update is

@@ -173,3 +173,50 @@ def test_frequency_rule_chain_reference_semantics():
     # empty -> default
     assert estimate_frequency_rows([]) == 300
     assert estimate_frequency_rows([5]) == 300
+
+
+def test_live_export_via_ingest_hook(spark, tmp_path, server):
+    """T1-T3 end-to-end: subscribe, then ingest a batch wired to the
+    exporter — subscribers get LIVE rows then the PUSH watermark."""
+    import socket as _socket
+
+    from nntsc_spark.ingest.amp_icmp import UNIQUE_COLS, process_icmp
+    from nntsc_spark.streaming.ingest import CollectionIngestor
+
+    s = _socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    s.sendall(
+        pack(
+            Msg.SUBSCRIBE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"L": [1]},
+                "columns": ["value"],
+                "start": 0,
+                "stop": 10**9,
+            },
+        )
+    )
+    _drain_until(s, Msg.HISTORY_DONE, limit=100)
+
+    ing = CollectionIngestor(
+        spark,
+        process_icmp,
+        UNIQUE_COLS,
+        fact_path=str(tmp_path / "fact"),
+        streams_path=str(tmp_path / "streams"),
+        collection="amp-icmp",
+        exporter=server,
+    )
+    raw = spark.createDataFrame(
+        [("src", 5_000_000, 1234, 0, False, "dst1", "1.2.3.4", 84)],
+        "source string, timestamp long, rtt long, loss long, random boolean, "
+        "target string, address string, packet_size long",
+    )
+    ing.process_batch(raw)
+
+    mtype, body = read_message(s)
+    assert mtype == Msg.LIVE
+    assert body["result"]["timestamp"] == 5_000_000
+    mtype, body = read_message(s)
+    assert mtype == Msg.PUSH and body["timestamp"] == 5_000_000
+    s.close()
