@@ -1,0 +1,96 @@
+"""Gap-based sessionization + skew-resistant two-phase aggregation.
+
+Neither exists in the reference (its "windows" are fixed time bins), but
+both are core large-scale time-series/training-pipeline operations and fit
+the same engine surface:
+
+- ``sessionize``: classic gap-based sessions per stream — a lag window
+  marks session starts (gap > timeout), a running sum assigns session ids.
+  Distributed shape: one window partitioned by stream (per-stream sort,
+  no global sort), then plain aggregation.
+
+- ``salted_agg``: two-phase aggregation for skewed group keys.  Phase 1
+  groups on (key, salt) — the hot key's rows spread over ``salts``
+  reducers; phase 2 merges the partials algebraically (same trick as the
+  rollup matrix merge, operators/rollup.py).  AQE's skew-join handling
+  covers joins; this covers skewed *aggregations*, which AQE does not
+  rebalance.  sum/count/max/min merge trivially; avg = merged sum/count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    fact: DataFrame,
+    timeout: int,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap from
+    the previous row exceeds ``timeout`` seconds.
+
+    Output: fact columns + ``session_id`` (per-key dense counter starting
+    at 1 in timestamp order, ties broken deterministically by full order).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    is_new = F.when(gap.isNull() | (gap > timeout), 1).otherwise(0)
+    return fact.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("_new")
+
+
+def session_stats(
+    fact: DataFrame,
+    timeout: int,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session summary: bounds, event count, value sum."""
+    s = sessionize(fact, timeout, key, ts_col)
+    return s.groupBy(key, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("value_sum"),
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant sum/count/min/max/avg over ``group_cols``.
+
+    Equivalent to ``df.groupBy(group_cols).agg(...)`` but the first shuffle
+    key is (group_cols..., salt) so a pathological hot key fans out over
+    ``salts`` partial reducers; the second (tiny) aggregation merges
+    partials.  The salt is derived from a hash of the full row's value so
+    it needs no random source and stays deterministic.
+    """
+    salt = (F.abs(F.xxhash64(F.col(value_col))) % salts).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(
+            F.sum(value_col).alias("_sum"),
+            F.count(value_col).alias("_cnt"),
+            F.min(value_col).alias("_min"),
+            F.max(value_col).alias("_max"),
+        )
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_sum").alias(f"{value_col}_sum"),
+        F.sum("_cnt").alias(f"{value_col}_count"),
+        F.min("_min").alias(f"{value_col}_min"),
+        F.max("_max").alias(f"{value_col}_max"),
+        (F.sum("_sum") / F.sum("_cnt")).alias(f"{value_col}_avg"),
+    )

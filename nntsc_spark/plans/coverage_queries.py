@@ -280,3 +280,82 @@ REGISTRY = {
     ),
     "catalog_collections": (q_catalog_collections, None),
 }
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per stream (30-min timeout) with
+    per-session stats — lag window + running sum, per-stream partitioned."""
+    from ..operators.sessions import session_stats
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    out = session_stats(
+        time_filter(fact, START, STOP), timeout=1800, value_col="value"
+    )
+    return out.select(
+        "stream_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT * FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+), marked AS (
+  SELECT stream_id, timestamp, value,
+         CASE WHEN timestamp - lag(timestamp) OVER w > 1800
+                   OR lag(timestamp) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM bounded
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp)
+), numbered AS (
+  SELECT stream_id, timestamp, value,
+         sum(is_new) OVER (PARTITION BY stream_id ORDER BY timestamp
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT stream_id, CAST(session_id AS BIGINT) AS session_id,
+       min(timestamp) AS session_start, max(timestamp) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM numbered GROUP BY stream_id, session_id
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation == direct aggregation
+    (equivalence oracle): lineitem grouped by l_returnflag (3 hot keys)."""
+    from ..operators.sessions import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"], "l_extendedprice", salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round("l_extendedprice_sum", 2).alias("sum_price"),
+        "l_extendedprice_count",
+        F.round("l_extendedprice_min", 2).alias("min_price"),
+        F.round("l_extendedprice_max", 2).alias("max_price"),
+        F.round("l_extendedprice_avg", 4).alias("avg_price"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(l_extendedprice) AS l_extendedprice_count,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+REGISTRY.update(
+    {
+        "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    }
+)

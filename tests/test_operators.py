@@ -155,3 +155,42 @@ def test_stream_stats_and_activity(fact):
     stats = build_stream_stats(fact)
     act = active_streams(stats, 0, 500).collect()
     assert {r.stream_id for r in act} == {1, 2}  # stream 3 starts at 10_000
+
+
+def test_sessionize_gap_semantics(spark):
+    from nntsc_spark.operators.sessions import session_stats, sessionize
+
+    rows = [(1, t, 1.0) for t in [0, 100, 250, 5000, 5100, 20_000]]
+    fact = spark.createDataFrame(rows, "stream_id long, timestamp long, value double")
+    s = sessionize(fact, timeout=1000)
+    got = {r.timestamp: r.session_id for r in s.collect()}
+    assert got == {0: 1, 100: 1, 250: 1, 5000: 2, 5100: 2, 20_000: 3}
+    stats = {r.session_id: r for r in session_stats(fact, 1000).collect()}
+    assert stats[1].n_events == 3 and stats[1].session_end == 250
+    assert stats[3].session_start == 20_000
+
+
+def test_salted_agg_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.sessions import salted_agg
+
+    # heavy skew: one key holds 10k rows, another 10
+    rows = [("hot", float(i % 97)) for i in range(10_000)] + [
+        ("cold", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = {r.k: r for r in salted_agg(df, ["k"], "v", salts=8).collect()}
+    direct = {
+        r.k: r
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    for k in direct:
+        assert salted[k].v_count == direct[k].c
+        assert salted[k].v_sum == pytest.approx(direct[k].s)
+        assert salted[k].v_min == direct[k].mn and salted[k].v_max == direct[k].mx
