@@ -114,3 +114,122 @@ FROM agg
 REGISTRY = {
     "ingest_icmp": (q_ingest_icmp, SQL_INGEST_ICMP),
 }
+
+
+def q_ingest_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 rate semantics through the REAL throughput transform:
+    runtime NULL -> rate NULL; runtime 0 -> 0.0; else bytes/runtime."""
+    from ..ingest.amp_throughput import process_throughput
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("t"), (F.col("stream_id") % 3).cast("string")).alias("target"),
+        F.lit("192.0.2.9").alias("address"),
+        F.lit("default").alias("protocol"),
+        F.when(F.col("event_type") == "click", "in").otherwise("out").alias("direction"),
+        F.lit(10000).cast("long").alias("duration"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .when(F.col("event_type") == "signup", F.lit(0).cast("long"))
+        .otherwise(F.floor(F.col("value") * 10).cast("long"))
+        .alias("runtime"),
+        F.floor(F.col("value") * 1000).cast("long").alias("bytes"),
+        F.lit(None).cast("long").alias("packets"),
+        F.lit(131072).cast("long").alias("write_size"),
+        F.lit(False).alias("tcpreused"),
+        F.col("event_id"),
+    )
+    out = process_throughput(raw.drop("event_id"))
+    return out.select(
+        "destination",
+        "direction",
+        "timestamp",
+        "bytes",
+        "runtime",
+        F.round("rate", 4).alias("rate"),
+        "unused",
+    )
+
+
+SQL_INGEST_THROUGHPUT = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+raw AS (
+  SELECT 't' || CAST(stream_id % 3 AS VARCHAR) AS destination,
+         CASE WHEN event_type = 'click' THEN 'in' ELSE 'out' END AS direction,
+         timestamp,
+         CAST(floor(value * 1000) AS BIGINT) AS bytes,
+         CASE WHEN event_type = 'error' THEN NULL
+              WHEN event_type = 'signup' THEN 0
+              ELSE CAST(floor(value * 10) AS BIGINT) END AS runtime
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+)
+SELECT destination, direction, timestamp, bytes, runtime,
+       round(CASE WHEN runtime IS NULL THEN NULL
+                  WHEN runtime = 0 THEN 0.0
+                  ELSE bytes / CAST(runtime AS DOUBLE) END, 4) AS rate,
+       TRUE AS unused
+FROM raw
+"""
+
+
+def q_ingest_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 DNS tri-state through the REAL dns transform (unique stream keys
+    per event via the instance column, so first-result dedup is a no-op and
+    the output is deterministic)."""
+    from ..ingest.amp_dns import process_dns
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("ns"), (F.col("stream_id") % 7).cast("string")).alias(
+            "destination"
+        ),
+        F.col("event_id").cast("string").alias("instance"),
+        F.lit("192.0.2.53").alias("address"),
+        F.lit("example.com").alias("query"),
+        F.lit("AAAA").alias("query_type"),
+        F.lit("IN").alias("query_class"),
+        F.lit(4096).cast("long").alias("udp_payload_size"),
+        F.lit(True).alias("recurse"),
+        F.lit(False).alias("dnssec"),
+        F.lit(False).alias("nsid"),
+        F.when(F.col("event_type") != "error", F.lit(40).cast("long")).alias(
+            "query_len"
+        ),
+        F.when(
+            ~F.col("event_type").isin("error", "signup"), F.lit(100).cast("long")
+        ).alias("response_size"),
+        F.floor(F.col("value") * 1000).cast("long").alias("rtt"),
+    )
+    out = process_dns(raw)
+    return out.select(
+        "destination",
+        "instance",
+        "timestamp",
+        "requests",
+        "lossrate",
+        "rtt",
+    )
+
+
+SQL_INGEST_DNS = f"""
+WITH fact AS ({EVENTS_FACT_SQL})
+SELECT 'ns' || CAST(stream_id % 7 AS VARCHAR) AS destination,
+       CAST(event_id AS VARCHAR) AS instance,
+       timestamp,
+       CASE WHEN event_type != 'error' THEN 1 ELSE 0 END AS requests,
+       CAST(CASE WHEN event_type NOT IN ('error', 'signup') THEN 0.0
+                 WHEN event_type = 'signup' THEN 1.0
+                 ELSE NULL END AS DOUBLE) AS lossrate,
+       CAST(floor(value * 1000) AS BIGINT) AS rtt
+FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+"""
+
+REGISTRY.update(
+    {
+        "ingest_throughput": (q_ingest_throughput, SQL_INGEST_THROUGHPUT),
+        "ingest_dns": (q_ingest_dns, SQL_INGEST_DNS),
+    }
+)

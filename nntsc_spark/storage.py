@@ -83,3 +83,28 @@ def apply_retention(path: str, keep_seconds: int, now: int) -> list[str]:
             shutil.rmtree(part)
             dropped.append(part.name)
     return dropped
+
+
+def write_fact_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 32,
+    bucket_col: str = "stream_id",
+) -> None:
+    """Bucketed fact layout for shuffle-free stream-keyed joins/aggs.
+
+    ``bucketBy(stream_id) + sortBy(stream_id, timestamp)`` persists the
+    hash distribution in the catalog: joins and aggregations keyed on
+    stream_id read co-located buckets and skip the Exchange entirely —
+    the cluster-scale replacement for the reference's per-stream physical
+    tables.  Written as an external table so the path is caller-owned.
+    """
+    (
+        df.write.bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col, "timestamp")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -220,3 +220,25 @@ def test_live_export_via_ingest_hook(spark, tmp_path, server):
     mtype, body = read_message(s)
     assert mtype == Msg.PUSH and body["timestamp"] == 5_000_000
     s.close()
+
+
+def test_matrix_roundtrip(server):
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.MATRIX,
+            {
+                "collection": "amp-icmp",
+                "labels": {"L1": [1], "L2": [2]},
+                "value_cols": ["value"],
+                "start": 0,
+                "stop": 7200,
+            },
+        )
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.HISTORY and "matrix" in body
+    rows = {r["nntsclabel"]: r for r in body["matrix"]}
+    assert rows["L1"]["count_value"] == 30 and rows["L2"]["count_value"] == 10
+    assert rows["L1"]["avg_value"] == pytest.approx(sum(range(30)) / 30)
+    s.close()

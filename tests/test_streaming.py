@@ -169,3 +169,33 @@ def test_rollup_maintainer_matches_batch_build(spark, tmp_path):
     for b in batch:
         assert r2[b].sum_value == pytest.approx(batch[b].sum_value)
         assert r2[b].magiccount_value == batch[b].magiccount_value
+
+
+def test_bucketed_fact_avoids_shuffle(spark, tmp_path):
+    from nntsc_spark.storage import write_fact_bucketed
+
+    df = spark.createDataFrame(
+        [(i % 50, 1000 + i, float(i)) for i in range(5000)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact_bucketed(df, "fact_bucketed_test", str(tmp_path / "fb"), buckets=8)
+    t = spark.table("fact_bucketed_test")
+    # aggregation on the bucket key: the pre-hashed layout replaces the
+    # exchange before the final aggregate
+    agg_plan = (
+        t.groupBy("stream_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan
+    # self-join on the bucket key: no shuffle on either side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = t.alias("a").join(spark.table("fact_bucketed_test").alias("b"), "stream_id")
+        join_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in join_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS fact_bucketed_test")
