@@ -34,13 +34,30 @@ from pyspark.sql import DataFrame, SparkSession
 from ..catalog import collection_schema, list_collections
 from ..operators.aggregate import select_aggregated_data
 from ..operators.labels import build_label_map
-from ..operators.matrix import select_matrix_data
+from ..operators.matrix import (
+    choose_rollup_binsize,
+    select_matrix_data,
+    select_matrix_from_stored,
+)
 from ..operators.select import select_data
 from .frequency import estimate_frequency_rows
 from .protocol import Msg, Req, pack, read_message
 
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
+
+
+def merge_aggregators(
+    columns: list[str], func: str | list[str]
+) -> list[tuple[str, str]]:
+    """Combine aggcols + aggfunc into (col, func) pairs
+    (exporter.py:155-172): a single function string (or 1-list) applies to
+    every column; otherwise functions pair positionally."""
+    if isinstance(func, str):
+        return [(c, func) for c in columns]
+    if len(func) == 1:
+        return [(c, func[0]) for c in columns]
+    return list(zip(columns, func))
 
 
 @dataclass
@@ -243,14 +260,29 @@ class ExportServer:
 
     def _handle_matrix(self, sock: socket.socket, body) -> None:
         colname = body["collection"]
-        fact = self.collections[colname]["fact"]
-        out = select_matrix_data(
-            fact,
-            self._label_map(body["labels"]),
-            body["value_cols"],
-            body["start"],
-            body["stop"],
-        )
+        coll = self.collections[colname]
+        start, stop = body["start"], body["stop"]
+        binsize = choose_rollup_binsize(start, stop)
+        stored = coll.get("rollups", {}).get(binsize)
+        if stored is not None:
+            # production path: stored rollup (Influx CQ table analogue,
+            # influx.py:384-394) — never touches the raw fact
+            out = select_matrix_from_stored(
+                stored,
+                self._label_map(body["labels"]),
+                body["value_cols"],
+                start,
+                stop,
+                binsize,
+            )
+        else:
+            out = select_matrix_data(
+                coll["fact"],
+                self._label_map(body["labels"]),
+                body["value_cols"],
+                start,
+                stop,
+            )
         rows = [r.asDict() for r in out.collect()]
         self._send(sock, Msg.HISTORY, {"collection": colname, "matrix": rows})
 
@@ -269,13 +301,28 @@ class ExportServer:
         # register BEFORE history runs so concurrent live rows buffer (T2)
         with self._lock:
             self._subs.append(sub)
-        out = select_data(
-            fact,
-            self._label_map(labels),
-            body.get("columns") or [],
-            body.get("start"),
-            body.get("stop"),
-        )
+        aggs = body.get("aggs") or []
+        if aggs:
+            # aggregated subscription (exporter.py:335-345): history is the
+            # binned aggregate at binsize=1 over (columns x aggs); the live
+            # tail still carries raw rows
+            out = select_aggregated_data(
+                fact,
+                self._label_map(labels),
+                merge_aggregators(body.get("columns") or [], aggs),
+                body.get("start"),
+                body.get("stop"),
+                (),
+                1,
+            )
+        else:
+            out = select_data(
+                fact,
+                self._label_map(labels),
+                body.get("columns") or [],
+                body.get("start"),
+                body.get("stop"),
+            )
         last = self._ship_history(sock, colname, out, 0)
         sub.last_history_ts = max(last.values(), default=0)
         for label in labels:

@@ -47,3 +47,25 @@ def select_matrix_data(
     snapped = snap_down(start, binsize)
     rollup = build_rollup(fact, binsize, value_cols)
     return merge_rollup(rollup, label_map, value_cols, snapped, stop)
+
+
+def select_matrix_from_stored(
+    rollup: DataFrame,
+    label_map: DataFrame,
+    value_cols: Sequence[str],
+    start: int,
+    stop: int,
+    binsize: int,
+) -> DataFrame:
+    """Matrix summary served from a STORED rollup table (the production
+    path, mirroring the reference's Influx CQ tables: influx.py:384-394
+    reads ``data_..._matrix`` / ``..._matrix_short``, never raw points).
+
+    At 100 TB the raw fact is untouchable for a dashboard query; the hourly
+    rollup is ~1/3600 of it and is the only input here.  Shares
+    merge_rollup's expressions with the inline path so both agree
+    bit-for-bit (verified in tests).
+    """
+    return merge_rollup(
+        rollup, label_map, value_cols, snap_down(start, binsize), stop
+    )

@@ -242,3 +242,100 @@ def test_matrix_roundtrip(server):
     assert rows["L1"]["count_value"] == 30 and rows["L2"]["count_value"] == 10
     assert rows["L1"]["avg_value"] == pytest.approx(sum(range(30)) / 30)
     s.close()
+
+
+def test_matrix_served_from_stored_rollup(spark):
+    """The production matrix path reads ONLY the stored rollup table: serve
+    from a server whose fact is empty, so any fact scan would return an
+    empty matrix."""
+    from nntsc_spark.operators.rollup import build_rollup
+
+    fact = spark.createDataFrame(
+        [(1, 100 + 10 * i, float(i)) for i in range(30)]
+        + [(2, 100 + 30 * i, 100.0 + i) for i in range(10)],
+        "stream_id long, timestamp long, value double",
+    )
+    empty = fact.limit(0)
+    streams = spark.createDataFrame(
+        [(1, "src", "d1"), (2, "src", "d2")],
+        "stream_id long, source string, destination string",
+    )
+    srv = ExportServer(
+        spark,
+        {
+            "amp-icmp": {
+                "fact": empty,
+                "streams": streams,
+                "rollups": {3600: build_rollup(fact, 3600, ["value"])},
+            }
+        },
+    )
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.MATRIX,
+                {
+                    "collection": "amp-icmp",
+                    "labels": {"L1": [1], "L2": [2]},
+                    "value_cols": ["value"],
+                    "start": 0,
+                    "stop": 7200,
+                },
+            )
+        )
+        mtype, body = read_message(s)
+        assert mtype == Msg.HISTORY
+        rows = {r["nntsclabel"]: r for r in body["matrix"]}
+        # identical to the inline-path expectations in test_matrix_roundtrip
+        assert rows["L1"]["count_value"] == 30 and rows["L2"]["count_value"] == 10
+        assert rows["L1"]["avg_value"] == pytest.approx(sum(range(30)) / 30)
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_subscribe_with_aggregation(server):
+    """exporter.py:335-345: a SUBSCRIBE carrying aggs gets aggregated
+    history (binsize=1) and still receives the live tail."""
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.SUBSCRIBE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"agged": [1]},
+                "columns": ["value"],
+                "aggs": ["avg"],
+                "start": 0,
+                "stop": 10_000,
+            },
+        )
+    )
+    msgs = _drain_until(s, Msg.HISTORY_DONE, limit=100)
+    rows = [r for t, b in msgs if t == Msg.HISTORY for r in b["history"]]
+    assert len(rows) == 30
+    assert all("binstart" in r and "value" in r for r in rows)
+    assert rows[0]["value"] == pytest.approx(0.0)  # avg of a 1-row bin
+    # live tail still flows raw
+    server.publish_live(
+        "amp-icmp",
+        1,
+        [{"timestamp": 70_000, "value": 3.5, "stream_id": 1,
+          "nntsclabel": "agged"}],
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.LIVE and body["result"]["value"] == 3.5
+    s.close()
+
+
+def test_merge_aggregators_forms():
+    from nntsc_spark.export.server import merge_aggregators
+
+    assert merge_aggregators(["a", "b"], "avg") == [("a", "avg"), ("b", "avg")]
+    assert merge_aggregators(["a", "b"], ["max"]) == [("a", "max"), ("b", "max")]
+    assert merge_aggregators(["a", "b"], ["max", "min"]) == [
+        ("a", "max"),
+        ("b", "min"),
+    ]
