@@ -233,3 +233,76 @@ REGISTRY.update(
         "ingest_dns": (q_ingest_dns, SQL_INGEST_DNS),
     }
 )
+
+
+def q_ingest_fastping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """amp_fastping.py:111-140 tri-state through the REAL fastping
+    transform: runtime falsy -> all NULL; runtime truthy + percentiles NULL
+    -> median NULL / lossrate 1.0 / percentiles []; else median =
+    percentiles[8] and lossrate = 1 - samples/packet_count."""
+    from ..ingest.amp_fastping import process_fastping
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("fp"), (F.col("stream_id") % 4).cast("string")).alias(
+            "destination"
+        ),
+        F.when(F.col("stream_id") % 2 == 0, F.lit("198.51.100.7"))
+        .otherwise(F.lit("2001:db8::7"))
+        .alias("address"),
+        F.lit(64).cast("long").alias("packet_size"),
+        F.lit(1000).cast("long").alias("packet_rate"),
+        F.lit(64).cast("long").alias("packet_count"),
+        F.lit(False).alias("preprobe"),
+        F.when(F.col("event_type") == "error", F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("runtime"),
+        (F.floor(F.col("value") * 10) % 65).cast("long").alias("samples"),
+        F.when(
+            F.col("event_type") != "signup",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda i: (F.floor(F.col("value") * 1000) + i * 3).cast("double"),
+            ),
+        ).alias("percentiles"),
+    )
+    out = process_fastping(raw)
+    return out.select(
+        "destination",
+        "family",
+        "timestamp",
+        "median",
+        F.round("lossrate", 4).alias("lossrate"),
+        F.concat_ws(
+            ",", F.transform("percentiles", lambda x: x.cast("string"))
+        ).alias("perc_str"),
+    )
+
+
+SQL_INGEST_FASTPING = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+raw AS (
+  SELECT 'fp' || CAST(stream_id % 4 AS VARCHAR) AS destination,
+         CASE WHEN stream_id % 2 = 0 THEN 'ipv4' ELSE 'ipv6' END AS family,
+         timestamp, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS base,
+         CAST(floor(value * 10) AS BIGINT) % 65 AS samples
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+)
+SELECT destination, family, timestamp,
+       CASE WHEN event_type NOT IN ('error', 'signup') THEN base + 24
+            END AS median,
+       round(CASE WHEN event_type = 'error' THEN NULL
+                  WHEN event_type = 'signup' THEN 1.0
+                  ELSE 1.0 - samples / 64.0 END, 4) AS lossrate,
+       CASE WHEN event_type = 'error' OR event_type = 'signup' THEN ''
+            ELSE array_to_string(
+              list_transform(generate_series(0, 23), i -> base + i * 3), ',')
+            END AS perc_str
+FROM raw
+"""
+
+REGISTRY["ingest_fastping"] = (q_ingest_fastping, SQL_INGEST_FASTPING)
