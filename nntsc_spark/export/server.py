@@ -236,9 +236,34 @@ class ExportServer:
         start = body.get("start") or stop - 86400
         return start, stop
 
+    def _empty_history(
+        self, sock: socket.socket, colname: str, labels, last_ts: int
+    ) -> None:
+        """Reference guard reply (exporter.py:182-189, 249-255, 289-293):
+        when there can be no historical data, every label still gets an
+        empty HISTORY block and its HISTORY_DONE."""
+        for label in labels:
+            self._send(
+                sock,
+                Msg.HISTORY,
+                {"collection": colname, "label": label, "history": [],
+                 "more": False, "freq": 0},
+            )
+            self._send(
+                sock,
+                Msg.HISTORY_DONE,
+                {"collection": colname, "label": label, "last_ts": last_ts},
+            )
+
     def _handle_aggregate(self, sock: socket.socket, body) -> None:
+        import time as _time
+
         colname = body["collection"]
         fact = self.collections[colname]["fact"]
+        now = int(_time.time())
+        if body.get("start") is None or body["start"] >= now:
+            self._empty_history(sock, colname, body["labels"], now)
+            return
         start, stop = self._default_window(body)
         out = select_aggregated_data(
             fact,
@@ -259,9 +284,15 @@ class ExportServer:
             )
 
     def _handle_matrix(self, sock: socket.socket, body) -> None:
+        import time as _time
+
         colname = body["collection"]
         coll = self.collections[colname]
         start, stop = body["start"], body["stop"]
+        now = int(_time.time())
+        if start is None or start >= now:
+            self._empty_history(sock, colname, body["labels"], now)
+            return
         binsize = choose_rollup_binsize(start, stop)
         stored = coll.get("rollups", {}).get(binsize)
         if stored is not None:
@@ -301,6 +332,20 @@ class ExportServer:
         # register BEFORE history runs so concurrent live rows buffer (T2)
         with self._lock:
             self._subs.append(sub)
+        # exporter.py:284-293: start 0/None means "from now" -> live-only
+        # subscription with an empty history replay (the live registration
+        # above keeps the ORIGINAL start bound, exporter.py:876-891)
+        import time as _time
+
+        now = int(_time.time())
+        hist_start = body.get("start") or now
+        if hist_start >= now:
+            self._empty_history(sock, colname, labels, hist_start)
+            with self._lock:
+                buffered, sub.buffered, sub.waiting = sub.buffered, [], False
+            for _colid, sid, row in buffered:
+                self._send_live(sub, sid, row)
+            return
         aggs = body.get("aggs") or []
         if aggs:
             # aggregated subscription (exporter.py:335-345): history is the

@@ -112,7 +112,7 @@ def test_subscribe_history_live_seam(server):
                 "collection": "amp-icmp",
                 "labels": {"mine": [1]},
                 "columns": ["value"],
-                "start": 0,
+                "start": 1,
                 "stop": 10_000,
             },
         )
@@ -191,7 +191,7 @@ def test_live_export_via_ingest_hook(spark, tmp_path, server):
                 "collection": "amp-icmp",
                 "labels": {"L": [1]},
                 "columns": ["value"],
-                "start": 0,
+                "start": 1,
                 "stop": 10**9,
             },
         )
@@ -308,7 +308,7 @@ def test_subscribe_with_aggregation(server):
                 "labels": {"agged": [1]},
                 "columns": ["value"],
                 "aggs": ["avg"],
-                "start": 0,
+                "start": 1,
                 "stop": 10_000,
             },
         )
@@ -339,3 +339,61 @@ def test_merge_aggregators_forms():
         ("a", "max"),
         ("b", "min"),
     ]
+
+
+def test_subscribe_start_zero_is_live_only(server):
+    """exporter.py:284-293: start=0 normalizes to 'now' -> empty history,
+    but the live subscription is active immediately."""
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.SUBSCRIBE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"lo": [2]},
+                "columns": ["value"],
+                "start": 0,
+                "stop": 0,
+            },
+        )
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.HISTORY and body["history"] == [] and body["more"] is False
+    mtype, body = read_message(s)
+    assert mtype == Msg.HISTORY_DONE
+    server.publish_live(
+        "amp-icmp",
+        2,
+        [{"timestamp": 80_000, "value": 7.5, "stream_id": 2, "nntsclabel": "lo"}],
+    )
+    mtype, body = read_message(s)
+    assert mtype == Msg.LIVE and body["result"]["value"] == 7.5
+    s.close()
+
+
+def test_aggregate_future_start_empty_history(server):
+    """exporter.py:182-189: start >= now (or None) -> empty HISTORY +
+    HISTORY_DONE per label, no query."""
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.AGGREGATE,
+            {
+                "collection": "amp-icmp",
+                "labels": {"A": [1], "B": [2]},
+                "aggcols": [("value", "avg")],
+                "start": 2**33,
+                "stop": 2**33 + 100,
+                "binsize": 60,
+            },
+        )
+    )
+    seen = []
+    for _ in range(4):
+        mtype, body = read_message(s)
+        seen.append((mtype, body))
+    hist = [b for t, b in seen if t == Msg.HISTORY]
+    done = [b for t, b in seen if t == Msg.HISTORY_DONE]
+    assert len(hist) == 2 and all(h["history"] == [] for h in hist)
+    assert {d["label"] for d in done} == {"A", "B"}
+    s.close()
