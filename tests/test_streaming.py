@@ -199,3 +199,54 @@ def test_bucketed_fact_avoids_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql("DROP TABLE IF EXISTS fact_bucketed_test")
+
+
+def test_kafka_envelope_decode_feeds_ingest(spark, tmp_path):
+    """decode_kafka_batch: Kafka's binary envelope -> typed rows identical
+    to the file-source path, malformed bodies dropped (amp.py:202-210)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from nntsc_spark.sources.kafka import decode_kafka_batch, kafka_raw_stream
+
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("timestamp", LongType()),
+            StructField("rtt", LongType()),
+            StructField("loss", LongType()),
+            StructField("random", BooleanType()),
+            StructField("target", StringType()),
+            StructField("address", StringType()),
+            StructField("packet_size", LongType()),
+        ]
+    )
+    bodies = [
+        json.dumps(dict(zip(schema.fieldNames(), row))).encode()
+        for row in _raw_rows(1_000_000, 5)
+    ] + [b"{not json"]
+    envelope = spark.createDataFrame(
+        [(None, b, "amp-icmp", 0, i, 0) for i, b in enumerate(bodies)],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp long",
+    )
+    raw = decode_kafka_batch(envelope, schema)
+    assert raw.count() == 5  # malformed row dropped
+    ing = CollectionIngestor(
+        spark,
+        process_icmp,
+        UNIQUE_COLS,
+        str(tmp_path / "fact"),
+        str(tmp_path / "streams"),
+    )
+    fact = ing.process_batch(raw)
+    assert fact.count() == 5
+    assert read_fact(spark, str(tmp_path / "fact")).count() == 5
+    # reader config is constructible without the connector jar
+    reader = kafka_raw_stream(spark, "broker:9092", "nntsc-amp")
+    assert reader is not None
