@@ -94,3 +94,33 @@ def salted_agg(
         F.max("_max").alias(f"{value_col}_max"),
         (F.sum("_sum") / F.sum("_cnt")).alias(f"{value_col}_avg"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: big side salted, dim side replicated.
+
+    For a dim too large to broadcast joined against a fact with a
+    pathological hot key, a plain sort-merge join lands the hot key's rows
+    on one reducer.  Salting the big side over ``salts`` sub-keys and
+    exploding the dim ``salts``-fold bounds any reducer at 1/salts of the
+    hot key.  Semantics-preserving for inner/left joins (each big row
+    carries exactly one salt; dim rows match every salt).  AQE's skew-join
+    split handles moderate skew at runtime; this is the explicit tool for
+    known-degenerate keys.  The salt hashes the whole row, so it is
+    deterministic (no random source — replayable in streaming recovery).
+    """
+    big_salt = F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salts
+    dim_exp = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return (
+        big.withColumn("_salt", big_salt.cast("int"))
+        .join(dim_exp, [key, "_salt"], how)
+        .drop("_salt")
+    )

@@ -359,3 +359,43 @@ REGISTRY.update(
         "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     }
 )
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join == plain join (equivalence oracle).
+
+    A degenerate hot key (90% of events collapse to key 0) joined to a
+    per-key dim, then aggregated by the dim attribute — the shape where an
+    unsalted sort-merge join serializes on one reducer at scale."""
+    from ..operators.sessions import salted_join
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    hot = F.when(F.col("stream_id") % 10 != 0, F.lit(0)).otherwise(
+        F.col("stream_id")
+    )
+    big = fact.select(hot.cast("long").alias("k"), "value")
+    dim = (
+        big.select("k")
+        .distinct()
+        .withColumn("bucket", (F.col("k") % 7).cast("long"))
+    )
+    out = salted_join(big, dim, "k", salts=16).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    return out.select("bucket", "n", "value_sum")
+
+
+SQL_SKEW_JOIN = f"""
+WITH {_FACT_CTE},
+big AS (
+  SELECT CASE WHEN stream_id % 10 != 0 THEN 0 ELSE stream_id END AS k, value
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+),
+dim AS (SELECT DISTINCT k, k % 7 AS bucket FROM big)
+SELECT bucket, count(*) AS n, round(sum(value), 2) AS value_sum
+FROM big JOIN dim USING (k)
+GROUP BY bucket
+"""
+
+REGISTRY["skew_join"] = (q_skew_join, SQL_SKEW_JOIN)

@@ -194,3 +194,22 @@ def test_salted_agg_equals_direct(spark):
         assert salted[k].v_count == direct[k].c
         assert salted[k].v_sum == pytest.approx(direct[k].s)
         assert salted[k].v_min == direct[k].mn and salted[k].v_max == direct[k].mx
+
+
+def test_salted_join_matches_plain_join(spark):
+    from nntsc_spark.operators.sessions import salted_join
+
+    big = spark.createDataFrame(
+        [(0, float(i)) for i in range(500)] + [(7, 1.0), (9, 2.0)],
+        "k long, value double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "hot"), (7, "seven")], "k long, name string"
+    )
+    plain = big.join(dim, "k").orderBy("k", "value").collect()
+    salted = salted_join(big, dim, "k", salts=8).orderBy("k", "value").collect()
+    assert salted == plain
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, dim, "k", salts=8, how="left")
+    assert left.where("k = 9").count() == 1
+    assert left.count() == big.count()
