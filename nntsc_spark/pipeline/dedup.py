@@ -105,22 +105,25 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
 def lsh_bands(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
     """Band the signature: band b hash = md5(mh[b*rows] || ',' || ...).
 
+    One explode over an inline (band, band_hash) array rather than a
+    bands-way UNION of projections: the union form re-evaluates the
+    signature aggregate per branch (bands x the minhash groupBy), while the
+    explode reads it once and widens rows map-side.
+
     Output: (doc_id, band, band_hash).
     """
-    parts = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sigs.select(
-                "doc_id",
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("_e")
+    ).select("doc_id", "_e.band", "_e.band_hash")
 
 
 def candidate_pairs(banded: DataFrame) -> DataFrame:
