@@ -306,3 +306,190 @@ FROM raw
 """
 
 REGISTRY["ingest_fastping"] = (q_ingest_fastping, SQL_INGEST_FASTPING)
+
+
+def q_ingest_smokeping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 seconds->ms conversion through the REAL smokeping transform:
+    round(x*1000, 6) on median and every ping slot, NULL slots kept in
+    position, pingsent = slot count, lossrate tri-state."""
+    from ..ingest.rrd_smokeping import process_smokeping
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    raw = fact.select(
+        F.concat(F.lit("sp"), (sid % 3).cast("string"), F.lit(".rrd")).alias(
+            "filename"
+        ),
+        F.lit("smokesrv").alias("source"),
+        F.concat(F.lit("h"), (sid % 3).cast("string")).alias("host"),
+        F.lit("ipv4").alias("family"),
+        F.lit(300).cast("long").alias("minres"),
+        F.lit(1008).cast("long").alias("highrows"),
+        F.col("timestamp"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .when(F.col("event_type") == "signup", F.lit(20.0))
+        .otherwise((F.floor(F.col("value")) % 5).cast("double"))
+        .alias("loss"),
+        F.when(F.col("event_type") != "error", F.col("value") / 1000).alias(
+            "median"
+        ),
+        F.when(F.col("event_type") == "signup", F.array().cast("array<double>"))
+        .when(F.col("event_type") == "error", F.lit(None).cast("array<double>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda i: F.when(
+                    (sid + i) % 7 != 0,
+                    F.col("value") / 1000 + i.cast("double") * 0.001,
+                ),
+            )
+        )
+        .alias("pings"),
+    )
+    out = process_smokeping(raw)
+    return out.select(
+        "filename",
+        "timestamp",
+        "loss",
+        "pingsent",
+        F.col("median").alias("median_ms"),
+        F.round("lossrate", 4).alias("lossrate"),
+        F.round(F.get("pings", 0), 6).alias("ping_first"),
+        F.round(F.get("pings", 19), 6).alias("ping_last"),
+        F.when(
+            F.col("pings").isNotNull(),
+            F.size(F.filter("pings", lambda x: x.isNull())),
+        ).alias("n_null_pings"),
+    )
+
+
+SQL_INGEST_SMOKEPING = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+raw AS (
+  SELECT 'sp' || CAST(stream_id % 3 AS VARCHAR) || '.rrd' AS filename,
+         timestamp, stream_id, event_type, value
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+)
+SELECT filename, timestamp,
+       CASE WHEN event_type = 'error' THEN NULL
+            WHEN event_type = 'signup' THEN 20
+            ELSE CAST(floor(value) % 5 AS BIGINT) END AS loss,
+       CASE WHEN event_type = 'signup' THEN 0
+            WHEN event_type = 'error' THEN 0
+            ELSE 20 END AS pingsent,
+       CASE WHEN event_type != 'error'
+            THEN round((value / 1000) * 1000, 6) END AS median_ms,
+       round(CASE WHEN event_type NOT IN ('error', 'signup')
+                  THEN CAST(floor(value) % 5 AS BIGINT) / 20.0
+             END, 4) AS lossrate,
+       CASE WHEN event_type NOT IN ('error', 'signup') AND stream_id % 7 != 0
+            THEN round((value / 1000 + 0 * 0.001) * 1000, 6) END AS ping_first,
+       CASE WHEN event_type NOT IN ('error', 'signup')
+                 AND (stream_id + 19) % 7 != 0
+            THEN round((value / 1000 + 19 * 0.001) * 1000, 6) END AS ping_last,
+       CASE WHEN event_type = 'signup' THEN 0
+            WHEN event_type = 'error' THEN NULL
+            ELSE len(list_filter(generate_series(0, 19),
+                                 i -> (stream_id + i) % 7 = 0)) END
+         AS n_null_pings
+FROM raw
+"""
+
+REGISTRY["ingest_smokeping"] = (q_ingest_smokeping, SQL_INGEST_SMOKEPING)
+
+
+def q_ingest_tcpping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """amp_tcpping.py:128-175 through the REAL tcpping transform: per-batch
+    integer median, icmperrors = count of non-zero icmptypes, rtt array
+    padded with NULLs for losses THEN for icmp errors."""
+    from ..ingest.amp_tcpping import process_tcpping
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        (F.col("timestamp") - F.col("timestamp") % HOUR).alias("timestamp"),
+        F.when(
+            ~F.col("event_type").isin("error", "signup"),
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("rtt"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("loss"),
+        F.lit(False).alias("random"),
+        F.concat(F.lit("tp"), (sid % 5).cast("string")).alias("target"),
+        F.when(
+            sid % 2 == 0,
+            F.concat(F.lit("192.0.2."), sid.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
+        .alias("address"),
+        F.lit(64).cast("long").alias("packet_size"),
+        (80 + sid % 3).cast("long").alias("port"),
+        F.when(F.col("event_type") == "signup", 3)
+        .otherwise(0)
+        .cast("long")
+        .alias("icmptype"),
+    )
+    out = process_tcpping(raw)
+    rtts_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("rtts"), lambda x: F.coalesce(x.cast("string"), F.lit("null"))
+        ),
+    )
+    return out.select(
+        "destination",
+        "port",
+        "family",
+        "timestamp",
+        "median",
+        "loss",
+        "icmperrors",
+        "results",
+        F.round("lossrate", 4).alias("lossrate"),
+        rtts_str.alias("rtts_str"),
+    )
+
+
+SQL_INGEST_TCPPING = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+raw AS (
+  SELECT timestamp - (timestamp % {HOUR}) AS timestamp,
+         CASE WHEN event_type NOT IN ('error', 'signup')
+              THEN CAST(floor(value * 100) AS BIGINT) END AS rtt,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS loss,
+         'tp' || CAST(stream_id % 5 AS VARCHAR) AS destination,
+         CAST(80 + stream_id % 3 AS VARCHAR) AS port,
+         CASE WHEN stream_id % 2 = 0 THEN 'ipv4' ELSE 'ipv6' END AS family,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS icmperr
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+), agg AS (
+  SELECT destination, port, family, timestamp,
+         list(rtt ORDER BY rtt) FILTER (WHERE rtt IS NOT NULL) AS sorted_rtts,
+         sum(loss) AS loss,
+         sum(icmperr) AS icmperrors,
+         sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0 THEN 1 END)
+           AS results
+  FROM raw
+  GROUP BY destination, port, family, timestamp
+)
+SELECT destination, port, family, timestamp,
+       CASE WHEN len(sorted_rtts) = 0 THEN NULL
+            WHEN len(sorted_rtts) % 2 = 1
+              THEN sorted_rtts[len(sorted_rtts) // 2 + 1]
+            ELSE (sorted_rtts[len(sorted_rtts) // 2]
+                  + sorted_rtts[len(sorted_rtts) // 2 + 1]) // 2
+       END AS median,
+       loss, icmperrors, results,
+       round(CASE WHEN results IS NOT NULL AND results != 0
+                  THEN loss / CAST(results AS DOUBLE) END, 4) AS lossrate,
+       ltrim(coalesce(array_to_string(sorted_rtts, ','), '')
+             || repeat(',null', CAST(CASE WHEN loss > 0 THEN loss ELSE 0 END AS BIGINT))
+             || repeat(',null', CAST(CASE WHEN icmperrors > 0 THEN icmperrors ELSE 0 END AS BIGINT)),
+             ',') AS rtts_str
+FROM agg
+"""
+
+REGISTRY["ingest_tcpping"] = (q_ingest_tcpping, SQL_INGEST_TCPPING)
