@@ -250,3 +250,53 @@ def test_kafka_envelope_decode_feeds_ingest(spark, tmp_path):
     # reader config is constructible without the connector jar
     reader = kafka_raw_stream(spark, "broker:9092", "nntsc-amp")
     assert reader is not None
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: an open session survives the
+    micro-batch boundary and only closes when a later event exceeds the
+    gap; closed sessions match the batch operator's numbers."""
+    from nntsc_spark.streaming.sessions import streaming_sessionize
+
+    src = tmp_path / "events"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    out = tmp_path / "sessions"
+    schema = "stream_id long, timestamp long, value double"
+
+    def run_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ("stream_id", "timestamp", "value"), r))) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            streaming_sessionize(stream, timeout=100)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: stream 1 has a closed session (gap 500 > 100) + an open one
+    run_batch("b1.json", [(1, 1000, 1.0), (1, 1050, 2.0), (1, 1600, 3.0),
+                          (2, 1000, 5.0)])
+    first = spark.read.parquet(str(out)).collect()
+    assert len(first) == 1
+    s = first[0]
+    assert (s.stream_id, s.session_start, s.session_end, s.n_events,
+            s.value_sum) == (1, 1000, 1050, 2, 3.0)
+
+    # batch 2: stream 1's open session (started 1600) extends then closes;
+    # stream 2's open session closes too
+    run_batch("b2.json", [(1, 1650, 4.0), (1, 9000, 9.0), (2, 5000, 6.0)])
+    rows = {(r.stream_id, r.session_start): r
+            for r in spark.read.parquet(str(out)).collect()}
+    assert len(rows) == 3
+    s1 = rows[(1, 1600)]
+    assert (s1.session_end, s1.n_events, s1.value_sum) == (1650, 2, 7.0)
+    s2 = rows[(2, 1000)]
+    assert (s2.session_end, s2.n_events, s2.value_sum) == (1000, 1, 5.0)
