@@ -493,3 +493,241 @@ FROM agg
 """
 
 REGISTRY["ingest_tcpping"] = (q_ingest_tcpping, SQL_INGEST_TCPPING)
+
+
+EMPTY_HOPS = "array<struct<address:string,rtt:bigint,asn:bigint>>"
+
+
+def q_ingest_pathlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/F7 through the REAL pathlen transform: half-step markers for
+    incomplete paths (empty -> 0.5, trailing unresponsive hops ->
+    length + 0.5 - trailing) and per-batch modal length with
+    smallest-length tie-break (amp_traceroute_pathlen.py:63-155).
+
+    Derivation: path shape varies per event (n = 1 + floor(value*100)%5
+    hops, t = min(floor(value*10)%3, n) trailing NULL hops; 'error'
+    events have no path, 'signup' events an empty path) so each batch
+    genuinely votes among several candidate lengths.
+    """
+    from ..ingest.amp_traceroute_pathlen import process_pathlen
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    n = (F.lit(1).cast("long") + F.floor(F.col("value") * 100) % 5).alias("n")
+    t = F.least(F.floor(F.col("value") * 10) % 3, n)
+    real_part = F.when(
+        (n - t) > 0,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), n - t),
+            lambda i: F.concat(F.lit("hop"), i.cast("string")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    null_part = F.when(
+        t > 0,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), t),
+            lambda i: F.lit(None).cast("string"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        (F.col("timestamp") - F.col("timestamp") % HOUR).alias("timestamp"),
+        F.concat(F.lit("dst"), (sid % 5).cast("string")).alias("target"),
+        F.when(
+            sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
+        .alias("address"),
+        F.lit(60).cast("long").alias("packet_size"),
+        F.lit(False).alias("random"),
+        F.lit(1).cast("long").alias("ip"),
+        F.when(F.col("event_type") == "signup", F.lit(0).cast("long"))
+        .when(F.col("event_type") != "error", n)
+        .alias("length"),
+        F.when(
+            F.col("event_type") == "signup", F.array().cast("array<string>")
+        )
+        .when(F.col("event_type") != "error", F.concat(real_part, null_part))
+        .alias("path"),
+    )
+    out = process_pathlen(raw)
+    return out.select(
+        "source",
+        "destination",
+        "family",
+        "packet_size",
+        "timestamp",
+        F.col("path_length").cast("double").alias("path_length"),
+        "unused",
+    )
+
+
+SQL_INGEST_PATHLEN = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+plens AS (
+  SELECT 'amp' AS source,
+         'dst' || CAST(stream_id % 5 AS VARCHAR) AS destination,
+         CASE WHEN stream_id % 2 = 0 THEN 'ipv4' ELSE 'ipv6' END AS family,
+         '60' AS packet_size,
+         timestamp - (timestamp % {HOUR}) AS timestamp,
+         CASE WHEN event_type = 'error' THEN NULL
+              WHEN event_type = 'signup' THEN 0.5
+              WHEN least(CAST(floor(value * 10) AS BIGINT) % 3,
+                         1 + CAST(floor(value * 100) AS BIGINT) % 5) > 0
+                THEN (1 + CAST(floor(value * 100) AS BIGINT) % 5) + 0.5
+                     - least(CAST(floor(value * 10) AS BIGINT) % 3,
+                             1 + CAST(floor(value * 100) AS BIGINT) % 5)
+              ELSE CAST(1 + CAST(floor(value * 100) AS BIGINT) % 5 AS DOUBLE)
+         END AS plen
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+), counted AS (
+  SELECT source, destination, family, packet_size, timestamp, plen,
+         count(*) AS c
+  FROM plens
+  GROUP BY ALL
+), winner AS (
+  SELECT source, destination, family, packet_size, timestamp, plen,
+         row_number() OVER (
+           PARTITION BY source, destination, family, packet_size, timestamp
+           ORDER BY c DESC, plen ASC) AS rn
+  FROM counted WHERE plen IS NOT NULL
+)
+SELECT k.source, k.destination, k.family, k.packet_size, k.timestamp,
+       CAST(w.plen AS DOUBLE) AS path_length, TRUE AS unused
+FROM (SELECT DISTINCT source, destination, family, packet_size, timestamp
+      FROM counted) k
+LEFT JOIN (SELECT * FROM winner WHERE rn = 1) w
+  USING (source, destination, family, packet_size, timestamp)
+"""
+
+REGISTRY["ingest_pathlen"] = (q_ingest_pathlen, SQL_INGEST_PATHLEN)
+
+
+def q_ingest_astraceroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A16 through the REAL astraceroute transform: RLE AS-path encoding
+    (run merge across hop groups, trailing -1 null-AS run excluded from
+    ``responses``), dictionary interning, per-batch most-common path, and
+    the addresses/errors counters (amp_traceroute.py:588-659).
+
+    Derivation: run shape depends only on the stream key (d = stream %% 5,
+    p = parity) so every result in a batch carries the SAME AS path — the
+    most-common winner is unique and the oracle can build the RLE string
+    analytically.  Even streams repeat one ASN across both hop groups
+    (runs merge); odd streams switch ASN (two runs); d %% 3 == 0 streams
+    append an unresponsive -1 hop (trailing run trimmed from responses).
+    """
+    from ..ingest.amp_traceroute import process_astraceroute
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    d = sid % 5
+    p = sid % 2
+    a = (F.lit(100).cast("long") + d).alias("a")
+    r1 = (F.lit(1).cast("long") + d % 3).alias("r1")
+    r2 = ((d + p) % 4).alias("r2")
+    basn = F.when(p == 0, a).otherwise(a + 1)
+    errhop = d % 3 == 0
+    is_err = F.col("event_type") == "error"
+
+    def hop_group(count, prefix, asn):
+        return F.transform(
+            F.sequence(F.lit(1).cast("long"), count),
+            lambda i: F.struct(
+                F.concat(
+                    F.lit(prefix), d.cast("string"), F.lit("."), i.cast("string")
+                ).alias("address"),
+                (i * 10).cast("bigint").alias("rtt"),
+                asn.cast("bigint").alias("asn"),
+            ),
+        )
+
+    hops = F.concat(
+        hop_group(r1, "10.0.", a),
+        F.when(r2 > 0, hop_group(r2, "10.1.", basn)).otherwise(
+            F.array().cast(EMPTY_HOPS)
+        ),
+        F.when(
+            errhop,
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("address"),
+                    F.lit(None).cast("bigint").alias("rtt"),
+                    F.lit(-1).cast("bigint").alias("asn"),
+                )
+            ),
+        ).otherwise(F.array().cast(EMPTY_HOPS)),
+    )
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        (F.col("timestamp") - F.col("timestamp") % HOUR).alias("timestamp"),
+        F.concat(F.lit("dst"), d.cast("string")).alias("target"),
+        F.when(is_err, F.when(p == 0, F.lit("0.0.0.0")).otherwise(F.lit("::")))
+        .otherwise(
+            F.when(
+                p == 0, F.concat(F.lit("192.0.2."), d.cast("string"))
+            ).otherwise(F.concat(F.lit("fe80::"), d.cast("string")))
+        )
+        .alias("address"),
+        F.lit(60).cast("long").alias("packet_size"),
+        F.lit(False).alias("random"),
+        F.when(is_err, F.lit(1).cast("long")).alias("error_type"),
+        F.lit(None).cast("long").alias("error_code"),
+        F.lit(0).cast("long").alias("ip"),
+        F.lit(1).cast("long").alias("as"),
+        hops.alias("hops"),
+    )
+    out_fact, aspaths_dim = process_astraceroute(raw)
+    dim = aspaths_dim.select(
+        "aspath_id", "aspath", "aspath_length", "uniqueas", "responses"
+    )
+    out = out_fact.join(F.broadcast(dim), ["aspath_id"], "left")
+    return out.select(
+        "source",
+        "destination",
+        "family",
+        "packet_size",
+        "timestamp",
+        F.array_join("aspath", ",").alias("aspath_str"),
+        F.col("aspath_length").cast("long").alias("aspath_length"),
+        F.col("uniqueas").cast("long").alias("uniqueas"),
+        F.col("responses").cast("long").alias("responses"),
+        F.col("errors").cast("long").alias("errors"),
+        F.col("addresses").cast("long").alias("addresses"),
+    )
+
+
+SQL_INGEST_ASTRACEROUTE = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+agg AS (
+  SELECT 'amp' AS source,
+         'dst' || CAST(stream_id % 5 AS VARCHAR) AS destination,
+         CASE WHEN stream_id % 2 = 0 THEN 'ipv4' ELSE 'ipv6' END AS family,
+         '60' AS packet_size,
+         timestamp - (timestamp % {HOUR}) AS timestamp,
+         stream_id % 5 AS d, stream_id % 2 AS p,
+         sum(CASE WHEN event_type != 'error' THEN 1 END) AS addresses,
+         coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+           AS errors
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+  GROUP BY ALL
+)
+SELECT source, destination, family, packet_size, timestamp,
+       CASE WHEN p = 0
+            THEN CAST(r1 + r2 AS VARCHAR) || '.' || CAST(a AS VARCHAR)
+            ELSE CAST(r1 AS VARCHAR) || '.' || CAST(a AS VARCHAR) ||
+                 CASE WHEN r2 > 0
+                      THEN ',' || CAST(r2 AS VARCHAR) || '.'
+                           || CAST(a + 1 AS VARCHAR)
+                      ELSE '' END
+       END || CASE WHEN d % 3 = 0 THEN ',1.-1' ELSE '' END AS aspath_str,
+       CAST(r1 + r2 + CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS aspath_length,
+       CAST(CASE WHEN p = 0 OR r2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS uniqueas,
+       CAST(r1 + r2 AS BIGINT) AS responses,
+       CAST(errors AS BIGINT) AS errors,
+       CAST(addresses AS BIGINT) AS addresses
+FROM (SELECT *, 100 + d AS a, 1 + d % 3 AS r1, (d + p) % 4 AS r2 FROM agg)
+"""
+
+REGISTRY["ingest_astraceroute"] = (q_ingest_astraceroute, SQL_INGEST_ASTRACEROUTE)
