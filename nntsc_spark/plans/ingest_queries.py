@@ -731,3 +731,150 @@ FROM (SELECT *, 100 + d AS a, 1 + d % 3 AS r1, (d + p) % 4 AS r2 FROM agg)
 """
 
 REGISTRY["ingest_astraceroute"] = (q_ingest_astraceroute, SQL_INGEST_ASTRACEROUTE)
+
+
+def q_ingest_udpstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-family projection through the REAL udpstream transform
+    (amp_udpstream.py:140-190): target->destination and
+    packets_received->packets_recvd renames, unused=True pad, and pruning
+    of columns outside the declared schema (junkcol must vanish)."""
+    from ..ingest.simple import process_udpstream
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    v = F.floor(F.col("value") * 100)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("dst"), (sid % 4).cast("string")).alias("target"),
+        F.when(
+            sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
+        .alias("address"),
+        F.when(sid % 2 == 0, F.lit("out")).otherwise(F.lit("in")).alias(
+            "direction"
+        ),
+        F.lit(100).cast("long").alias("packet_size"),
+        F.lit(20000).cast("long").alias("packet_spacing"),
+        F.lit(11).cast("long").alias("packet_count"),
+        F.lit("Default").alias("dscp"),
+        v.alias("mean_rtt"),
+        (v % 50).alias("mean_jitter"),
+        (v % 10).alias("min_jitter"),
+        (v % 200).alias("max_jitter"),
+        *[
+            (v % 100 + F.lit(p).cast("long")).alias(f"jitter_percentile_{p}")
+            for p in range(10, 101, 10)
+        ],
+        F.lit(11).cast("long").alias("packets_sent"),
+        (F.lit(11).cast("long") - v % 3).alias("packets_received"),
+        F.round((v % 500).cast("double") / 100.0, 4).alias("itu_mos"),
+        F.round((v % 3).cast("double") / 11.0, 4).alias("lossrate"),
+        F.lit("DROP ME").alias("junkcol"),
+    )
+    out = process_udpstream(raw)
+    assert "junkcol" not in out.columns and "packets_recvd" in out.columns
+    return out.select(
+        "source",
+        "destination",
+        "address",
+        "direction",
+        "dscp",
+        "timestamp",
+        "mean_rtt",
+        "mean_jitter",
+        "max_jitter",
+        "jitter_percentile_10",
+        "jitter_percentile_100",
+        "packets_sent",
+        "packets_recvd",
+        "itu_mos",
+        "lossrate",
+        "unused",
+    )
+
+
+SQL_INGEST_UDPSTREAM = f"""
+WITH fact AS ({EVENTS_FACT_SQL})
+SELECT 'amp' AS source,
+       'dst' || CAST(stream_id % 4 AS VARCHAR) AS destination,
+       CASE WHEN stream_id % 2 = 0
+            THEN '192.0.2.' || CAST(stream_id AS VARCHAR)
+            ELSE 'fe80::' || CAST(stream_id AS VARCHAR) END AS address,
+       CASE WHEN stream_id % 2 = 0 THEN 'out' ELSE 'in' END AS direction,
+       'Default' AS dscp,
+       timestamp,
+       CAST(floor(value * 100) AS BIGINT) AS mean_rtt,
+       CAST(floor(value * 100) AS BIGINT) % 50 AS mean_jitter,
+       CAST(floor(value * 100) AS BIGINT) % 200 AS max_jitter,
+       CAST(floor(value * 100) AS BIGINT) % 100 + 10 AS jitter_percentile_10,
+       CAST(floor(value * 100) AS BIGINT) % 100 + 100 AS jitter_percentile_100,
+       CAST(11 AS BIGINT) AS packets_sent,
+       11 - CAST(floor(value * 100) AS BIGINT) % 3 AS packets_recvd,
+       round((CAST(floor(value * 100) AS BIGINT) % 500) / 100.0, 4) AS itu_mos,
+       round((CAST(floor(value * 100) AS BIGINT) % 3) / 11.0, 4) AS lossrate,
+       TRUE AS unused
+FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+"""
+
+REGISTRY["ingest_udpstream"] = (q_ingest_udpstream, SQL_INGEST_UDPSTREAM)
+
+
+def q_ingest_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-family projection through the REAL http transform
+    (amp_http.py:94-130): boolean stream properties, no unused pad."""
+    from ..ingest.simple import process_http
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    v = F.floor(F.col("value") * 100)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("http://site"), (sid % 6).cast("string"), F.lit("/")).alias(
+            "target"
+        ),
+        F.lit(24).cast("long").alias("max_connections"),
+        F.lit(8).cast("long").alias("max_connections_per_server"),
+        F.lit(2).cast("long").alias("max_persistent_connections_per_server"),
+        F.lit(4).cast("long").alias("pipelining_max_requests"),
+        (sid % 2 == 0).alias("persist"),
+        F.lit(False).alias("pipelining"),
+        (sid % 3 == 0).alias("caching"),
+        (F.lit(1).cast("long") + v % 5).alias("server_count"),
+        (F.lit(1).cast("long") + v % 40).alias("object_count"),
+        v.alias("duration"),
+        (v * 117).alias("bytes"),
+    )
+    out = process_http(raw)
+    return out.select(
+        "source",
+        "destination",
+        "persist",
+        "pipelining",
+        "caching",
+        "timestamp",
+        "server_count",
+        "object_count",
+        "duration",
+        "bytes",
+    )
+
+
+SQL_INGEST_HTTP = f"""
+WITH fact AS ({EVENTS_FACT_SQL})
+SELECT 'amp' AS source,
+       'http://site' || CAST(stream_id % 6 AS VARCHAR) || '/' AS destination,
+       stream_id % 2 = 0 AS persist,
+       FALSE AS pipelining,
+       stream_id % 3 = 0 AS caching,
+       timestamp,
+       1 + CAST(floor(value * 100) AS BIGINT) % 5 AS server_count,
+       1 + CAST(floor(value * 100) AS BIGINT) % 40 AS object_count,
+       CAST(floor(value * 100) AS BIGINT) AS duration,
+       CAST(floor(value * 100) AS BIGINT) * 117 AS bytes
+FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+"""
+
+REGISTRY["ingest_http"] = (q_ingest_http, SQL_INGEST_HTTP)
