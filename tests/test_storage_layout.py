@@ -1,0 +1,92 @@
+"""File-skipping evidence for the Z-order fact layout.
+
+The linear (stream_id, timestamp) within-partition sort (storage.write_fact)
+gives tight per-file stream_id stats but each file spans nearly the whole
+day in time — a sub-day time predicate must open every file.  The Z-order
+layout (storage.write_fact_zorder) interleaves stream and time bits so per-
+file footer stats are tight on BOTH columns.  This test measures real
+parquet footer min/max stats with pyarrow: no timing, fully deterministic.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from nntsc_spark.storage import write_fact, write_fact_zorder, zorder_key
+
+DAY = 86400
+T0 = 1_700_000_000 - (1_700_000_000 % DAY)
+N_STREAMS = 64
+PER_STREAM = 200  # measurements per stream over the day
+
+
+def _fact(spark):
+    # one day of data: every stream measured across the full day
+    rows = spark.range(N_STREAMS * PER_STREAM)
+    return rows.select(
+        (F.col("id") % N_STREAMS).alias("stream_id"),
+        (F.lit(T0) + (F.col("id") / N_STREAMS).cast("long") * (DAY // PER_STREAM)
+         ).alias("timestamp"),
+        (F.col("id") % 997).cast("double").alias("value"),
+    )
+
+
+def _file_stats(path: str, col: str) -> list[tuple[int, int]]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/date=*/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def _files_matching(stats: list[tuple[int, int]], lo: int, hi: int) -> int:
+    return sum(1 for (mn, mx) in stats if not (mx < lo or mn > hi))
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    df = _fact(spark)
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zorder")
+    # equal file counts so the comparison is fair
+    write_fact(df.repartition(8, "stream_id"), linear, mode="overwrite")
+    write_fact_zorder(df, zordered, mode="overwrite", num_ranges=8)
+
+    # same rows either way
+    n_lin = spark.read.parquet(linear).count()
+    n_z = spark.read.parquet(zordered).count()
+    assert n_lin == n_z == N_STREAMS * PER_STREAM
+
+    # predicate 1: one stream -> both layouts must skip most files
+    lin_stream = _file_stats(linear, "stream_id")
+    z_stream = _file_stats(zordered, "stream_id")
+    assert _files_matching(lin_stream, 7, 7) <= len(lin_stream) // 2
+    assert _files_matching(z_stream, 7, 7) <= len(z_stream) // 2
+
+    # predicate 2: a 90-minute slice of the day
+    t_lo, t_hi = T0 + 6 * 3600, T0 + 6 * 3600 + 5400
+    lin_time = _file_stats(linear, "timestamp")
+    z_time = _file_stats(zordered, "timestamp")
+    # linear layout: every file spans ~the whole day -> no time skipping
+    assert _files_matching(lin_time, t_lo, t_hi) == len(lin_time)
+    # z-order: the slice lives in at most half the files (measured: 3/8)
+    assert _files_matching(z_time, t_lo, t_hi) <= len(z_time) // 2
+
+
+def test_zorder_key_orders_locally(spark):
+    # key is monotone in each dimension when the other is fixed
+    df = spark.createDataFrame(
+        [(1, T0), (1, T0 + 64), (2, T0), (2, T0 + 64)],
+        "stream_id long, timestamp long",
+    ).withColumn(
+        "z", zorder_key(stream_range=(0, 3), ts_range=(T0, T0 + 64))
+    )
+    rows = {(r.stream_id, r.timestamp): r.z for r in df.collect()}
+    assert rows[(1, T0)] < rows[(1, T0 + 64)]
+    assert rows[(1, T0)] < rows[(2, T0)]
+    assert all(z >= 0 for z in rows.values())
