@@ -89,8 +89,9 @@ raw AS (
          CASE WHEN contains(address, '.') THEN 'ipv4' ELSE 'ipv6' END AS family,
          '84' AS packet_size, timestamp,
          list(rtt ORDER BY rtt) FILTER (WHERE rtt IS NOT NULL) AS sorted_rtts,
-         sum(loss) AS loss,
-         sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0 THEN 1 END)
+         CAST(sum(loss) AS BIGINT) AS loss,
+         CAST(sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0
+                       THEN 1 END) AS BIGINT)
            AS results
   FROM raw
   GROUP BY source, destination, family, packet_size, timestamp
@@ -468,9 +469,10 @@ raw AS (
 ), agg AS (
   SELECT destination, port, family, timestamp,
          list(rtt ORDER BY rtt) FILTER (WHERE rtt IS NOT NULL) AS sorted_rtts,
-         sum(loss) AS loss,
-         sum(icmperr) AS icmperrors,
-         sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0 THEN 1 END)
+         CAST(sum(loss) AS BIGINT) AS loss,
+         CAST(sum(icmperr) AS BIGINT) AS icmperrors,
+         CAST(sum(CASE WHEN (rtt IS NOT NULL AND rtt != 0) OR loss != 0
+                       THEN 1 END) AS BIGINT)
            AS results
   FROM raw
   GROUP BY destination, port, family, timestamp

@@ -217,7 +217,8 @@ WITH toks AS (
   SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 

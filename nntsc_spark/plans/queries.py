@@ -278,7 +278,7 @@ rollup AS (
 )
 SELECT nntsclabel, max(ts) AS timestamp, min(binstart) AS binstart,
        round(sum(sum_v), 4) AS sum_value,
-       sum(n) AS count_value,
+       CAST(sum(n) AS BIGINT) AS count_value,
        round(max(max_v), 4) AS max_value,
        round(min(min_v), 4) AS min_value,
        round(sum(mean_v * n) / sum(n), 4) AS avg_value,

@@ -79,10 +79,25 @@ def main() -> int:
         if name not in oracles:
             print(status_parts[0] + "  (no oracle — rows-only)")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        rel = con.sql(oracles[name])
+        # The driver normalizes through pandas: DuckDB HUGEINT/DECIMAL
+        # columns come out as float64/object there and hash-mismatch even
+        # when values are numerically identical.  Flag them outright.
+        bad_types = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in {
+                "VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "FLOAT",
+                "BOOLEAN", "DATE", "TIMESTAMP", "VARCHAR[]", "BIGINT[]",
+                "DOUBLE[]",
+            }
+        ]
+        ocols = rel.columns
+        orows = rel.fetchall()
         ok = True
+        if bad_types:
+            failures.append((name, f"oracle emits driver-hostile types: {bad_types}"))
+            ok = False
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"columns differ: spark={sorted(scols)} duck={sorted(ocols)}"))
             ok = False
