@@ -1,11 +1,14 @@
-"""Direct-mapping ingest transforms: http, youtube, udpstream, sip, external.
+"""Direct-mapping ingest transforms: http and youtube.
 
-These reference parsers emit one fact row per result with straight column
-copies (and an ``unused=True`` pad where the schema declares it):
-amp_http.py:94-130, amp_youtube.py:90-120, amp_udpstream.py:140-190,
-amp_sip.py:120-190, amp_external.py:80-110.  The transforms are thin
-projections; stream identity comes from each collection's unique columns
-(see ``nntsc_spark.schemas``).
+These two reference parsers emit one fact row per message with straight
+column copies (amp_http.py:94-130, amp_youtube.py:90-120) — the transforms
+are thin projections; stream identity comes from each collection's unique
+columns (see ``nntsc_spark.schemas``).
+
+The families with nested per-result payloads live in their own modules:
+``amp_udpstream`` (per-direction explosion + percentile resample),
+``amp_sip`` (rx/tx fan-out), ``amp_external`` (result explosion +
+destination fallback).
 """
 
 from __future__ import annotations
@@ -36,21 +39,14 @@ def process_http(raw: DataFrame) -> DataFrame:
 
 
 def process_youtube(raw: DataFrame) -> DataFrame:
-    return _project(raw, "amp-youtube", {"target": "destination"}, pad_unused=False)
-
-
-def process_udpstream(raw: DataFrame) -> DataFrame:
+    """amp_youtube.py:110-130 _mangle_result: AMPsave names ``video`` /
+    ``requested_quality`` map onto ``destination`` / ``quality``; the
+    renames only fire when the source column is present, so already-mangled
+    input passes through (the reference's ``in`` checks, amp_youtube.py:87-96).
+    """
     return _project(
         raw,
-        "amp-udpstream",
-        {"target": "destination", "packets_received": "packets_recvd"},
-        pad_unused=True,
+        "amp-youtube",
+        {"video": "destination", "requested_quality": "quality"},
+        pad_unused=False,
     )
-
-
-def process_sip(raw: DataFrame) -> DataFrame:
-    return _project(raw, "amp-sip", {"target": "destination"}, pad_unused=True)
-
-
-def process_external(raw: DataFrame) -> DataFrame:
-    return _project(raw, "amp-external", {"target": "destination"}, pad_unused=False)
