@@ -736,88 +736,119 @@ REGISTRY["ingest_astraceroute"] = (q_ingest_astraceroute, SQL_INGEST_ASTRACEROUT
 
 
 def q_ingest_udpstream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple-family projection through the REAL udpstream transform
-    (amp_udpstream.py:140-190): target->destination and
-    packets_received->packets_recvd renames, unused=True pad, and pruning
-    of columns outside the declared schema (junkcol must vanish)."""
-    from ..ingest.simple import process_udpstream
+    """Nested-result explosion through the REAL udpstream transform
+    (amp_udpstream.py:140-205): each raw message carries a results array
+    with one struct per direction; the transform emits one fact row per
+    entry.  The fixture exercises every branch: NULL rtt/jitter/voip
+    structs (NULL field propagation), NULL packets_received (packets_sent
+    gating, amp_udpstream.py:166-173), and percentile arrays of length
+    0 (all NULL), 1..9 (index resample floor(k*n/10)) and 10..11 (first
+    ten verbatim, amp_udpstream.py:184-205).  Columns outside the declared
+    schema are pruned (junkcol must vanish)."""
+    from ..ingest.amp_udpstream import process_udpstream
 
     fact = events_fact(spark, sf_dir, START, STOP)
     sid = F.col("stream_id")
     v = F.floor(F.col("value") * 100)
+
+    def entry(d: int):
+        w = v + F.lit(d)
+        n = (w % 12).cast("int")
+        base = w % 90
+        return F.struct(
+            F.lit("out" if d == 0 else "in").alias("direction"),
+            F.when(w % 5 != 0, F.struct(w.alias("mean"))).alias("rtt"),
+            F.when(
+                w % 6 != 0,
+                F.struct(
+                    (w % 50).alias("mean"),
+                    (w % 10).alias("minimum"),
+                    (w % 200).alias("maximum"),
+                ),
+            ).alias("jitter"),
+            F.when(w % 7 != 0, F.lit(11).cast("long") - w % 3).alias(
+                "packets_received"
+            ),
+            F.round((w % 3).cast("double") / 11.0, 4).alias("loss_percent"),
+            F.when(
+                w % 4 != 0,
+                F.struct(
+                    F.round((w % 500).cast("double") / 100.0, 4).alias("itu_mos")
+                ),
+            ).alias("voip"),
+            F.when(
+                n > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n), lambda i: (base + i * 7).cast("long")
+                ),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("percentiles"),
+        )
+
     raw = fact.select(
         F.lit("amp").alias("source"),
         F.col("timestamp"),
         F.concat(F.lit("dst"), (sid % 4).cast("string")).alias("target"),
-        F.when(
-            sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string"))
-        )
+        F.when(sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string")))
         .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
         .alias("address"),
-        F.when(sid % 2 == 0, F.lit("out")).otherwise(F.lit("in")).alias(
-            "direction"
-        ),
         F.lit(100).cast("long").alias("packet_size"),
         F.lit(20000).cast("long").alias("packet_spacing"),
         F.lit(11).cast("long").alias("packet_count"),
         F.lit("Default").alias("dscp"),
-        v.alias("mean_rtt"),
-        (v % 50).alias("mean_jitter"),
-        (v % 10).alias("min_jitter"),
-        (v % 200).alias("max_jitter"),
-        *[
-            (v % 100 + F.lit(p).cast("long")).alias(f"jitter_percentile_{p}")
-            for p in range(10, 101, 10)
-        ],
-        F.lit(11).cast("long").alias("packets_sent"),
-        (F.lit(11).cast("long") - v % 3).alias("packets_received"),
-        F.round((v % 500).cast("double") / 100.0, 4).alias("itu_mos"),
-        F.round((v % 3).cast("double") / 11.0, 4).alias("lossrate"),
+        F.array(entry(0), entry(1)).alias("results"),
         F.lit("DROP ME").alias("junkcol"),
     )
     out = process_udpstream(raw)
     assert "junkcol" not in out.columns and "packets_recvd" in out.columns
-    return out.select(
-        "source",
-        "destination",
-        "address",
-        "direction",
-        "dscp",
-        "timestamp",
-        "mean_rtt",
-        "mean_jitter",
-        "max_jitter",
-        "jitter_percentile_10",
-        "jitter_percentile_100",
-        "packets_sent",
-        "packets_recvd",
-        "itu_mos",
-        "lossrate",
-        "unused",
-    )
+    return out
 
+
+# one CASE per jitter_percentile bucket: >=10 elements -> verbatim index
+# k+1; 1..9 -> resampled index floor(k*n/10)+1; 0 -> NULL.  Element i of the
+# fixture array is pbase + i*7, so element access is closed-form in SQL.
+_PCT_SQL = ",\n       ".join(
+    f"CASE WHEN n >= 10 THEN pbase + {(k + 1) * 7} "
+    f"WHEN n > 0 THEN pbase + ((({k} * n) // 10) + 1) * 7 "
+    f"END AS jitter_percentile_{(k + 1) * 10}"
+    for k in range(10)
+)
 
 SQL_INGEST_UDPSTREAM = f"""
-WITH fact AS ({EVENTS_FACT_SQL})
+WITH fact AS ({EVENTS_FACT_SQL}),
+base AS (
+  SELECT stream_id, timestamp, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+),
+ex AS (
+  SELECT stream_id, timestamp, v + d AS w,
+         (v + d) % 12 AS n, (v + d) % 90 AS pbase,
+         CASE WHEN d = 0 THEN 'out' ELSE 'in' END AS direction
+  FROM base CROSS JOIN (VALUES (0), (1)) AS dirs(d)
+)
 SELECT 'amp' AS source,
        'dst' || CAST(stream_id % 4 AS VARCHAR) AS destination,
        CASE WHEN stream_id % 2 = 0
             THEN '192.0.2.' || CAST(stream_id AS VARCHAR)
             ELSE 'fe80::' || CAST(stream_id AS VARCHAR) END AS address,
-       CASE WHEN stream_id % 2 = 0 THEN 'out' ELSE 'in' END AS direction,
+       direction,
+       CAST(100 AS BIGINT) AS packet_size,
+       CAST(20000 AS BIGINT) AS packet_spacing,
+       CAST(11 AS BIGINT) AS packet_count,
        'Default' AS dscp,
        timestamp,
-       CAST(floor(value * 100) AS BIGINT) AS mean_rtt,
-       CAST(floor(value * 100) AS BIGINT) % 50 AS mean_jitter,
-       CAST(floor(value * 100) AS BIGINT) % 200 AS max_jitter,
-       CAST(floor(value * 100) AS BIGINT) % 100 + 10 AS jitter_percentile_10,
-       CAST(floor(value * 100) AS BIGINT) % 100 + 100 AS jitter_percentile_100,
-       CAST(11 AS BIGINT) AS packets_sent,
-       11 - CAST(floor(value * 100) AS BIGINT) % 3 AS packets_recvd,
-       round((CAST(floor(value * 100) AS BIGINT) % 500) / 100.0, 4) AS itu_mos,
-       round((CAST(floor(value * 100) AS BIGINT) % 3) / 11.0, 4) AS lossrate,
+       CASE WHEN w % 5 != 0 THEN w END AS mean_rtt,
+       CASE WHEN w % 6 != 0 THEN w % 50 END AS mean_jitter,
+       CASE WHEN w % 6 != 0 THEN w % 10 END AS min_jitter,
+       CASE WHEN w % 6 != 0 THEN w % 200 END AS max_jitter,
+       {_PCT_SQL},
+       CASE WHEN w % 7 != 0 THEN CAST(11 AS BIGINT) END AS packets_sent,
+       CASE WHEN w % 7 != 0 THEN 11 - w % 3 END AS packets_recvd,
+       CASE WHEN w % 4 != 0 THEN round((w % 500) / 100.0, 4) END AS itu_mos,
+       round((w % 3) / 11.0, 4) AS lossrate,
        TRUE AS unused
-FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+FROM ex
 """
 
 REGISTRY["ingest_udpstream"] = (q_ingest_udpstream, SQL_INGEST_UDPSTREAM)

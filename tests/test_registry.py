@@ -1,0 +1,47 @@
+"""REGISTRY smoke test — every registered query must import and build.
+
+Round-2 shipped a top-level ImportError in a registered query with 65/65
+green tests because nothing in tests/ imported the query REGISTRY; the
+broken entry then failed the driver's correctness gate AND crashed the
+whole bench.  This module closes that class of regression: for every
+``queries()`` entry we build the plan on sf0.001 (Spark analysis resolves
+imports, column references, and types — no execution cost), and we assert
+the oracle map stays in sync with the registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nntsc_spark.plans import queries as _q
+
+#: queries intentionally without a DuckDB oracle (non-SQL-expressible or
+#: catalog introspection) — the driver records a rows-only check for these.
+NO_ORACLE = {"multimodal_features", "catalog_collections"}
+
+REGISTRY = _q.queries()
+ORACLES = _q.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_builds(name, spark, sf_dir):
+    """Plan analysis (schema resolution) must succeed for every entry."""
+    df = REGISTRY[name](spark, sf_dir)
+    assert df.columns, f"{name} produced a zero-column plan"
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    missing = set(REGISTRY) - set(ORACLES) - NO_ORACLE
+    assert not missing, f"queries without oracle SQL: {sorted(missing)}"
+
+
+def test_no_orphan_oracles():
+    orphans = set(ORACLES) - set(REGISTRY)
+    assert not orphans, f"oracle SQL without a query: {sorted(orphans)}"
+
+
+def test_oracle_sql_mentions_no_hostile_types():
+    """HUGEINT/DECIMAL survive DuckDB but break the driver's pandas
+    normalization (see round-2 fixes) — oracles must cast them away."""
+    for name, sql in ORACLES.items():
+        assert "HUGEINT" not in sql.upper(), name
