@@ -911,3 +911,247 @@ FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
 """
 
 REGISTRY["ingest_http"] = (q_ingest_http, SQL_INGEST_HTTP)
+
+
+def q_ingest_sip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rx/tx fan-out through the REAL sip transform (amp_sip.py:157-200):
+    each result row doubles into an rx and a tx fact row; shared fields
+    (response_time/connect_time/duration, rtt stats) repeat on both, the
+    packets/bytes/.../mos block comes from that direction's struct and is
+    NULL when the struct is absent (amp_sip.py:185-193).  The fixture
+    exercises NULL rtt, NULL rx, NULL tx, and NULL nested mos structs."""
+    from ..ingest.amp_sip import process_sip
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    v = F.floor(F.col("value") * 100)
+    good = v % 5 != 0
+
+    def mos(base: int, gate: int):
+        return F.when(
+            v % gate != 0,
+            F.struct(
+                F.round((v % base).cast("double") / 100.0, 4).alias("itu_mos")
+            ),
+        )
+
+    def dirstruct(mult: int, gate: int, mos_base: int, mos_gate: int):
+        return F.when(
+            v % gate != 0,
+            F.struct(
+                (v * mult).alias("packets"),
+                (v * mult * 60).alias("bytes"),
+                (v % (gate * 7)).alias("lost"),
+                (v % (gate - 3)).alias("discarded"),
+                (v % (gate - 2)).alias("reordered"),
+                (v % (gate + 3)).alias("duplicated"),
+                mos(mos_base, mos_gate).alias("mos"),
+            ),
+        )
+
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("sip:user@dst"), (sid % 4).cast("string")).alias("uri"),
+        F.array(
+            F.concat(F.lit("proxy"), (sid % 3).cast("string")),
+            F.concat(F.lit("edge"), (sid % 2).cast("string")),
+        ).alias("proxy"),
+        F.when(sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string")))
+        .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
+        .alias("address"),
+        F.lit("default.wav").alias("filename"),
+        (sid % 2 == 0).alias("repeat"),
+        F.lit(30).cast("long").alias("max_duration"),
+        F.lit("Default").alias("dscp"),
+        F.array(
+            F.struct(
+                F.when(good, v).alias("time_till_first_response"),
+                F.when(good, v + 50).alias("time_till_connected"),
+                F.when(good, v * 100).alias("duration"),
+                F.when(
+                    v % 6 != 0,
+                    F.struct(
+                        (v % 80 + 40).alias("maximum"),
+                        (v % 40).alias("minimum"),
+                        (v % 60 + 20).alias("mean"),
+                        (v % 10).alias("sd"),
+                    ),
+                ).alias("rtt"),
+                dirstruct(500, 7, 500, 9).alias("rx"),
+                dirstruct(600, 8, 400, 10).alias("tx"),
+            )
+        ).alias("results"),
+    )
+    return process_sip(raw)
+
+
+# rx gate v%7, tx gate v%8; per-direction field f(mult, gate) — mirrors the
+# fixture's dirstruct() closed-form so DuckDB needs no UNNEST.
+_SIP_DIR_SQL = ",\n       ".join(
+    "CASE WHEN direction = 'rx' AND v % 7 != 0 THEN {rx} "
+    "WHEN direction = 'tx' AND v % 8 != 0 THEN {tx} END AS {name}".format(
+        rx=rx, tx=tx, name=name
+    )
+    for name, rx, tx in [
+        ("packets", "v * 500", "v * 600"),
+        ("bytes", "v * 500 * 60", "v * 600 * 60"),
+        ("lost", "v % 49", "v % 56"),
+        ("discarded", "v % 4", "v % 5"),
+        ("reordered", "v % 5", "v % 6"),
+        ("duplicated", "v % 10", "v % 11"),
+        (
+            "mos",
+            "CASE WHEN v % 9 != 0 THEN round((v % 500) / 100.0, 4) END",
+            "CASE WHEN v % 10 != 0 THEN round((v % 400) / 100.0, 4) END",
+        ),
+    ]
+)
+
+SQL_INGEST_SIP = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+base AS (
+  SELECT stream_id, timestamp, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+),
+ex AS (
+  SELECT * FROM base CROSS JOIN (VALUES ('rx'), ('tx')) AS dirs(direction)
+)
+SELECT 'amp' AS source,
+       'sip:user@dst' || CAST(stream_id % 4 AS VARCHAR) AS destination,
+       'proxy' || CAST(stream_id % 3 AS VARCHAR) || ',edge'
+         || CAST(stream_id % 2 AS VARCHAR) AS proxy,
+       CASE WHEN stream_id % 2 = 0
+            THEN '192.0.2.' || CAST(stream_id AS VARCHAR)
+            ELSE 'fe80::' || CAST(stream_id AS VARCHAR) END AS address,
+       direction,
+       'default.wav' AS filename,
+       stream_id % 2 = 0 AS repeat,
+       CAST(30 AS BIGINT) AS max_duration,
+       'Default' AS dscp,
+       timestamp,
+       CASE WHEN v % 5 != 0 THEN v END AS response_time,
+       CASE WHEN v % 5 != 0 THEN v + 50 END AS connect_time,
+       CASE WHEN v % 5 != 0 THEN v * 100 END AS duration,
+       CASE WHEN v % 6 != 0 THEN v % 80 + 40 END AS rtt_max,
+       CASE WHEN v % 6 != 0 THEN v % 40 END AS rtt_min,
+       CASE WHEN v % 6 != 0 THEN v % 60 + 20 END AS rtt_mean,
+       CASE WHEN v % 6 != 0 THEN v % 10 END AS rtt_sd,
+       {_SIP_DIR_SQL},
+       TRUE AS unused
+FROM ex
+"""
+
+REGISTRY["ingest_sip"] = (q_ingest_sip, SQL_INGEST_SIP)
+
+
+def q_ingest_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result explosion + destination fallback through the REAL external
+    transform (amp_external.py:90-117): one fact row per results entry,
+    destination falling back to the source when NULL (amp_external.py:96-99)
+    and a nullable integer value (amp_external.py:60-62)."""
+    from ..ingest.amp_external import process_external
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    v = F.floor(F.col("value") * 100)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("cmd"), (sid % 3).cast("string")).alias("command"),
+        F.array(
+            F.struct(
+                F.when(
+                    v % 4 != 0, F.concat(F.lit("dst"), (sid % 5).cast("string"))
+                ).alias("destination"),
+                F.when(v % 5 != 0, v).alias("value"),
+            ),
+            F.struct(
+                F.when(
+                    v % 3 != 0, F.concat(F.lit("alt"), (sid % 7).cast("string"))
+                ).alias("destination"),
+                F.when(v % 7 != 0, v * 3 % 1000).alias("value"),
+            ),
+        ).alias("results"),
+    )
+    return process_external(raw)
+
+
+SQL_INGEST_EXTERNAL = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+base AS (
+  SELECT stream_id, timestamp, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+),
+ex AS (
+  SELECT * FROM base CROSS JOIN (VALUES (0), (1)) AS entries(e)
+)
+SELECT 'amp' AS source,
+       CASE WHEN e = 0 THEN
+              CASE WHEN v % 4 != 0
+                   THEN 'dst' || CAST(stream_id % 5 AS VARCHAR)
+                   ELSE 'amp' END
+            ELSE
+              CASE WHEN v % 3 != 0
+                   THEN 'alt' || CAST(stream_id % 7 AS VARCHAR)
+                   ELSE 'amp' END
+       END AS destination,
+       'cmd' || CAST(stream_id % 3 AS VARCHAR) AS command,
+       timestamp,
+       CASE WHEN e = 0 THEN CASE WHEN v % 5 != 0 THEN v END
+            ELSE CASE WHEN v % 7 != 0 THEN v * 3 % 1000 END
+       END AS value
+FROM ex
+"""
+
+REGISTRY["ingest_external"] = (q_ingest_external, SQL_INGEST_EXTERNAL)
+
+
+def q_ingest_youtube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-family projection through the REAL youtube transform
+    (amp_youtube.py:110-130 _mangle_result): AMPsave names video /
+    requested_quality map onto destination / quality, the timeline column
+    is dropped (not in the declared schema), no unused pad."""
+    from ..ingest.simple import process_youtube
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    sid = F.col("stream_id")
+    v = F.floor(F.col("value") * 100)
+    raw = fact.select(
+        F.lit("amp").alias("source"),
+        F.col("timestamp"),
+        F.concat(F.lit("video"), (sid % 8).cast("string")).alias("video"),
+        (sid % 4).cast("long").alias("requested_quality"),
+        v.alias("total_time"),
+        (v % 300).alias("pre_time"),
+        (v % 700).alias("initial_buffering"),
+        (v - v % 7).alias("playing_time"),
+        (v % 7).alias("stall_time"),
+        (v % 5).alias("stall_count"),
+        F.lit("[]").alias("timeline"),
+    )
+    out = process_youtube(raw)
+    assert "timeline" not in out.columns and "destination" in out.columns
+    return out
+
+
+SQL_INGEST_YOUTUBE = f"""
+WITH fact AS ({EVENTS_FACT_SQL}),
+base AS (
+  SELECT stream_id, timestamp, CAST(floor(value * 100) AS BIGINT) AS v
+  FROM fact WHERE timestamp >= {START} AND timestamp <= {STOP}
+)
+SELECT 'amp' AS source,
+       'video' || CAST(stream_id % 8 AS VARCHAR) AS destination,
+       CAST(stream_id % 4 AS BIGINT) AS quality,
+       timestamp,
+       v AS total_time,
+       v % 300 AS pre_time,
+       v % 700 AS initial_buffering,
+       v - v % 7 AS playing_time,
+       v % 7 AS stall_time,
+       v % 5 AS stall_count
+FROM base
+"""
+
+REGISTRY["ingest_youtube"] = (q_ingest_youtube, SQL_INGEST_YOUTUBE)

@@ -381,15 +381,18 @@ AMP_SIP = _register(
             _f("mos", DoubleType()),
             _f("unused", BooleanType(), nullable=False),
         ],
+        # amp_sip.py:59-62 uniquecolumns — includes address (and direction,
+        # which the parser appends per fanned-out row)
         unique_columns=[
             "source",
             "destination",
             "proxy",
+            "address",
+            "direction",
             "filename",
             "repeat",
             "max_duration",
             "dscp",
-            "direction",
         ],
     )
 )

@@ -336,3 +336,200 @@ def test_stream_id_upsert_and_attach(spark):
     }
     fact = attach_stream_ids(data2, streams2, ucols)
     assert fact.collect()[0]["stream_id"] == 4
+
+
+# ---------------------------------------------------------------------------
+# nested-result families: udpstream / sip / external
+# (reference tests/: UdpstreamParser_test.py, SipParser_test.py,
+#  ExternalParser_test.py)
+# ---------------------------------------------------------------------------
+
+from nntsc_spark.ingest.amp_external import process_external
+from nntsc_spark.ingest.amp_sip import process_sip
+from nntsc_spark.ingest.amp_udpstream import process_udpstream
+
+UDPSTREAM_RAW_SCHEMA = (
+    "source string, timestamp long, target string, address string, "
+    "packet_size long, packet_spacing long, packet_count long, dscp string, "
+    "results array<struct<direction: string, rtt: struct<mean: long>, "
+    "jitter: struct<mean: long, minimum: long, maximum: long>, "
+    "packets_received: long, loss_percent: double, "
+    "voip: struct<itu_mos: double>, percentiles: array<long>>>"
+)
+
+
+def test_udpstream_golden(spark):
+    # UdpstreamParser_test.py testdata: lost / good / failed
+    rows = [
+        ("amp", 0, "lost.example.com", "192.0.2.1", 60, 20000, 100, "Default",
+         [("0", None, None, 0, 100.0, None, [])]),
+        ("amp", 0, "good.example.com", "192.0.2.254", 60, 20000, 100,
+         "Default",
+         [("0", (50,), (20, 5, 40), 100, 0.0, (5.0,),
+           [10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]),
+        ("amp", 0, "doesnotexist.invalid", "0.0.0.0", 60, 20000, 21,
+         "Default",
+         [("0", None, None, None, None, None, [])]),
+    ]
+    raw = spark.createDataFrame(rows, UDPSTREAM_RAW_SCHEMA)
+    out = {r["destination"]: r.asDict() for r in process_udpstream(raw).collect()}
+
+    lost = out["lost.example.com"]
+    assert lost["lossrate"] == 100.0 and lost["packets_recvd"] == 0
+    assert lost["packets_sent"] == 100  # recvd=0 is NOT NULL -> all sent
+    assert lost["mean_rtt"] is None and lost["mean_jitter"] is None
+    assert lost["itu_mos"] is None
+    assert all(lost[f"jitter_percentile_{p}"] is None
+               for p in range(10, 101, 10))
+
+    good = out["good.example.com"]
+    assert good["mean_rtt"] == 50
+    assert (good["mean_jitter"], good["min_jitter"], good["max_jitter"]) \
+        == (20, 5, 40)
+    assert good["packets_sent"] == 100 and good["packets_recvd"] == 100
+    assert good["itu_mos"] == 5.0 and good["lossrate"] == 0.0
+    # >= 10 percentiles: first ten verbatim (amp_udpstream.py:196-205)
+    assert [good[f"jitter_percentile_{p}"] for p in range(10, 101, 10)] \
+        == [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+
+    failed = out["doesnotexist.invalid"]
+    assert failed["packets_recvd"] is None
+    assert failed["packets_sent"] is None  # NULL recvd -> none sent
+    assert failed["lossrate"] is None
+
+
+def test_udpstream_percentile_resample(spark):
+    # 1..9 percentiles resample by int(k * n/10) accumulation
+    # (amp_udpstream.py:184-195): n=3 -> indices 0,0,0,0,1,1,1,2,2,2
+    rows = [
+        ("amp", 0, "t", "192.0.2.1", 60, 20000, 10, "Default",
+         [("0", None, None, 5, 0.0, None, [7, 14, 21])]),
+    ]
+    raw = spark.createDataFrame(rows, UDPSTREAM_RAW_SCHEMA)
+    got = process_udpstream(raw).collect()[0]
+    assert [got[f"jitter_percentile_{p}"] for p in range(10, 101, 10)] \
+        == [7, 7, 7, 7, 14, 14, 14, 21, 21, 21]
+
+
+def test_udpstream_direction_explosion(spark):
+    # one message, two directions -> two fact rows sharing stream columns
+    rows = [
+        ("amp", 9, "t", "192.0.2.1", 60, 20000, 10, "Default",
+         [("0", (11,), None, 10, 0.0, None, []),
+          ("1", (22,), None, 9, 10.0, None, [])]),
+    ]
+    raw = spark.createDataFrame(rows, UDPSTREAM_RAW_SCHEMA)
+    got = {r["direction"]: r.asDict() for r in process_udpstream(raw).collect()}
+    assert set(got) == {"0", "1"}
+    assert got["0"]["mean_rtt"] == 11 and got["1"]["mean_rtt"] == 22
+    assert got["1"]["lossrate"] == 10.0
+
+
+SIP_RAW_SCHEMA = (
+    "source string, timestamp long, uri string, proxy array<string>, "
+    "address string, filename string, repeat boolean, max_duration long, "
+    "dscp string, results array<struct<time_till_first_response: long, "
+    "time_till_connected: long, duration: long, "
+    "rtt: struct<maximum: long, minimum: long, mean: long, sd: long>, "
+    "rx: struct<packets: long, bytes: long, lost: long, discarded: long, "
+    "reordered: long, duplicated: long, mos: struct<itu_mos: double>>, "
+    "tx: struct<packets: long, bytes: long, lost: long, discarded: long, "
+    "reordered: long, duplicated: long, mos: struct<itu_mos: double>>>>"
+)
+
+
+def test_sip_golden(spark):
+    # SipParser_test.py testdata: lost / good / failed; each message fans
+    # out to one rx and one tx row (amp_sip.py:169 "fake two different
+    # result blocks, one for each direction")
+    rows = [
+        ("amp", 0, "sip:user@lost.example.com", ["lost.example.com"],
+         "192.0.2.1", "default.wav", True, 30, "Default",
+         [(None, None, None, None, None, None)]),
+        ("amp", 0, "sip:user@good.example.com", ["good.example.com"],
+         "192.0.2.254", "default.wav", True, 30, "Default",
+         [(100, 150, 10000, (60, 40, 50, 3),
+           (50000, 3000000, 50, 0, 5, 10, (3.8,)),
+           (60000, 4000000, 60, 10, 15, 20, (2.8,)))]),
+        ("amp", 0, "sip:doesnotexist.invalid", ["doesnotexist.invalid"],
+         "0.0.0.0", "default.wav", True, 30, "Default",
+         [(None, None, None, None, None, None)]),
+    ]
+    raw = spark.createDataFrame(rows, SIP_RAW_SCHEMA)
+    out = process_sip(raw).collect()
+    assert len(out) == 6  # 3 messages x 2 directions
+    by_key = {(r["destination"], r["direction"]): r.asDict() for r in out}
+
+    rx = by_key[("sip:user@good.example.com", "rx")]
+    assert (rx["response_time"], rx["connect_time"], rx["duration"]) \
+        == (100, 150, 10000)
+    assert (rx["rtt_max"], rx["rtt_min"], rx["rtt_mean"], rx["rtt_sd"]) \
+        == (60, 40, 50, 3)
+    assert (rx["packets"], rx["bytes"], rx["lost"]) == (50000, 3000000, 50)
+    assert (rx["discarded"], rx["reordered"], rx["duplicated"]) == (0, 5, 10)
+    assert rx["mos"] == 3.8 and rx["unused"] is True
+    assert rx["proxy"] == "good.example.com"
+
+    tx = by_key[("sip:user@good.example.com", "tx")]
+    # shared fields repeat on both direction rows (amp_sip.py:174-184)
+    assert (tx["response_time"], tx["connect_time"], tx["duration"]) \
+        == (100, 150, 10000)
+    assert (tx["packets"], tx["bytes"], tx["lost"]) == (60000, 4000000, 60)
+    assert tx["mos"] == 2.8
+
+    for dest in ("sip:user@lost.example.com", "sip:doesnotexist.invalid"):
+        for direction in ("rx", "tx"):
+            r = by_key[(dest, direction)]
+            assert all(
+                r[c] is None
+                for c in ("response_time", "connect_time", "duration",
+                          "rtt_max", "rtt_min", "rtt_mean", "rtt_sd",
+                          "packets", "bytes", "lost", "discarded",
+                          "reordered", "duplicated", "mos")
+            )
+            assert r["unused"] is True
+
+
+def test_sip_proxy_list_join(spark):
+    # multi-element proxy lists join with "," (amp_sip.py:167)
+    rows = [
+        ("amp", 0, "sip:u@x", ["p1.example.com", "p2.example.com"],
+         "192.0.2.1", "f.wav", False, 30, "Default",
+         [(1, 2, 3, None, None, None)]),
+    ]
+    raw = spark.createDataFrame(rows, SIP_RAW_SCHEMA)
+    got = process_sip(raw).collect()[0]
+    assert got["proxy"] == "p1.example.com,p2.example.com"
+
+
+EXTERNAL_RAW_SCHEMA = (
+    "source string, timestamp long, command string, "
+    "results array<struct<destination: string, value: long>>"
+)
+
+
+def test_external_golden(spark):
+    # ExternalParser_test.py testdata: lost / good / failed values
+    rows = [
+        ("amp", 0, "foo", [("lost.example.com", 0)]),
+        ("amp", 0, "foo", [("good.example.com", 12345)]),
+        ("amp", 0, "foo", [("doesnotexist.invalid", None)]),
+    ]
+    raw = spark.createDataFrame(rows, EXTERNAL_RAW_SCHEMA)
+    out = {r["destination"]: r.asDict() for r in process_external(raw).collect()}
+    assert out["lost.example.com"]["value"] == 0
+    assert out["good.example.com"]["value"] == 12345
+    assert out["doesnotexist.invalid"]["value"] is None
+    assert all(r["command"] == "foo" for r in out.values())
+
+
+def test_external_destination_fallback(spark):
+    # NULL destination falls back to the source (amp_external.py:96-99)
+    # and multiple results explode into multiple fact rows
+    rows = [
+        ("ampsrc", 7, "foo", [(None, 42), ("d1", 1)]),
+    ]
+    raw = spark.createDataFrame(rows, EXTERNAL_RAW_SCHEMA)
+    out = {r["destination"]: r.asDict() for r in process_external(raw).collect()}
+    assert set(out) == {"ampsrc", "d1"}
+    assert out["ampsrc"]["value"] == 42 and out["ampsrc"]["timestamp"] == 7
