@@ -33,30 +33,49 @@ def as_values(hops: Column) -> Column:
     )
 
 
+def run_starts(asvals: Column) -> Column:
+    """1-based start positions of each run of consecutive equal values.
+
+    O(n) single pass: position p starts a run when p == 1 or the value
+    differs from its predecessor.  ``asvals`` must be a plain materialized
+    column reference (not a compound expression) so each ``element_at`` is
+    an O(1) array index — `extract_paths_columns` stages the intermediates
+    in separate projections for exactly this reason.
+    """
+    return F.filter(
+        F.transform(asvals, lambda _, i: i + 1),
+        lambda p: (p == 1)
+        | (F.element_at(asvals, p) != F.element_at(asvals, p - 1)),
+    )
+
+
+def runs_from_starts(asvals: Column, starts: Column) -> Column:
+    """(values, run-start positions) -> array<struct<asn,cnt>>, O(runs).
+
+    Run j spans [starts[j], starts[j+1]) — the last run ends at n+1.
+    """
+    n = F.size(asvals)
+    return F.transform(
+        starts,
+        lambda s, j: F.struct(
+            F.element_at(asvals, s).alias("asn"),
+            (F.coalesce(F.try_element_at(starts, j + 2), n + 1) - s)
+            .cast("bigint")
+            .alias("cnt"),
+        ),
+    )
+
+
 def rle_runs(asvals: Column) -> Column:
     """Run-length encode consecutive equal values -> array<struct<asn,cnt>>.
 
-    A pure fold (F.aggregate): extend the last run when the value repeats,
-    else append a new run.  Matches amp_traceroute.py:596-640.
+    Matches amp_traceroute.py:596-640.  Boundary-index form (find run
+    starts, then diff consecutive starts) instead of a fold — the fold's
+    per-step slice+concat copies made it O(n²) in the interpreted HOF
+    evaluator.  Stays shuffle-free (pure array expressions, no explode/
+    window), which is what survives a 100 TB fact table.
     """
-
-    def step(acc: Column, x: Column) -> Column:
-        last = F.element_at(acc, -1)
-        extended = F.concat(
-            F.slice(acc, 1, F.size(acc) - 1),
-            F.array(F.struct(x.alias("asn"), (last["cnt"] + 1).alias("cnt"))),
-        )
-        appended = F.concat(
-            acc,
-            F.array(
-                F.struct(x.alias("asn"), F.lit(1).cast("bigint").alias("cnt"))
-            ),
-        )
-        return F.when((F.size(acc) > 0) & (last["asn"] == x), extended).otherwise(
-            appended
-        )
-
-    return F.aggregate(asvals, F.array().cast(RUNS_TYPE), step)
+    return runs_from_starts(asvals, run_starts(asvals))
 
 
 def aspath_strings(runs: Column) -> Column:
@@ -77,7 +96,10 @@ def extract_paths_columns(df, hops_col: str = "hops"):
         df.withColumn("path", F.transform(hops, lambda h: h["address"]))
         .withColumn("hop_rtt", F.transform(hops, lambda h: h["rtt"]))
         .withColumn("_asvals", asvals)
-        .withColumn("_runs", rle_runs(F.col("_asvals")))
+        .withColumn("_starts", run_starts(F.col("_asvals")))
+        .withColumn(
+            "_runs", runs_from_starts(F.col("_asvals"), F.col("_starts"))
+        )
     )
     last_run = F.element_at(F.col("_runs"), -1)
     has_as = F.size(F.col("_runs")) > 0
@@ -103,5 +125,5 @@ def extract_paths_columns(df, hops_col: str = "hops"):
                 ).cast("long"),
             ),
         )
-        .drop("_asvals", "_runs")
+        .drop("_asvals", "_starts", "_runs")
     )

@@ -84,7 +84,12 @@ def process_traceroute_ip(
     timestamp, path_id, aspath_id, packet_size_int, error_type, error_code,
     hop_rtt.
     """
+    # The parsed batch feeds three consumers (two dictionary upserts and
+    # the fact join); persist it so hop decomposition runs once per batch,
+    # not once per consumer.  Micro-batches are bounded, so MEMORY_AND_DISK
+    # holds at any input scale.
     ip_results, _ = split_ip_as(raw)
+    ip_results = ip_results.persist()
     paths_dim = intern_paths(ip_results, paths_dim)
     aspaths_dim = intern_aspaths(ip_results, aspaths_dim)
     fact = (
@@ -122,6 +127,9 @@ def process_astraceroute(
     """
     _, as_results = split_ip_as(raw)
     as_results = as_results.withColumn("_order", F.monotonically_increasing_id())
+    # Parsed batch fans out to the dictionary upsert (broadcast side) and
+    # two aggregations — persist so the hop decomposition runs once.
+    as_results = as_results.persist()
     aspaths_dim = intern_aspaths(as_results, aspaths_dim)
     with_ids = as_results.join(
         F.broadcast(aspaths_dim.select("aspath_id", "aspath")), ["aspath"], "left"
