@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,6 +62,18 @@ def session_stats(
     )
 
 
+def row_salt(df: DataFrame, salts: int) -> Column:
+    """Deterministic salt in [0, salts): xxhash64 of the full row.
+
+    Value-independent: rows of a hot key spread across salts even when
+    every aggregated value is identical (only fully duplicate rows share a
+    salt).  No random source, so streaming recovery replays identically.
+    """
+    return (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % salts).cast(
+        "int"
+    )
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -73,10 +85,13 @@ def salted_agg(
     Equivalent to ``df.groupBy(group_cols).agg(...)`` but the first shuffle
     key is (group_cols..., salt) so a pathological hot key fans out over
     ``salts`` partial reducers; the second (tiny) aggregation merges
-    partials.  The salt is derived from a hash of the full row's value so
-    it needs no random source and stays deterministic.
+    partials.  The salt hashes the FULL row (as salted_join does), not the
+    value column: a hot key whose rows all share one value would otherwise
+    collapse onto a single salt — the exact skew this exists to break.
+    Still deterministic (no random source — replayable in streaming
+    recovery).
     """
-    salt = (F.abs(F.xxhash64(F.col(value_col))) % salts).alias("_salt")
+    salt = row_salt(df, salts).alias("_salt")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*group_cols, "_salt")
@@ -115,12 +130,11 @@ def salted_join(
     known-degenerate keys.  The salt hashes the whole row, so it is
     deterministic (no random source — replayable in streaming recovery).
     """
-    big_salt = F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salts
     dim_exp = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return (
-        big.withColumn("_salt", big_salt.cast("int"))
+        big.withColumn("_salt", row_salt(big, salts))
         .join(dim_exp, [key, "_salt"], how)
         .drop("_salt")
     )

@@ -19,6 +19,8 @@ BLAS by ~100x on dense linear algebra.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,6 +79,37 @@ def brute_force_topk(
     )
 
 
+def plane_weights(plane: int, dims: int) -> list[float]:
+    """Hyperplane ``plane``'s weights in [-1, 1]^dims, derived from
+    md5(plane:dim) — the exact values :func:`hyperplane_expr`'s JVM md5
+    path constant-folds to (and what the DuckDB oracles replay).  Deriving
+    them driver-side keeps plan construction at O(tables) py4j calls
+    instead of O(tables*bits*dims) Column allocations."""
+    return [
+        (int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+         % 2001 - 1000)
+        / 1000.0
+        for d in range(dims)
+    ]
+
+
+def signature_sql(vec_col: str, table: int, bits: int, dims: int) -> str:
+    """Spark-SQL text for table ``table``'s B-bit signature of `vec_col`.
+
+    One parseable string per table (weights inlined as double literals);
+    arithmetic is identical to dot_expr: zip_with multiply + left fold."""
+    terms = []
+    for p in range(bits):
+        w = plane_weights(table * bits + p, dims)
+        arr = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, y) -> double(x) * y), 0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p}L ELSE 0L END)")
+    return " + ".join(terms)
+
+
 def hyperplane_expr(vec: Column, plane: int, dims: int) -> Column:
     """Sign bit of <vec, h_plane> with h derived from md5(plane:dim) — a
     deterministic pseudo-random hyperplane in [-1, 1]^dims, identical on any
@@ -124,27 +157,7 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    def sig(table: int) -> Column:
-        s = F.lit(0).cast("long")
-        for p in range(bits):
-            s = s + F.shiftleft(
-                hyperplane_expr(F.col(vec_col), table * bits + p, dims).cast("long"),
-                p,
-            )
-        return s
-
-    tagged = emb.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), sig(t).alias("s"))
-                    for t in range(tables)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, vec_col, F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
+    tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
     queries = tagged.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -175,28 +188,82 @@ def lsh_topk(
     )
 
 
+def multi_table_signatures(
+    emb: DataFrame,
+    bits: int,
+    tables: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector into (table, signature) bucket tags.
+
+    Table ``t`` uses hyperplanes ``t*bits .. t*bits+bits-1``, so every
+    table's signature is independent.  Weights are inlined as literals
+    (see signature_sql), so tagging is a pure projection over the scan.
+    """
+
+    def sig(t: int) -> Column:
+        return F.expr(signature_sql(vec_col, t, bits, dims))
+
+    return emb.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), sig(t).alias("s"))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col, vec_col, F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
     bits: int = 8,
+    tables: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucketed candidates, exact cosine
-    verify >= threshold.  Output (v1, v2, cosine rounded 4)."""
-    with_sig = emb.withColumn("_sig", lsh_signature(F.col(vec_col), bits, dims))
-    a, b = with_sig.alias("a"), with_sig.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a._sig") == F.col("b._sig"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("v1"),
-        F.col(f"b.{id_col}").alias("v2"),
-        F.round(
-            cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
-        ).alias("cosine"),
+    verify >= threshold.  Output (v1, v2, cosine rounded 4).
+
+    Multi-table: a pair is a candidate if it collides in ANY of the L
+    independent B-bit tables (recall ~= 1 - (1 - p^B)^L with p the per-bit
+    collision probability 1 - theta/pi; ~1.0 for true near-dups at the
+    defaults).  The join is an equi-join on (table, signature) — candidates
+    are generated bucket-locally, never all-pairs, so the shuffle is keyed
+    and bounded by bucket sizes at any corpus scale.
+    """
+    tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._s") == F.col("b._s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("v1"),
+            F.col(f"b.{id_col}").alias("v2"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["v1", "v2"])
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine"
+            ),
+        )
     )
     return cands.where(F.col("cosine") >= threshold)
 
@@ -207,7 +274,10 @@ def brute_force_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine >= threshold, exact.
+    """All-pairs cosine >= threshold, exact.  Test-only recall baseline for
+    :func:`embedding_near_duplicates` — the driver-registered query uses the
+    LSH path; this one collects the corpus to the driver and dies around
+    ~10^7 vectors.
 
     Dense pairwise cosine is the one workload where Arrow-batched numpy
     (BLAS matmul inside mapInPandas) beats JVM expression evaluation by an

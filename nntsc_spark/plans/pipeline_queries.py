@@ -20,7 +20,7 @@ from ..pipeline.dedup import (
     simhash_signatures,
 )
 from ..pipeline.multimodal import documents_as_media, extract_features
-from ..pipeline.similarity import brute_force_near_duplicates, brute_force_topk
+from ..pipeline.similarity import brute_force_topk, embedding_near_duplicates
 from ..pipeline.text import fingerprint, language_id, quality_features
 from ..sources.tables import load_table
 
@@ -256,23 +256,63 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_NEARDUP_BITS, _NEARDUP_TABLES, _NEARDUP_DIMS = 8, 4, 64
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return brute_force_near_duplicates(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    """LSH-bucketed near-dup pairs (the scale path — bucket-local equi-join,
+    no all-pairs, no driver collect).  The DuckDB oracle replays the SAME
+    md5-derived hyperplanes, so the approximate candidate generation itself
+    is value-checked, not just the exact re-rank."""
+    return embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        bits=_NEARDUP_BITS,
+        tables=_NEARDUP_TABLES,
+        dims=_NEARDUP_DIMS,
     )
 
 
-SQL_EMBEDDING_NEARDUP = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS v1, b.vec_id AS v2,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             4) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            4) >= 0.3
+def _neardup_sig_sql(table: int) -> str:
+    from ..pipeline.similarity import plane_weights
+
+    terms = []
+    for p in range(_NEARDUP_BITS):
+        w = plane_weights(table * _NEARDUP_BITS + p, _NEARDUP_DIMS)
+        arr = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+SQL_EMBEDDING_NEARDUP = (
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
 """
+    + "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS t, {_neardup_sig_sql(t)} AS s FROM e"
+        for t in range(_NEARDUP_TABLES)
+    )
+    + """
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM sigs a JOIN sigs b ON a.t = b.t AND a.s = b.s
+                         AND a.vec_id < b.vec_id
+)
+SELECT v1, v2,
+       round(list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) *
+              sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2
+WHERE round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) *
+             sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.3
+"""
+)
 
 
 # ---------------------------------------------------------------------------

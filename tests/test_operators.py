@@ -196,6 +196,25 @@ def test_salted_agg_equals_direct(spark):
         assert salted[k].v_min == direct[k].mn and salted[k].v_max == direct[k].mx
 
 
+def test_salt_spreads_constant_valued_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.sessions import row_salt, salted_agg
+
+    # a hot key whose VALUE column is constant must still fan out across
+    # salts (a value-derived salt would collapse to one reducer)
+    df = spark.createDataFrame(
+        [("hot", i, 7.0) for i in range(2_000)], "k string, ts long, v double"
+    )
+    n_salts = (
+        df.select(row_salt(df, 16).alias("s")).distinct().count()
+    )
+    assert n_salts >= 8
+    out = salted_agg(df, ["k"], "v", salts=16).collect()[0]
+    assert out.v_count == 2_000 and out.v_sum == pytest.approx(14_000.0)
+    assert out.v_min == 7.0 and out.v_max == 7.0 and out.v_avg == 7.0
+
+
 def test_salted_join_matches_plain_join(spark):
     from nntsc_spark.operators.sessions import salted_join
 

@@ -22,6 +22,7 @@ from nntsc_spark.pipeline.multimodal import (
 from nntsc_spark.pipeline.similarity import (
     brute_force_near_duplicates,
     brute_force_topk,
+    embedding_near_duplicates,
     lsh_topk,
 )
 from nntsc_spark.pipeline.text import fingerprint, quality_features
@@ -104,6 +105,31 @@ def test_numpy_neardup_matches_expression_math(spark):
            brute_force_near_duplicates(emb, threshold=0.9).collect()}
     assert set(out) == {(0, 1)}
     assert out[(0, 1)] == pytest.approx(0.9902, abs=1e-4)
+
+
+def test_lsh_neardup_recall_on_planted_dups(spark, sf_dir):
+    # plant exact-ish duplicates (tiny perturbation -> cosine ~1) and check
+    # the registered LSH path recovers what brute force (the exact recall
+    # oracle) finds at the same threshold
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.0001)
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(dup)
+    bf = {(r.v1, r.v2) for r in
+          brute_force_near_duplicates(emb, threshold=0.95).collect()}
+    lsh = {(r.v1, r.v2) for r in
+           embedding_near_duplicates(emb, threshold=0.95).collect()}
+    assert bf  # the planted pairs exist
+    assert lsh <= bf  # exact verify: no false positives above threshold
+    assert len(lsh & bf) / len(bf) >= 0.9  # multi-table recall
 
 
 def test_quality_and_fingerprint_shapes(docs):
