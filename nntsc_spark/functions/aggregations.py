@@ -45,8 +45,14 @@ def output_name(col: str, func: str, requested: Sequence[tuple[str, str]]) -> st
 
 def simple_agg_exprs(
     aggcols: Sequence[tuple[str, str]],
+    requested: Sequence[tuple[str, str]] | None = None,
 ) -> list[Column]:
-    """Build expressions for the plain-SQL aggregates (A3/A5)."""
+    """Build expressions for the plain-SQL aggregates (A3/A5).
+
+    ``requested`` is the FULL request when ``aggcols`` is a subset (complex
+    aggregates split out) so the dup-rename rule sees every pair."""
+    if requested is None:
+        requested = aggcols
     exprs = []
     for col, func in aggcols:
         if func in ("most", "mode", "smoke", "most_array"):
@@ -55,13 +61,13 @@ def simple_agg_exprs(
             # array_length applied as an aggregate output: the reference
             # emits array_length(col,1) per group (dbselect.py:828-829);
             # per-bin we take the max size observed.
-            exprs.append(F.max(F.size(F.col(col))).alias(output_name(col, func, aggcols)))
+            exprs.append(F.max(F.size(F.col(col))).alias(output_name(col, func, requested)))
             continue
         try:
             fn = SIMPLE_AGGS[func]
         except KeyError:
             raise ValueError(f"unknown aggregate function {func!r}") from None
-        exprs.append(fn(F.col(col)).alias(output_name(col, func, aggcols)))
+        exprs.append(fn(F.col(col)).alias(output_name(col, func, requested)))
     return exprs
 
 
@@ -138,6 +144,35 @@ def smoke_agg(
             F.array_sort(F.collect_list(F.struct("_tile", "_tile_avg"))),
             lambda s: s["_tile_avg"],
         ).alias(out_col)
+    )
+
+
+def smoke_fan_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "smoke",
+) -> DataFrame:
+    """Percentile-fan smoke for wide ranges: 19 interpolated percentiles
+    (5..95 step 5) plus the max, one 20-element array per group.
+
+    Unlike :func:`smoke_agg`'s exact ntile, ``percentile`` is a real
+    aggregate with a map-side partial, so there is NO per-group window
+    sort funnelling a whole label's history through one reducer — this is
+    the scale path the export layer routes wide requests to.  Mirrors the
+    reference's own divergence: its Influx rollup path swaps the Postgres
+    ntile smoke for a percentile fan (libnntsc/influx.py:699-713).
+    """
+    pcts = ", ".join(str(i / 100) for i in range(5, 100, 5))
+    fan = F.expr(f"percentile(`{value_col}`, array({pcts}))")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.array_append(fan, F.max(value_col).cast("double")).alias(
+                out_col
+            )
+        )
     )
 
 

@@ -21,11 +21,26 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.aggregations import simple_agg_exprs
+from ..functions.aggregations import (
+    mode_agg,
+    most_array_agg,
+    output_name,
+    simple_agg_exprs,
+    smoke_agg,
+    smoke_fan_agg,
+)
 from .labels import LABEL_COL, apply_labels
 from .select import time_filter
 
 BINSTART_COL = "binstart"
+
+#: ranges wider than this route ``smoke`` to the percentile fan — the exact
+#: ntile form sorts each group's history on a single reducer, fine for a
+#: dashboard-sized window, a scale killer for a year of one label's data.
+SMOKE_FAN_RANGE = 7 * 86400
+
+#: aggregates computed by a dedicated operator and joined back on the keys
+_JOINED_AGGS = ("smoke", "most", "mode", "most_array")
 
 
 def with_binstart(
@@ -68,22 +83,50 @@ def select_aggregated_data(
     For ``binsize=0`` / full-range binsize the single summary bin carries
     ``min(timestamp) AS binstart`` (matching dbselect.py:303-307's
     min_timestamp semantics).
+
+    Complex aggregates (smoke/most/most_array) run as dedicated operators
+    over the same binned frame and join back on the group keys.  ``smoke``
+    additionally routes by range width: exact ntile inside SMOKE_FAN_RANGE
+    (reference Postgres parity), percentile fan beyond it (no per-group
+    window sort — the plan for a wide range contains no Window at all).
     """
     labeled = apply_labels(time_filter(fact, start, stop), label_map)
     single_bin = not binsize or (
         start is not None and stop is not None and binsize >= stop - start
     )
+    joined = [(c, f) for c, f in aggcols if f in _JOINED_AGGS]
+    simple = [(c, f) for c, f in aggcols if f not in _JOINED_AGGS]
     keys = [LABEL_COL, *groupcols]
-    exprs = [F.max("timestamp").alias("timestamp"), *simple_agg_exprs(aggcols)]
+    exprs = [
+        F.max("timestamp").alias("timestamp"),
+        *simple_agg_exprs(simple, requested=aggcols),
+    ]
     if single_bin:
         out = labeled.groupBy(*keys).agg(
             F.min("timestamp").alias(BINSTART_COL), *exprs
         )
         # column order parity with the binned path
         out = out.select(*keys, BINSTART_COL, *[c for c in out.columns if c not in (*keys, BINSTART_COL)])
+        grp, grp_keys = labeled, keys
     else:
         binned = with_binstart(labeled, binsize, start, stop)
         out = binned.groupBy(*keys, BINSTART_COL).agg(*exprs)
+        grp, grp_keys = binned, [*keys, BINSTART_COL]
+    wide = (
+        start is None
+        or stop is None
+        or (stop - start) > SMOKE_FAN_RANGE
+    )
+    for col, func in joined:
+        name = output_name(col, func, aggcols)
+        if func == "smoke":
+            op = smoke_fan_agg if wide else smoke_agg
+            part = op(grp, grp_keys, col, name)
+        elif func == "most_array":
+            part = most_array_agg(grp, grp_keys, col, name)
+        else:  # most / mode
+            part = mode_agg(grp, grp_keys, col, name)
+        out = out.join(part, grp_keys, "left")
     if order:
         out = out.orderBy(LABEL_COL, BINSTART_COL)
     return out

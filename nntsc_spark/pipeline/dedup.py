@@ -187,10 +187,17 @@ def minhash_near_duplicates(
     candidates -> exact-Jaccard verify.
 
     The shingle table feeds both the signature build and the verify join;
-    caching it halves the explode+md5 work (one materialization, two
-    consumers).
+    persisting it halves the explode+md5 work (one materialization, two
+    consumers).  MEMORY_AND_DISK (not MEMORY_ONLY cache): the exploded
+    shingle table is several times the corpus size, and a silent cache
+    eviction at 100 TB would re-run the explode+md5 lineage per consumer —
+    disk spill keeps the reuse guarantee.
     """
-    sh = shingles(docs, text_col, shingle_n).cache()
+    from pyspark import StorageLevel
+
+    sh = shingles(docs, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, k)
     banded = lsh_bands(sigs, bands, rows)
     cands = candidate_pairs(banded)

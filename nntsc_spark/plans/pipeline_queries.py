@@ -341,10 +341,24 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode path (deterministic fake decoder) — rows-only
-    check (no SQL oracle: the Arrow-batched UDF pipeline is the point)."""
+    """mapInPandas decode path.  The deterministic fake decoder (pseudo-
+    pixels = first 64 payload bytes) is expressible in SQL because the
+    test corpus is ASCII: byte value == code point, so DuckDB can replay
+    n_bytes / md5 / mean-pixel exactly and the Arrow-batched UDF pipeline
+    gets a full value check instead of rows-only."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, fake_decode=True)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(floor(list_avg(
+           [unicode(c) FOR c IN string_split(substring(text, 1, 64), '')]
+       )) AS BIGINT) AS feat_mean
+FROM documents
+"""
 
 
 REGISTRY = {
@@ -358,5 +372,5 @@ REGISTRY = {
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -8,6 +8,7 @@ tie-breaks, smoke ntile fan, matrix algebraic merge, frequency rule chain.
 from __future__ import annotations
 
 import math
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -83,6 +84,47 @@ def test_agg_single_bin(fact, label_map):
     assert r["L1"].value == pytest.approx(sum(range(1, 11)))
     # stream 2's last row (ts=220, value=104) is outside stop=200
     assert r["L2"].value == pytest.approx(sum(range(100, 104)))
+
+
+def test_smoke_routes_exact_for_narrow_range(fact, label_map):
+    # narrow window (< SMOKE_FAN_RANGE): exact ntile smoke, Postgres parity
+    out = select_aggregated_data(
+        fact, label_map, [("value", "smoke"), ("value", "count")],
+        start=100, stop=200, binsize=0, order=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" in plan.lower()
+    r = {x.nntsclabel: x for x in out.collect()}
+    # 10 values, 20 tiles -> 10 one-element tiles: fan == sorted values
+    assert r["L1"].value_smoke == pytest.approx(list(map(float, range(1, 11))))
+    assert r["L1"].value_count == 10
+
+
+def test_smoke_routes_fan_for_wide_range(fact, label_map):
+    # wide window (> SMOKE_FAN_RANGE): percentile fan, NO window operator —
+    # nothing funnels a whole label through one reducer
+    out = select_aggregated_data(
+        fact, label_map, [("value", "smoke")],
+        start=0, stop=100 * 86400, binsize=0, order=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert not re.search(r"\bntile\(", plan)  # "percentile(" != ntile
+    assert "percentile" in plan
+    r = {x.nntsclabel: x for x in out.collect()}
+    fan = r["L2"].value
+    assert len(fan) == 20  # 19 percentiles + max
+    assert fan[-1] == 104.0 and fan == sorted(fan)
+
+
+def test_most_routes_through_aggregate_request(fact, label_map):
+    out = select_aggregated_data(
+        fact, label_map, [("value", "most")],
+        start=100, stop=200, binsize=0, order=False,
+    ).collect()
+    r = {x.nntsclabel: x for x in out}
+    # all values distinct -> mode tie broken by smallest value
+    assert r["L1"].value == 1.0
 
 
 def test_mode_tie_breaks_smallest(spark):

@@ -82,15 +82,14 @@ def main() -> int:
         rel = con.sql(oracles[name])
         # The driver normalizes through pandas: DuckDB HUGEINT/DECIMAL
         # columns come out as float64/object there and hash-mismatch even
-        # when values are numerically identical.  Flag them outright.
+        # when values are numerically identical.  Flag the known-bad types
+        # explicitly (not an allowlist — benign widths like SMALLINT or
+        # INTEGER[] compare fine and shouldn't hard-fail).
+        _BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
         bad_types = [
             (c, str(t))
             for c, t in zip(rel.columns, rel.types)
-            if str(t) not in {
-                "VARCHAR", "BIGINT", "INTEGER", "DOUBLE", "FLOAT",
-                "BOOLEAN", "DATE", "TIMESTAMP", "VARCHAR[]", "BIGINT[]",
-                "DOUBLE[]",
-            }
+            if any(b in str(t) for b in _BAD)
         ]
         ocols = rel.columns
         orows = rel.fetchall()
