@@ -38,6 +38,9 @@ class Msg(IntEnum):
     LIVE = 15
     PUSH = 16
     ERROR = 17
+    # reference NNTSC_QUERY_CANCELLED (exporter.py:514-521): tells the
+    # client the missing range is a query timeout, not an absence of data
+    QUERY_CANCELLED = 18
 
 
 class Req(IntEnum):

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import socket
 import threading
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +47,11 @@ from .protocol import Msg, Req, pack, read_message
 
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
+
+
+class QueryTimeout(Exception):
+    """A history query exceeded the server's query_timeout and its Spark
+    job group was cancelled (reference DB_QUERY_TIMEOUT)."""
 
 
 def merge_aggregators(
@@ -82,7 +89,12 @@ class ExportServer:
         collections: dict[str, dict[str, DataFrame]],
         host: str = "127.0.0.1",
         port: int = 0,
+        query_timeout: int = 0,
     ) -> None:
+        #: seconds before a history query is cancelled; 0 disables — the
+        #: reference's -T/--querytimeout flag (nntsc:168) applied as a
+        #: statement_timeout on every worker connection (database.py:256-257)
+        self.query_timeout = query_timeout
         self.spark = spark
         self.collections = collections
         self._srv = socket.create_server((host, port))
@@ -183,6 +195,63 @@ class ExportServer:
                     },
                 )
 
+    # -- query timeout (admission) ------------------------------------------
+
+    @contextmanager
+    def _query_guard(self):
+        """Cancel this request's Spark jobs after ``query_timeout`` seconds.
+
+        Spark-native statement_timeout: the client thread tags its jobs
+        with a job group (job groups are driver-thread-local, and each
+        client loop runs in its own thread, so the tag is per-request) and
+        a timer cancels the whole group on expiry — every task of every
+        job this request spawned is interrupted, exactly like the
+        reference's per-connection ``statement_timeout``
+        (database.py:256-257).  Raises :class:`QueryTimeout`.
+        """
+        if not self.query_timeout:
+            yield
+            return
+        sc = self.spark.sparkContext
+        group = f"nntsc-export-{uuid.uuid4().hex[:8]}"
+        fired = threading.Event()
+
+        def cancel() -> None:
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        sc.setJobGroup(group, "nntsc export query", interruptOnCancel=True)
+        timer = threading.Timer(self.query_timeout, cancel)
+        timer.daemon = True
+        timer.start()
+        try:
+            yield
+        except Exception as e:
+            if fired.is_set():
+                raise QueryTimeout(group) from e
+            raise
+        finally:
+            timer.cancel()
+
+    def _cancel_history(
+        self, sock: socket.socket, colname: str, labels, start, stop
+    ) -> None:
+        """Reference _cancel_history (exporter.py:362-378): tell the client
+        the missing range is a TIMEOUT, not an absence of data, then close
+        out each label with last_ts=0."""
+        self._send(
+            sock,
+            Msg.QUERY_CANCELLED,
+            {"collection": colname, "labels": list(labels),
+             "start": start, "stop": stop, "more": False},
+        )
+        for label in labels:
+            self._send(
+                sock,
+                Msg.HISTORY_DONE,
+                {"collection": colname, "label": label, "last_ts": 0},
+            )
+
     # -- history delivery ---------------------------------------------------
 
     def _ship_history(
@@ -274,7 +343,14 @@ class ExportServer:
             body.get("groupcols", ()),
             body.get("binsize", 300),
         )
-        last = self._ship_history(sock, colname, out, body.get("binsize", 300))
+        try:
+            with self._query_guard():
+                last = self._ship_history(
+                    sock, colname, out, body.get("binsize", 300)
+                )
+        except QueryTimeout:
+            self._cancel_history(sock, colname, body["labels"], start, stop)
+            return
         for label in body["labels"]:
             self._send(
                 sock,
@@ -314,7 +390,12 @@ class ExportServer:
                 start,
                 stop,
             )
-        rows = [r.asDict() for r in out.collect()]
+        try:
+            with self._query_guard():
+                rows = [r.asDict() for r in out.collect()]
+        except QueryTimeout:
+            self._cancel_history(sock, colname, body["labels"], start, stop)
+            return
         self._send(sock, Msg.HISTORY, {"collection": colname, "matrix": rows})
 
     def _handle_subscribe(self, sock: socket.socket, body) -> None:
@@ -368,7 +449,14 @@ class ExportServer:
                 body.get("start"),
                 body.get("stop"),
             )
-        last = self._ship_history(sock, colname, out, 0)
+        try:
+            with self._query_guard():
+                last = self._ship_history(sock, colname, out, 0)
+        except QueryTimeout:
+            self._cancel_history(
+                sock, colname, labels, body.get("start"), body.get("stop")
+            )
+            last = {}
         sub.last_history_ts = max(last.values(), default=0)
         for label in labels:
             self._send(

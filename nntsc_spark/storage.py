@@ -19,13 +19,44 @@ directory delete, not a rewrite.
 
 from __future__ import annotations
 
+import os
 import shutil
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DATE_COL = "date"
+
+# ---------------------------------------------------------------------------
+# Transactional contract (T4)
+#
+# The reference gets batch atomicity from Postgres: a parser batch commits
+# stream inserts + data inserts in one transaction (parsers/amp.py:250-273),
+# so a crash never exposes half a batch.  On plain parquet the equivalent
+# contract, under the same single-writer assumption (one ingest daemon per
+# collection — exactly the reference's deployment shape), is:
+#
+# - FACT APPENDS: each micro-batch lands as new files committed through
+#   Spark's FileOutputCommitter — tasks write under ``_temporary/`` (hidden
+#   from every reader: FileIndex skips ``_``/``.`` paths) and are renamed in
+#   at job commit.  A crash mid-job leaves only invisible staging garbage;
+#   ``dropDuplicates`` on replay makes a re-run of an interrupted batch
+#   idempotent.  The rename loop at job commit is not atomic across files —
+#   the residual window a real multi-writer lakehouse closes with a commit
+#   log (Delta/Iceberg, not available here) — but it is crash-*recoverable*:
+#   re-running the batch restores a consistent table.
+#
+# - DIMENSIONS: never delete-then-write (plain ``mode("overwrite")`` drops
+#   the only copy before the new one exists).  ``write_dimension`` publishes
+#   immutable versioned snapshots with a single atomic ``os.rename`` as the
+#   commit point; ``read_dimension`` resolves the newest snapshot whose
+#   ``_SUCCESS`` marker exists.  A crash before the rename leaves hidden
+#   staging only; a crash after it is a committed version.
+#
+# tests/test_streaming.py::test_dimension_crash_* pin this behavior.
+# ---------------------------------------------------------------------------
 
 
 def with_date(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
@@ -54,10 +85,51 @@ def read_fact(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(DATE_COL)
 
 
-def write_dimension(df: DataFrame, path: str) -> None:
-    """Dimensions (streams, path dictionaries) are tiny: full overwrite per
-    micro-batch keeps them a single coherent snapshot."""
-    df.write.mode("overwrite").parquet(path)
+def _dim_versions(path: str) -> list[Path]:
+    """Committed snapshot dirs, oldest -> newest (commit = rename + _SUCCESS)."""
+    root = Path(path)
+    if not root.exists():
+        return []
+    return sorted(
+        p
+        for p in root.glob("v*")
+        if p.is_dir() and (p / "_SUCCESS").exists()
+    )
+
+
+def write_dimension(df: DataFrame, path: str, keep_versions: int = 2) -> str:
+    """Atomically publish a new dimension snapshot (see module contract).
+
+    Dimensions (streams, path dictionaries, stats) are tiny, so each
+    micro-batch writes the full table: to a dot-prefixed staging dir first
+    (invisible to readers, discardable after a crash), then one
+    ``os.rename`` commits it as the next ``vNNNNNNNN`` version.  Older
+    versions beyond ``keep_versions`` are pruned only after the new commit.
+    Returns the committed snapshot path.
+    """
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    vers = _dim_versions(path)
+    n = (int(vers[-1].name[1:]) + 1) if vers else 1
+    stage = root / f".staging-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(str(stage))
+    final = root / f"v{n:08d}"
+    os.rename(stage, final)
+    for old in _dim_versions(path)[:-keep_versions]:
+        shutil.rmtree(old, ignore_errors=True)
+    # sweep staging dirs abandoned by crashed writers (single-writer: any
+    # other staging dir is dead)
+    for junk in root.glob(".staging-*"):
+        shutil.rmtree(junk, ignore_errors=True)
+    return str(final)
+
+
+def read_dimension(spark: SparkSession, path: str) -> DataFrame | None:
+    """Newest committed dimension snapshot, or None before the first commit."""
+    vers = _dim_versions(path)
+    if not vers:
+        return None
+    return spark.read.parquet(str(vers[-1]))
 
 
 def apply_retention(path: str, keep_seconds: int, now: int) -> list[str]:

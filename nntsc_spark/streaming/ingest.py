@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ingest.streams import attach_stream_ids, upsert_streams
-from ..storage import read_fact, write_dimension, write_fact
+from ..storage import read_dimension, read_fact, write_dimension, write_fact
 
 
 class CollectionIngestor:
@@ -62,10 +62,7 @@ class CollectionIngestor:
         self.exporter = exporter
 
     def _load_streams(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.streams_path)
-        except Exception:
-            return None
+        return read_dimension(self.spark, self.streams_path)
 
     def process_batch(self, raw: DataFrame, batch_id: int = 0) -> DataFrame:
         """The foreachBatch body; also the batch-ingest entry point."""
@@ -112,8 +109,8 @@ class CollectionIngestor:
             F.max("timestamp").alias("last_ts"),
             F.count(F.lit(1)).alias("rows"),
         )
-        try:
-            old = self.spark.read.parquet(self.stats_path)
+        old = read_dimension(self.spark, self.stats_path)
+        if old is not None:
             merged = (
                 old.unionByName(batch_stats)
                 .groupBy("stream_id")
@@ -123,7 +120,7 @@ class CollectionIngestor:
                     F.sum("rows").alias("rows"),
                 )
             )
-        except Exception:
+        else:
             merged = batch_stats
         # materialize before overwriting the path being read
         merged = merged.cache()

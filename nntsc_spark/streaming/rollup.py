@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregate import BINSTART_COL
 from ..operators.rollup import build_rollup
+from ..storage import read_dimension, write_dimension
 
 
 class RollupMaintainer:
@@ -68,16 +69,20 @@ class RollupMaintainer:
         fresh = build_rollup(slice_df, self.binsize, self.value_cols).where(
             F.col(BINSTART_COL).isin(bins)
         )
-        try:
-            old = self.spark.read.parquet(self.rollup_path).where(
+        old_all = read_dimension(self.spark, self.rollup_path)
+        if old_all is not None:
+            merged = old_all.where(
                 ~F.col(BINSTART_COL).isin(bins)
-            )
-            merged = old.unionByName(fresh)
-        except Exception:
+            ).unionByName(fresh)
+        else:
             merged = fresh
-        merged = merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(self.rollup_path)
+        # snapshot-commit (storage.write_dimension): the new rollup is
+        # staged and atomically renamed in, so a crash mid-refresh keeps
+        # the previous rollup readable (T4)
+        write_dimension(merged, self.rollup_path)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.rollup_path)
+        out = read_dimension(self.spark, self.rollup_path)
+        if out is None:
+            raise FileNotFoundError(self.rollup_path)
+        return out

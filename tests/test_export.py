@@ -397,3 +397,53 @@ def test_aggregate_future_start_empty_history(server):
     assert len(hist) == 2 and all(h["history"] == [] for h in hist)
     assert {d["label"] for d in done} == {"A", "B"}
     s.close()
+
+
+def test_query_timeout_sends_cancelled(spark):
+    """Reference -T/--querytimeout semantics (exporter.py:362-378): a
+    history query exceeding the timeout yields QUERY_CANCELLED (so the
+    client knows it's a timeout, not missing data) then HISTORY_DONE with
+    last_ts=0 per label — and the server stays usable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType())
+    def slow(v):
+        time.sleep(0.5)
+        return v
+
+    fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(64)],
+        "stream_id long, timestamp long, value double",
+    ).withColumn("value", slow("value"))
+    streams = spark.createDataFrame(
+        [(1, "src", "dst1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(
+        spark,
+        {"amp-icmp": {"fact": fact, "streams": streams}},
+        query_timeout=2,
+    )
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.AGGREGATE,
+                {
+                    "collection": "amp-icmp",
+                    "labels": {"A": [1]},
+                    "aggcols": [("value", "avg")],
+                    "start": 100,
+                    "stop": 200,
+                    "binsize": 10,
+                },
+            )
+        )
+        got = _drain_until(s, Msg.QUERY_CANCELLED)
+        assert got[-1][1]["collection"] == "amp-icmp"
+        mtype, body = read_message(s)
+        assert mtype == Msg.HISTORY_DONE and body["last_ts"] == 0
+        s.close()
+    finally:
+        srv.stop()

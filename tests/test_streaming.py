@@ -10,7 +10,13 @@ from pyspark.sql import functions as F
 
 from nntsc_spark.ingest.amp_icmp import UNIQUE_COLS, process_icmp
 from nntsc_spark.operators.rollup import build_rollup
-from nntsc_spark.storage import apply_retention, read_fact, write_fact
+from nntsc_spark.storage import (
+    apply_retention,
+    read_dimension,
+    read_fact,
+    write_dimension,
+    write_fact,
+)
 from nntsc_spark.streaming.ingest import CollectionIngestor
 from nntsc_spark.streaming.rollup import RollupMaintainer
 
@@ -76,14 +82,61 @@ def test_batch_ingest_roundtrip(spark, tmp_path):
 
     fact = ing.read_fact()
     assert fact.count() == 13
-    streams = spark.read.parquet(str(tmp_path / "streams"))
+    streams = read_dimension(spark, str(tmp_path / "streams"))
     assert streams.count() == 2  # a + b
-    stats = spark.read.parquet(str(tmp_path / "stats"))
+    stats = read_dimension(spark, str(tmp_path / "stats"))
     srow = {r.stream_id: r for r in stats.collect()}
     a_id = [r.stream_id for r in streams.collect() if r.destination == "a"][0]
     assert srow[a_id].rows == 10
     assert srow[a_id].first_ts == 1_000_000
     assert srow[a_id].last_ts == 1_000_300 + 4 * 60
+
+
+def test_dimension_crash_before_commit_keeps_old_snapshot(spark, tmp_path):
+    """T4: a writer dying before the atomic rename leaves the previous
+    snapshot intact and readable (plain overwrite would have deleted it)."""
+    path = str(tmp_path / "dim")
+    df1 = spark.createDataFrame([(1, "a")], "stream_id long, destination string")
+    write_dimension(df1, path)
+    # simulate a crash mid-write: abandoned staging dir, no rename
+    stage = tmp_path / "dim" / ".staging-deadbeef"
+    stage.mkdir()
+    (stage / "part-junk.parquet").write_bytes(b"not parquet")
+    got = read_dimension(spark, path)
+    assert got.count() == 1 and got.collect()[0].destination == "a"
+    # next successful write commits v2 and sweeps the dead staging dir
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "stream_id long, destination string"
+    )
+    write_dimension(df2, path)
+    assert read_dimension(spark, path).count() == 2
+    assert not list((tmp_path / "dim").glob(".staging-*"))
+
+
+def test_dimension_versions_pruned_and_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    for n in range(4):
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(n + 1)], "stream_id long, destination string"
+        )
+        write_dimension(df, path, keep_versions=2)
+    assert read_dimension(spark, path).count() == 4
+    versions = sorted(p.name for p in (tmp_path / "dim").glob("v*"))
+    assert len(versions) == 2  # pruned to keep_versions
+    assert versions[-1] == "v00000004"
+
+
+def test_fact_append_crash_residue_is_invisible(spark, tmp_path):
+    """T4: uncommitted task output under _temporary/ never reaches readers."""
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, 1_000_000, 1.0)], "stream_id long, timestamp long, value double"
+    )
+    write_fact(df, path)
+    tmp = tmp_path / "fact" / "_temporary" / "0" / "task-attempt"
+    tmp.mkdir(parents=True)
+    (tmp / "part-00000.parquet").write_bytes(b"garbage from a dead job")
+    assert read_fact(spark, path).count() == 1
 
 
 def test_batch_ingest_dedups_within_batch(spark, tmp_path):
@@ -137,7 +190,7 @@ def test_streaming_ingest_file_source(spark, tmp_path):
     q.awaitTermination(120)
     fact = ing.read_fact()
     assert fact.count() == 6
-    assert spark.read.parquet(str(tmp_path / "streams")).count() == 1
+    assert read_dimension(spark, str(tmp_path / "streams")).count() == 1
 
 
 def test_rollup_maintainer_matches_batch_build(spark, tmp_path):
