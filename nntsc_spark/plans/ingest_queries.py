@@ -52,11 +52,11 @@ def _derive_raw_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ingest_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13/A14/F5 through the REAL icmp ingest transform."""
     out = process_icmp(_derive_raw_icmp(spark, sf_dir))
-    rtts_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.col("rtts"), lambda x: F.coalesce(x.cast("string"), F.lit("null"))
-        ),
+    # array_join with null_replacement is the codegen form of the
+    # per-element coalesce transform (interpreted HOF)
+    rtts_str = F.coalesce(
+        F.array_join(F.col("rtts").cast("array<string>"), ",", "null"),
+        F.lit(""),
     )
     return out.select(
         "source",
@@ -264,9 +264,13 @@ def q_ingest_fastping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("value") * 10) % 65).cast("long").alias("samples"),
         F.when(
             F.col("event_type") != "signup",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(23)),
-                lambda i: (F.floor(F.col("value") * 1000) + i * 3).cast("double"),
+            # literal-index array stays in codegen (vs interpreted
+            # transform(sequence))
+            F.array(
+                *[
+                    (F.floor(F.col("value") * 1000) + i * 3).cast("double")
+                    for i in range(24)
+                ]
             ),
         ).alias("percentiles"),
     )
@@ -277,8 +281,9 @@ def q_ingest_fastping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         "median",
         F.round("lossrate", 4).alias("lossrate"),
-        F.concat_ws(
-            ",", F.transform("percentiles", lambda x: x.cast("string"))
+        F.coalesce(
+            F.array_join(F.col("percentiles").cast("array<string>"), ","),
+            F.lit(""),
         ).alias("perc_str"),
     )
 
@@ -337,12 +342,11 @@ def q_ingest_smokeping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "signup", F.array().cast("array<double>"))
         .when(F.col("event_type") == "error", F.lit(None).cast("array<double>"))
         .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(19)),
-                lambda i: F.when(
-                    (sid + i) % 7 != 0,
-                    F.col("value") / 1000 + i.cast("double") * 0.001,
-                ),
+            F.array(
+                *[
+                    F.when((sid + i) % 7 != 0, F.col("value") / 1000 + i * 0.001)
+                    for i in range(20)
+                ]
             )
         )
         .alias("pings"),
@@ -359,7 +363,7 @@ def q_ingest_smokeping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.get("pings", 19), 6).alias("ping_last"),
         F.when(
             F.col("pings").isNotNull(),
-            F.size(F.filter("pings", lambda x: x.isNull())),
+            F.size("pings") - F.size(F.array_compact("pings")),
         ).alias("n_null_pings"),
     )
 
@@ -434,11 +438,9 @@ def q_ingest_tcpping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("icmptype"),
     )
     out = process_tcpping(raw)
-    rtts_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.col("rtts"), lambda x: F.coalesce(x.cast("string"), F.lit("null"))
-        ),
+    rtts_str = F.coalesce(
+        F.array_join(F.col("rtts").cast("array<string>"), ",", "null"),
+        F.lit(""),
     )
     return out.select(
         "destination",
@@ -517,20 +519,14 @@ def q_ingest_pathlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = F.col("stream_id")
     n = (F.lit(1).cast("long") + F.floor(F.col("value") * 100) % 5).alias("n")
     t = F.least(F.floor(F.col("value") * 10) % 3, n)
-    real_part = F.when(
-        (n - t) > 0,
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), n - t),
-            lambda i: F.concat(F.lit("hop"), i.cast("string")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    null_part = F.when(
-        t > 0,
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), t),
-            lambda i: F.lit(None).cast("string"),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # slice of a literal max-length array (n <= 5, t <= 2) stays in codegen;
+    # slice length 0 yields the empty array the old otherwise() produced
+    real_part = F.slice(
+        F.array(*[F.lit(f"hop{i}") for i in range(1, 6)]), 1, (n - t).cast("int")
+    )
+    null_part = F.slice(
+        F.array(*[F.lit(None).cast("string")] * 2), 1, t.cast("int")
+    )
     raw = fact.select(
         F.lit("amp").alias("source"),
         (F.col("timestamp") - F.col("timestamp") % HOUR).alias("timestamp"),
@@ -632,16 +628,18 @@ def q_ingest_astraceroute(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_err = F.col("event_type") == "error"
 
     def hop_group(count, prefix, asn):
-        return F.transform(
-            F.sequence(F.lit(1).cast("long"), count),
-            lambda i: F.struct(
-                F.concat(
-                    F.lit(prefix), d.cast("string"), F.lit("."), i.cast("string")
-                ).alias("address"),
-                (i * 10).cast("bigint").alias("rtt"),
+        # slice(array(...)) of the max-3 hop structs stays in codegen
+        structs = [
+            F.struct(
+                F.concat(F.lit(prefix), d.cast("string"), F.lit(f".{i}")).alias(
+                    "address"
+                ),
+                F.lit(i * 10).cast("bigint").alias("rtt"),
                 asn.cast("bigint").alias("asn"),
-            ),
-        )
+            )
+            for i in range(1, 4)
+        ]
+        return F.slice(F.array(*structs), 1, count.cast("int"))
 
     hops = F.concat(
         hop_group(r1, "10.0.", a),
@@ -776,6 +774,11 @@ def q_ingest_udpstream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round((w % 500).cast("double") / 100.0, 4).alias("itu_mos")
                 ),
             ).alias("voip"),
+            # transform(sequence(1, n)) measured faster than the
+            # slice(array(<11 exprs>)) form here: the literal array doubles
+            # the projection's expression count inside an already-huge
+            # nested-struct builder, while the HOF only materializes the n
+            # elements a row actually has
             F.when(
                 n > 0,
                 F.transform(

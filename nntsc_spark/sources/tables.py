@@ -31,11 +31,25 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Analyzed-plan memo: repeated loads of the same table otherwise re-read
+# parquet footers and re-infer the schema on every query (a driver-side
+# metadata RPC per call — measurable across a 49-query bench, pure waste on
+# a 1000-executor cluster where the catalog should serve the schema once).
+# Only the *logical plan* is cached, never data.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS) which Spark rejects unless nanos
-    # are surfaced as raw longs; harmless for the other tables (micros).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects unless
+        # nanos are surfaced as raw longs; harmless for the other tables
+        # (micros).  Must be set before the first read of events.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_MEMO[key] = df
+    return df
 
 
 def events_fact(
