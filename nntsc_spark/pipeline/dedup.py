@@ -92,11 +92,15 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
 
     One groupBy with K min aggregates — no explode over permutations, so the
     shuffle volume is exactly the shingle table size.
-    Output: (doc_id, mh0..mh{k-1}) as hex strings (min over uniformly
-    distributed fixed-length hex == min over the integer values).
+    Output: (doc_id, mh0..mh{k-1}) as 60-bit bigints.  Integer min matters:
+    min over a STRING buffer forces SortAggregate (a full sort of the
+    shingle table per aggregation), while fixed-width bigint buffers keep
+    the plan in HashAggregate with map-side partials.
     """
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+            f"mh{i}"
+        )
         for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -192,6 +196,12 @@ def minhash_near_duplicates(
     shingle table is several times the corpus size, and a silent cache
     eviction at 100 TB would re-run the explode+md5 lineage per consumer —
     disk spill keeps the reuse guarantee.
+
+    The banded table is persisted too: the candidate self-join consumes it
+    on BOTH sides, and without a persist each side re-runs the whole
+    signature aggregation (k md5s over every shingle — the most expensive
+    map work in the pipeline, twice).  It is tiny (#docs x bands rows), so
+    the storage cost is nil at any scale.
     """
     from pyspark import StorageLevel
 
@@ -199,7 +209,7 @@ def minhash_near_duplicates(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(sh, k)
-    banded = lsh_bands(sigs, bands, rows)
+    banded = lsh_bands(sigs, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
     cands = candidate_pairs(banded)
     return jaccard_verify(cands, sh, threshold)
 
@@ -265,7 +275,11 @@ def ngram_jaccard_pairs(
     (:func:`minhash_near_duplicates`), which replaces the quadratic term
     entirely.
     """
-    sh = shingles(docs, text_col, n)
+    from pyspark import StorageLevel
+
+    # consumed three times (both join sides + sizes): persist or the
+    # explode+window shingle build runs three times
+    sh = shingles(docs, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (

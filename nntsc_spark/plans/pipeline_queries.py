@@ -127,10 +127,14 @@ toks AS (
 )
 """
 
+# 60-bit bigint minhash values (matches dedup.md5_long); integer min keeps
+# the Spark side in HashAggregate — see dedup.minhash_signatures
 _SIGS_CTE = (
     "sigs AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(8)
+        f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT)"
+        f" AS mh{i}"
+        for i in range(8)
     )
     + " FROM shingles GROUP BY doc_id)"
 )
