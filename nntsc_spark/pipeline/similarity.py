@@ -222,6 +222,139 @@ def multi_table_signatures(
     )
 
 
+def centroid_rows(
+    emb: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """The coarse quantizer: ``nlist`` deterministic sample centroids.
+
+    IVF always materializes its (tiny) quantizer outside the corpus scan —
+    this is an index-build step, not a query-time collect; ``nlist`` rows is
+    bounded regardless of corpus size.  Sampling by lowest id keeps the
+    DuckDB oracle able to re-derive the identical quantizer relationally;
+    production would swap in k-means|| centroids — every downstream stage
+    (assignment, probing, re-rank) is unchanged by the init strategy.
+    """
+    rows = (
+        emb.where(F.col(id_col) < nlist)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def vnorm_sql(vec_col: str) -> str:
+    """L2 norm of the row vector as a left-to-right fold (one per row)."""
+    return (
+        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
+        f"(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x))"
+    )
+
+
+def ivf_cell_scores_sql(
+    vec_col: str, cents: list[tuple[int, list[float]]], vnorm_col: str = "_vn"
+) -> str:
+    """Spark-SQL text: array of round(cosine(vec, centroid_j), 4) per cell.
+
+    Centroid vectors are inlined as double literals, so cell assignment is a
+    PURE PROJECTION over the scan — no join, no shuffle; at cluster scale
+    the assigned cell becomes a partition column and probes prune
+    directories.  The per-cell dot is the same left-to-right
+    ``aggregate(zip_with(...))`` fold the oracle-matched cosine queries use;
+    the row norm is read from ``vnorm_col`` (computed once per row, not per
+    cell) and each centroid norm is inlined as a literal computed with the
+    identical left-to-right float64 fold (bit-for-bit what the in-plan fold
+    would produce), so the oracle's sqrt(list_dot_product(cv, cv)) still
+    matches.
+    """
+    scores = []
+    for _, vec in cents:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, y) -> double(x) * y), 0D, (acc, x) -> acc + x)"
+        )
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        cnorm = acc ** 0.5
+        scores.append(f"round({dot} / (`{vnorm_col}` * {cnorm!r}D), 4)")
+    return "array(" + ", ".join(scores) + ")"
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: coarse-quantize the corpus into
+    ``nlist`` cells, probe each query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside the probed cells only.
+
+    Scale shape: assignment is map-only (inlined quantizer, zero shuffle on
+    the corpus scan), the candidate join is an equi-join on ``cell`` against
+    a broadcast (query x nprobe) probe list, and the only corpus-side
+    shuffle is the final per-query top-k window — scan cost per query is
+    ``nprobe/nlist`` of the corpus instead of all of it.  Complementary to
+    :func:`lsh_topk`: IVF partitions space (good when vectors cluster), LSH
+    overlaps random projections (good when they don't).
+
+    Output: (query_id, neighbor_id, rank, cosine) like the exact baseline.
+    """
+    from pyspark.sql import Window
+
+    cents = centroid_rows(emb, nlist, id_col, vec_col)
+    pre = emb.select(
+        id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
+    )
+    cs = F.expr(ivf_cell_scores_sql(vec_col, cents))
+    # first index holding the max = lowest cell id on ties
+    assigned = pre.select(
+        id_col,
+        vec_col,
+        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+        cs.alias("_cs"),
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("cell")
+    )
+    qcells = (
+        assigned.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.posexplode("_cs").alias("cell", "c"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.drop("_cs")
+        .join(F.broadcast(qcells), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,

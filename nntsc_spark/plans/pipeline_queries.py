@@ -20,7 +20,11 @@ from ..pipeline.dedup import (
     simhash_signatures,
 )
 from ..pipeline.multimodal import documents_as_media, extract_features
-from ..pipeline.similarity import brute_force_topk, embedding_near_duplicates
+from ..pipeline.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+)
 from ..pipeline.text import fingerprint, language_id, quality_features
 from ..sources.tables import load_table
 
@@ -260,6 +264,77 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# nprobe/nlist = 1/4 of the corpus scanned per query; measured recall 0.9
+# vs brute force at this sizing (test_ivf_recall_against_brute_force).
+# nlist grows with corpus size in production (cells ~ sqrt(N)); the oracle
+# replays the probe structure exactly, so correctness is invariant to it.
+_IVF_NLIST, _IVF_NPROBE, _IVF_K = 8, 2, 5
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (the clustered-corpus scale path next to
+    the LSH one): deterministic sampled coarse quantizer, map-only cell
+    assignment (inlined centroid literals, zero corpus shuffle), nprobe
+    nearest cells per query, exact cosine re-rank inside probed cells.
+    The oracle re-derives the identical quantizer relationally (centroids =
+    embeddings with vec_id < nlist, so array index == centroid id), so the
+    approximate probe structure itself is value-checked."""
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_IVF_K,
+        nlist=_IVF_NLIST,
+        nprobe=_IVF_NPROBE,
+    )
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+)
+
+SQL_SIMILARITY_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_NLIST}),
+scored AS (
+  SELECT e.vec_id, c.cell, {_COS.format(a="e.v", b="c.cv")} AS cs
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM scored WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))}))
+  WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id
+  FROM qcells q JOIN assign a USING (cell)
+  WHERE a.vec_id != q.query_id
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, {_COS.format(a="qe.v", b="ne.v")} AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                AS rank
+      FROM rer)
+WHERE rank <= {_IVF_K}
+"""
+
+
 _NEARDUP_BITS, _NEARDUP_TABLES, _NEARDUP_DIMS = 8, 4, 64
 
 
@@ -374,6 +449,7 @@ REGISTRY = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "similarity_ivf_topk": (q_similarity_ivf_topk, SQL_SIMILARITY_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),

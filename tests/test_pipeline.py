@@ -94,6 +94,22 @@ def test_lsh_recall_against_brute_force(spark, sf_dir):
     assert len(bf & ls) / len(bf) >= 0.5  # approximate, but far above chance
 
 
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    from nntsc_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, 5).collect()}
+    iv_rows = ivf_topk(emb, qids, k=5, nlist=8, nprobe=2).collect()
+    iv = {(r.query_id, r.neighbor_id) for r in iv_rows}
+    assert len(iv & bf) / len(bf) >= 0.5  # nprobe/nlist = 1/4 of the corpus scanned
+    # every query got a full k and ranks are dense per query
+    per_q = {}
+    for r in iv_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
 def test_numpy_neardup_matches_expression_math(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
