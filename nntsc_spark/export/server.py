@@ -47,6 +47,7 @@ from .protocol import Msg, Req, pack, read_message
 
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
+MAX_WORKERS = 2  # query workers per client (exporter.py:103)
 
 
 class QueryTimeout(Exception):
@@ -126,20 +127,40 @@ class ExportServer:
             self._threads.append(t)
 
     def _client_loop(self, sock: socket.socket) -> None:
+        """Per-client reader feeding a small query-worker pool.
+
+        The reference runs MAX_WORKERS(=2) DB workers per client
+        (exporter.py:103), so one slow history query never blocks the
+        client's next request; responses interleave as whole frames (every
+        message carries collection/label, the client demuxes).  _send
+        serializes frame writes, so interleaving is per-message, never
+        mid-frame.  Each worker thread sets its own Spark job group inside
+        _query_guard — job groups are thread-local, so concurrent queries
+        cancel independently.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(
+            max_workers=MAX_WORKERS, thread_name_prefix="nntsc-export-worker"
+        )
         try:
             while True:
                 msg = read_message(sock)
                 if msg is None:
                     return
                 mtype, body = msg
-                try:
-                    self._dispatch(sock, mtype, body)
-                except Exception as e:  # report, keep the connection
-                    self._send(sock, Msg.ERROR, {"error": str(e)})
+                pool.submit(self._run_request, sock, mtype, body)
         finally:
+            pool.shutdown(wait=False, cancel_futures=True)
             with self._lock:
                 self._subs = [s for s in self._subs if s.sock is not sock]
             sock.close()
+
+    def _run_request(self, sock: socket.socket, mtype: Msg, body) -> None:
+        try:
+            self._dispatch(sock, mtype, body)
+        except Exception as e:  # report, keep the connection
+            self._send(sock, Msg.ERROR, {"error": str(e)})
 
     def _send(self, sock: socket.socket, mtype: Msg, body: object) -> None:
         try:

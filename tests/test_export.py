@@ -447,3 +447,66 @@ def test_query_timeout_sends_cancelled(spark):
         s.close()
     finally:
         srv.stop()
+
+
+def test_two_workers_slow_query_does_not_block_fast_one(spark):
+    """Reference MAX_WORKERS=2 (exporter.py:103): a client's slow history
+    query must not serialize its next request — the fast query's responses
+    arrive while the slow one is still running."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.udf(DoubleType())
+    def slow(v):
+        time.sleep(0.15)
+        return v
+
+    slow_fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(32)],
+        "stream_id long, timestamp long, value double",
+    ).withColumn("value", slow("value"))
+    fast_fact = spark.createDataFrame(
+        [(2, 100 + i, float(i)) for i in range(5)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1"), (2, "src", "d2")],
+        "stream_id long, source string, destination string",
+    )
+    srv = ExportServer(
+        spark,
+        {
+            "slowcol": {"fact": slow_fact, "streams": streams},
+            "fastcol": {"fact": fast_fact, "streams": streams},
+        },
+    )
+    srv.start()
+    try:
+        s = _connect(srv)
+        for col, sid, label in (("slowcol", 1, "S"), ("fastcol", 2, "F")):
+            s.sendall(
+                pack(
+                    Msg.AGGREGATE,
+                    {
+                        "collection": col,
+                        "labels": {label: [sid]},
+                        "aggcols": [("value", "avg")],
+                        "start": 100,
+                        "stop": 200,
+                        "binsize": 300,
+                    },
+                )
+            )
+        # read until BOTH are done; record completion order
+        done = []
+        for _ in range(200):
+            mtype, body = read_message(s)
+            if mtype == Msg.HISTORY_DONE:
+                done.append(body["label"])
+                if len(done) == 2:
+                    break
+        assert set(done) == {"S", "F"}
+        assert done[0] == "F"  # fast query finished while slow one ran
+        s.close()
+    finally:
+        srv.stop()
