@@ -145,7 +145,11 @@ class ExportServer:
         )
         try:
             while True:
-                msg = read_message(sock)
+                try:
+                    msg = read_message(sock)
+                except OSError:
+                    # client reset mid-frame: same as a clean disconnect
+                    return
                 if msg is None:
                     return
                 mtype, body = msg

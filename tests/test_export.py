@@ -458,13 +458,19 @@ def test_two_workers_slow_query_does_not_block_fast_one(spark):
 
     @F.udf(DoubleType())
     def slow(v):
-        time.sleep(0.15)
+        time.sleep(0.3)
         return v
 
-    slow_fact = spark.createDataFrame(
-        [(1, 100 + i, float(i)) for i in range(32)],
-        "stream_id long, timestamp long, value double",
-    ).withColumn("value", slow("value"))
+    # single partition: the slow query's one task sleeps ~3.6s serially,
+    # a wide margin over the fast query's sub-second JVM-only aggregate
+    slow_fact = (
+        spark.createDataFrame(
+            [(1, 100 + i, float(i)) for i in range(12)],
+            "stream_id long, timestamp long, value double",
+        )
+        .repartition(1)
+        .withColumn("value", slow("value"))
+    )
     fast_fact = spark.createDataFrame(
         [(2, 100 + i, float(i)) for i in range(5)],
         "stream_id long, timestamp long, value double",
