@@ -353,3 +353,83 @@ def test_streaming_sessionize_state_across_batches(spark, tmp_path):
     assert (s1.session_end, s1.n_events, s1.value_sum) == (1650, 2, 7.0)
     s2 = rows[(2, 1000)]
     assert (s2.session_end, s2.n_events, s2.value_sum) == (1000, 1, 5.0)
+
+
+def test_watermarked_rollup_late_data_and_restart(spark, tmp_path):
+    """Watermark semantics end-to-end: a late row inside the delay lands in
+    its bin; a row older than the watermark is dropped; append mode emits
+    each finalized bin exactly once; the checkpoint resumes across runs."""
+    import json as _json
+    import os
+    import time as _time
+
+    from nntsc_spark.streaming.windowed import WatermarkedRollup
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+
+    def drop(name, rows):
+        p = raw / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        # file source orders batches by mtime: force strictly increasing
+        t = _time.time() + drop.seq
+        drop.seq += 10
+        os.utime(p, (t, t))
+
+    drop.seq = 0
+    wr = WatermarkedRollup(
+        spark,
+        str(raw),
+        "stream_id long, timestamp long, value double",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        binsize=300,
+        delay=600,
+    )
+
+    def bins():
+        return {r.binstart: r for r in wr.finalized().collect()}
+
+    # run 1: bins 900 (ts 1000) and 1200 (ts 1250) open; end-of-run
+    # watermark 1250-600=650 closes nothing
+    drop("a.json", [
+        {"stream_id": 1, "timestamp": 1000, "value": 10.0},
+        {"stream_id": 1, "timestamp": 1250, "value": 20.0},
+    ])
+    wr.run_available()
+
+    # run 2 (checkpoint resume, watermark 650): the ts=1100 row is LATE but
+    # inside the delay -> lands in bin 900; ts=3000 pushes the watermark to
+    # 2400, finalizing bins 900 and 1200
+    drop("b.json", [
+        {"stream_id": 1, "timestamp": 1100, "value": 30.0},
+        {"stream_id": 1, "timestamp": 3000, "value": 1.0},
+    ])
+    wr.run_available()
+    b = bins()
+    assert set(b) == {900, 1200}
+    assert b[900].magiccount == 2  # late 1100 row counted
+    assert b[900].avg_value == pytest.approx(20.0)  # (10+30)/2
+    assert b[1200].magiccount == 1
+
+    # run 3 (watermark 2400): ts=1000 is OLDER than the watermark -> must
+    # be dropped, NOT re-open finalized bin 900; ts=4000 -> watermark 3400
+    # finalizes the ts=3000 bin
+    drop("c.json", [
+        {"stream_id": 1, "timestamp": 1000, "value": 999.0},
+        {"stream_id": 1, "timestamp": 4000, "value": 2.0},
+    ])
+    wr.run_available()
+    b = bins()
+    assert set(b) == {900, 1200, 3000}
+    assert b[900].magiccount == 2  # too-late 999.0 dropped, bin unchanged
+    assert b[3000].magiccount == 1
+
+    # run 4: watermark 4400 finalizes the ts=4000 bin (3900); each bin was
+    # emitted exactly once across all restarts
+    drop("d.json", [{"stream_id": 1, "timestamp": 5000, "value": 3.0}])
+    wr.run_available()
+    b = bins()
+    assert set(b) == {900, 1200, 3000, 3900}
+    assert b[3900].magiccount == 1
+    assert b[3900].avg_value == pytest.approx(2.0)
