@@ -102,6 +102,121 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+#: the fake decoder yields 64 pseudo-pixels, modeled as an 8x8 grid
+_FAKE_SIDE = 8
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode, Arrow-batched.
+
+    The resize itself runs on the decoded pixel grid inside mapInPandas —
+    with a real codec the seam swaps to PIL/libav and the Spark-side shape
+    (column pruning to (media_id, content), fixed output schema, byte-
+    budget partitioning upstream) is identical.  The fake decoder's 8x8
+    grid makes the sampling arithmetic deterministic and testable.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        def one(c):
+            if c is None:
+                return None
+            px = _decode_pixels(bytes(c), fake_decode)
+            if not px:
+                return None
+            side = _FAKE_SIDE
+            px = (px + [0] * (side * side))[: side * side]
+            out = bytearray()
+            for y in range(height):
+                sy = min(side - 1, y * side // height)
+                for x in range(width):
+                    sx = min(side - 1, x * side // width)
+                    out.append(px[sy * side + sx])
+            return bytes(out)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": pdf["content"].map(one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 8,
+    frame_bytes: int = 64,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one output ROW per sampled frame.
+
+    mapInPandas fans each video out to its sampled frames (row-multiplying
+    UDF — the output iterator is not 1:1 with the input, which is exactly
+    why this is mapInPandas and not a scalar pandas UDF).  The fake
+    "container" treats the payload as consecutive ``frame_bytes`` chunks;
+    a real demuxer slots into the same seam.  Downstream per-frame feature
+    extraction reuses :func:`extract_features` unchanged (frames are just
+    media rows).
+    """
+    if not fake_decode:
+        raise NotImplementedError(
+            "frame sampling requires demux libraries not present in this "
+            "environment; pass fake_decode=True for the chunking demuxer"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    continue
+                raw = bytes(c)
+                n = max(1, (len(raw) + frame_bytes - 1) // frame_bytes)
+                for k, f in enumerate(range(0, n, every_n)):
+                    if k >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(f)
+                    frames.append(raw[f * frame_bytes : (f + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "content": frames}
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Repartition by payload byte budget so each Arrow batch / task holds
     ~target_bytes of media, regardless of row count."""

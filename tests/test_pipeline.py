@@ -172,3 +172,43 @@ def test_multimodal_real_decode_raises(docs):
     media = documents_as_media(docs)
     with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_multimodal_resize_deterministic(docs):
+    from nntsc_spark.pipeline.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    media = documents_as_media(docs)
+    out = {r.media_id: r for r in resize_media(media, 4, 2).collect()}
+    assert all(r.width == 4 and r.height == 2 for r in out.values())
+    assert all(len(r.content) == 8 for r in out.values() if r.content)
+    # nearest-neighbor on the 8x8 fake grid: row y=0 samples source row 0,
+    # x=0 samples source col 0 -> first output byte == first source byte
+    src = {r.media_id: bytes(r.content)[:64] for r in media.collect()}
+    assert bytes(out[0].content)[0] == src[0][0]
+    # identical payloads resize identically
+    assert bytes(out[0].content) == bytes(out[1].content)
+
+
+def test_multimodal_frame_sampling(spark):
+    from nntsc_spark.pipeline.multimodal import sample_frames
+
+    # one "video" of 5 frames x 4 bytes, one short clip, one NULL payload
+    rows = [
+        (1, b"".join(bytes([i] * 4) for i in range(5))),
+        (2, b"\x09\x09"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = sample_frames(media, every_n=2, max_frames=8, frame_bytes=4).collect()
+    got = {(r.media_id, r.frame_idx): bytes(r.content) for r in out}
+    # video 1: frames 0, 2, 4 sampled (every 2nd of 5)
+    assert set(k for k in got if k[0] == 1) == {(1, 0), (1, 2), (1, 4)}
+    assert got[(1, 2)] == b"\x02\x02\x02\x02"
+    # short clip: single (partial) frame
+    assert set(k for k in got if k[0] == 2) == {(2, 0)}
+    assert got[(2, 0)] == b"\x09\x09"
+    # NULL payload contributes no rows
+    assert not any(k[0] == 3 for k in got)
