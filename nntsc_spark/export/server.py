@@ -48,11 +48,76 @@ from .protocol import Msg, Req, pack, read_message
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
 MAX_WORKERS = 2  # query workers per client (exporter.py:103)
+LIVE_QUEUE_CAP = 1_000_000  # per-client send queue entries (exporter.py:1512)
+SEND_TIMEOUT = 10  # seconds to wait on a full queue (exporter.py:1451)
 
 
 class QueryTimeout(Exception):
     """A history query exceeded the server's query_timeout and its Spark
     job group was cancelled (reference DB_QUERY_TIMEOUT)."""
+
+
+class _ClientTx:
+    """Per-client bounded send queue + sender thread.
+
+    The reference gives every client a Queue(1,000,000) drained by its own
+    thread (exporter.py:1510-1522), so a stalled client can never block
+    other clients' sends — and when the queue fills (the client stopped
+    reading for SEND_TIMEOUT seconds at capacity), the client is DROPPED:
+    its socket is closed and the reader loop reaps its subscriptions
+    (exporter.py:1449-1460).  Whole frames are enqueued, so interleaving
+    across the client's query workers stays per-message.
+    """
+
+    def __init__(self, sock: socket.socket) -> None:
+        import queue as _queue
+
+        self.sock = sock
+        self.q: "_queue.Queue[bytes | None]" = _queue.Queue(LIVE_QUEUE_CAP)
+        self.dead = False
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def send(self, frame: bytes) -> None:
+        import queue as _queue
+
+        if self.dead:
+            return
+        try:
+            self.q.put(frame, True, SEND_TIMEOUT)
+        except _queue.Full:
+            # reference: "Client queue has filled up!" -> drop the client.
+            # shutdown() (not just close()) wakes the reader thread blocked
+            # in recv, whose finally-block then reaps the subscriptions —
+            # the reliable version of the reference's "hope the thread
+            # picks up that we closed its socket" (exporter.py:1452-1456)
+            self.dead = True
+            try:
+                self.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+    def close(self) -> None:
+        self.dead = True
+        try:
+            self.q.put_nowait(None)
+        except Exception:
+            pass
+
+    def _drain(self) -> None:
+        while True:
+            frame = self.q.get()
+            if frame is None:
+                return
+            try:
+                self.sock.sendall(frame)
+            except OSError:
+                self.dead = True
+                return
 
 
 def merge_aggregators(
@@ -100,6 +165,8 @@ class ExportServer:
         self.collections = collections
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
+        #: per-client bounded send queues (reference exporter.py:1510-1522)
+        self._tx: dict[socket.socket, _ClientTx] = {}
         self._subs: list[Subscription] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -143,6 +210,9 @@ class ExportServer:
         pool = ThreadPoolExecutor(
             max_workers=MAX_WORKERS, thread_name_prefix="nntsc-export-worker"
         )
+        tx = _ClientTx(sock)
+        with self._lock:
+            self._tx[sock] = tx
         try:
             while True:
                 try:
@@ -156,7 +226,9 @@ class ExportServer:
                 pool.submit(self._run_request, sock, mtype, body)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
+            tx.close()
             with self._lock:
+                self._tx.pop(sock, None)
                 self._subs = [s for s in self._subs if s.sock is not sock]
             sock.close()
 
@@ -167,12 +239,21 @@ class ExportServer:
             self._send(sock, Msg.ERROR, {"error": str(e)})
 
     def _send(self, sock: socket.socket, mtype: Msg, body: object) -> None:
-        try:
-            with self._lock:
-                sock.sendall(pack(mtype, body))
+        """Enqueue one whole frame on the client's bounded send queue.
+
+        Never blocks on the client's socket (a stalled client fills its own
+        queue and gets dropped — see _ClientTx); clients are fully isolated
+        from each other.  A send after the client is gone is a no-op; the
+        reader loop reaps its subscriptions.
+        """
+        with self._lock:
+            tx = self._tx.get(sock)
+        if tx is not None:
+            tx.send(pack(mtype, body))
+            return
+        try:  # sockets outside a client loop (tests, internal probes)
+            sock.sendall(pack(mtype, body))
         except OSError:
-            # client went away mid-send; its subscriptions are reaped by the
-            # client loop's finally block
             pass
 
     # -- dispatch ----------------------------------------------------------

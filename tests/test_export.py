@@ -516,3 +516,72 @@ def test_two_workers_slow_query_does_not_block_fast_one(spark):
         s.close()
     finally:
         srv.stop()
+
+
+def test_stalled_client_dropped_others_unaffected(spark, monkeypatch):
+    """Reference live-queue semantics (exporter.py:1449-1460): a client
+    that stops reading fills its bounded queue and is DROPPED; other
+    clients keep working — no cross-client blocking."""
+    import nntsc_spark.export.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "LIVE_QUEUE_CAP", 4)
+    monkeypatch.setattr(srv_mod, "SEND_TIMEOUT", 0.2)
+
+    fact = spark.createDataFrame(
+        [(1, 100, 1.0)], "stream_id long, timestamp long, value double"
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        stalled = _connect(srv)
+        stalled.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"A": [1]}, "start": 0},
+            )
+        )
+        # wait until its live-only subscription is registered
+        for _ in range(100):
+            with srv._lock:
+                if srv._subs:
+                    break
+            time.sleep(0.05)
+        # flood live rows; the stalled client never reads -> its kernel
+        # buffer fills, the sender thread blocks, the bounded queue
+        # overflows, and the client is dropped (subscription reaped by the
+        # woken reader loop)
+        # fat INCOMPRESSIBLE frames (the protocol zlib-compresses; a
+        # constant pad would shrink to nothing) so the kernel socket
+        # buffers fill quickly and the sender thread blocks
+        import os as _os
+
+        pad = _os.urandom(60_000).hex()
+        for i in range(4000):
+            srv.publish_live(
+                "amp-icmp",
+                1,
+                [{"timestamp": 200 + i, "value": float(i), "pad": pad + str(i)}],
+            )
+            with srv._lock:
+                if not srv._subs:
+                    break
+        for _ in range(100):  # reader loop reaps tx + subscriptions
+            with srv._lock:
+                if not srv._subs and not srv._tx:
+                    break
+            time.sleep(0.05)
+        with srv._lock:
+            assert not srv._subs
+            assert not srv._tx
+        # a well-behaved client still gets service afterwards
+        ok = _connect(srv)
+        ok.sendall(pack(Msg.REQUEST, {"request": Req.COLLECTIONS}))
+        mtype, body = read_message(ok)
+        assert mtype == Msg.COLLECTIONS
+        ok.close()
+        stalled.close()
+    finally:
+        srv.stop()
