@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 #: small deterministic stopword list used for quality/language scoring
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks —
+#: the GPT-2 pre-split family, written without lookaheads or escape classes
+#: so Java regex (Spark) and RE2 (DuckDB) match identically.
+BPEISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
 
 def tokens_expr(text: Column | str) -> Column:
     t = F.col(text) if isinstance(text, str) else text
@@ -21,6 +26,33 @@ def tokens_expr(text: Column | str) -> Column:
 
 def token_count_expr(text: Column | str) -> Column:
     return F.size(tokens_expr(text)).cast("long")
+
+
+def bpeish_token_count_expr(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(BPEISH_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token accounting: whitespace tokens, BPE-ish regex
+    pre-tokens, raw chars, and chars-per-BPE-token (the compression-ratio
+    proxy a training pipeline budgets by).
+
+    Pure projection — no shuffle, stays in whole-stage codegen; the regex
+    runs once per row JVM-side (no Python UDF).
+    """
+    ws = token_count_expr(text_col)
+    bp = bpeish_token_count_expr(text_col)
+    nchars = F.length(F.col(text_col)).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bp.alias("n_bpeish_tokens"),
+        nchars.alias("n_chars"),
+        F.round(nchars / bp.cast("double"), 4).alias("chars_per_token"),
+    )
 
 
 def stopword_count_expr(text: Column | str) -> Column:

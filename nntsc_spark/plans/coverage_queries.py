@@ -264,6 +264,33 @@ def q_catalog_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_collections(spark)
 
 
+# Hand-written golden rows (NOT generated from the registry) so the oracle
+# independently pins the catalog contract: the 14 collections of
+# /root/reference (README:79-81), module/modsubtype/table names per each
+# parser's declaration, ids assigned by sorted collection name.  The three
+# traceroute-family collections share one streams table
+# (amp_traceroute.py:44-46).
+SQL_CATALOG_COLLECTIONS = """
+SELECT CAST(id AS BIGINT) AS id, module, modsubtype, streamtable, datatable
+FROM (VALUES
+  (1,  'amp', 'astraceroute',       'streams_amp_traceroute', 'data_amp_astraceroute'),
+  (2,  'amp', 'dns',                'streams_amp_dns',        'data_amp_dns'),
+  (3,  'amp', 'external',           'streams_amp_external',   'data_amp_external'),
+  (4,  'amp', 'fastping',           'streams_amp_fastping',   'data_amp_fastping'),
+  (5,  'amp', 'http',               'streams_amp_http',       'data_amp_http'),
+  (6,  'amp', 'icmp',               'streams_amp_icmp',       'data_amp_icmp'),
+  (7,  'amp', 'sip',                'streams_amp_sip',        'data_amp_sip'),
+  (8,  'amp', 'tcpping',            'streams_amp_tcpping',    'data_amp_tcpping'),
+  (9,  'amp', 'throughput',         'streams_amp_throughput', 'data_amp_throughput'),
+  (10, 'amp', 'traceroute',         'streams_amp_traceroute', 'data_amp_traceroute'),
+  (11, 'amp', 'traceroute_pathlen', 'streams_amp_traceroute', 'data_amp_traceroute_pathlen'),
+  (12, 'amp', 'udpstream',          'streams_amp_udpstream',  'data_amp_udpstream'),
+  (13, 'amp', 'youtube',            'streams_amp_youtube',    'data_amp_youtube'),
+  (14, 'rrd', 'smokeping',          'streams_rrd_smokeping',  'data_rrd_smokeping')
+) AS t(id, module, modsubtype, streamtable, datatable)
+"""
+
+
 REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "percentile_fan": (q_percentile_fan, SQL_PERCENTILE_FAN),
@@ -278,7 +305,7 @@ REGISTRY = {
         q_traceroute_shape_join,
         SQL_TRACEROUTE_SHAPE_JOIN,
     ),
-    "catalog_collections": (q_catalog_collections, None),
+    "catalog_collections": (q_catalog_collections, SQL_CATALOG_COLLECTIONS),
 }
 
 

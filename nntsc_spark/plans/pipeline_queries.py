@@ -25,7 +25,12 @@ from ..pipeline.similarity import (
     embedding_near_duplicates,
     ivf_topk,
 )
-from ..pipeline.text import fingerprint, language_id, quality_features
+from ..pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_counts,
+)
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -81,6 +86,30 @@ SELECT doc_id, round(en, 4) AS score_en, round(de, 4) AS score_de,
             WHEN fr > en AND fr > de AND fr >= 0.01 THEN 'fr'
             ELSE 'und' END AS pred_lang
 FROM s
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+# The regex is lookahead-free on purpose: Java regex (Spark) and RE2
+# (DuckDB) evaluate '[a-z]+|[0-9]+|[^a-z0-9 ]' identically (verified on
+# punctuation/digit/multi-space cases).
+SQL_TEXT_TOKENS = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+           AS n_bp,
+         length(text) AS nchars
+  FROM documents
+)
+SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       CAST(n_bp AS BIGINT) AS n_bpeish_tokens,
+       CAST(nchars AS BIGINT) AS n_chars,
+       round(nchars / CAST(n_bp AS DOUBLE), 4) AS chars_per_token
+FROM t
 """
 
 
@@ -443,6 +472,7 @@ FROM documents
 REGISTRY = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),

@@ -25,7 +25,11 @@ from nntsc_spark.pipeline.similarity import (
     embedding_near_duplicates,
     lsh_topk,
 )
-from nntsc_spark.pipeline.text import fingerprint, quality_features
+from nntsc_spark.pipeline.text import (
+    fingerprint,
+    quality_features,
+    token_counts,
+)
 from nntsc_spark.sources.tables import load_table
 
 
@@ -154,6 +158,21 @@ def test_quality_and_fingerprint_shapes(docs):
     f = fingerprint(docs).collect()
     fps = {r.doc_id: r.fingerprint for r in f}
     assert fps[0] == fps[1] and fps[0] != fps[3]
+
+
+def test_token_counts(spark):
+    rows = [
+        (0, "the quick brown fox"),  # 4 ws tokens, 4 bpeish
+        (1, "Hello, world! 42 foo-bar"),  # punctuation + digits split out
+        (2, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert out[0].n_ws_tokens == 4 and out[0].n_bpeish_tokens == 4
+    # hello , world ! 42 foo - bar -> 8 regex pre-tokens, 4 ws tokens
+    assert out[1].n_ws_tokens == 4 and out[1].n_bpeish_tokens == 8
+    assert out[2].n_bpeish_tokens == 1
+    assert out[0].chars_per_token == pytest.approx(19 / 4, abs=1e-4)
 
 
 def test_multimodal_plumbing(docs):
