@@ -1,0 +1,116 @@
+"""Plan-shape regression tests: pin the scale-critical physical-plan
+properties so they cannot silently regress.
+
+The reference hand-builds these properties (per-stream tables for pruning,
+dbselect.py:674-677; WHERE in the innermost subquery, dbselect.py:311-320);
+here Catalyst provides them — but only if the plan stays declarative.  Each
+test asserts the property on the compiled physical plan (no job runs), so
+the suite stays fast while guarding exactly what matters at 100 TB:
+
+- time predicates reach the parquet scan (row-group pruning),
+- column pruning reaches the scan (ReadSchema width),
+- small dimensions broadcast (zero fact-side shuffle),
+- map-only pipelines stay shuffle-free,
+- the only SortMergeJoins are the intended large-large dedup joins.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from nntsc_spark.plans.queries import queries
+
+REG = queries()
+
+
+def plan_text(spark, sf_dir, name: str) -> str:
+    df = REG[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def read_widths(plan: str) -> list[int]:
+    return [
+        len(s.split(","))
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if s
+    ]
+
+
+def test_time_predicate_pushed_to_parquet(spark, sf_dir):
+    # select_raw filters on the RAW nanosecond ts column, so the bound
+    # appears in PushedFilters and prunes row groups (a filter on the
+    # derived epoch-second column would not push — see
+    # sources/tables.py:63-67)
+    plan = plan_text(spark, sf_dir, "select_raw")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+    assert any("LessThan(ts" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # events has 8 columns; select_raw needs only 4 (ts, stream/user id,
+    # value, status) — the scan must not read the rest
+    plan = plan_text(spark, sf_dir, "select_raw")
+    widths = read_widths(plan)
+    assert widths and max(widths) <= 4, widths
+
+
+def test_label_join_is_broadcast(spark, sf_dir):
+    # J1: the label map is tiny and must broadcast — a shuffled join here
+    # would repartition the whole fact table per query
+    plan = plan_text(spark, sf_dir, "select_raw")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_traceroute_dict_joins_broadcast(spark, sf_dir):
+    # J2/J3: paths/aspaths dictionary tables broadcast against the fact
+    # side (amp_traceroute.py:662-703's UNION-ALL reassembly collapses to
+    # broadcast hash joins)
+    plan = plan_text(spark, sf_dir, "traceroute_shape_join")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_only_pipelines_have_no_shuffle(spark, sf_dir):
+    # pure projections must compile to zero Exchange operators: at 100 TB
+    # an accidental shuffle here moves the entire corpus over the network
+    for name in ("text_tokens", "multimodal_features", "ingest_udpstream"):
+        plan = plan_text(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_binned_agg_is_partial_aggregated(spark, sf_dir):
+    # A1/A2: groupBy(label, bin) must run map-side partial aggregation
+    # (two HashAggregate levels around one Exchange), not ship raw rows
+    plan = plan_text(spark, sf_dir, "agg_bin")
+    assert plan.count("HashAggregate") >= 2
+    # label broadcast + one agg shuffle; no second fact-side shuffle
+    assert plan.count("Exchange") <= 3, plan.count("Exchange")
+
+
+def test_ann_query_vectors_broadcast(spark, sf_dir):
+    # the query-vector set is small and must broadcast against the corpus
+    # scan — the corpus side must never shuffle for candidate generation
+    plan = plan_text(spark, sf_dir, "similarity_ivf_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_candidates_are_equi_joined(spark, sf_dir):
+    # the LSH candidate join must be a hash-partitionable equi-join on
+    # (band, band_hash) — NEVER an all-pairs cross product.  (At test
+    # scale the sides are tiny so AQE broadcasts them; at 100 TB the same
+    # equi-join keys sort-merge — either way the plan stays bucketed.)
+    for name in ("dedup_minhash", "dedup_ngram_jaccard", "embedding_neardup"):
+        plan = plan_text(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["smoke", "matrix", "ingest_icmp"])
+def test_nntsc_core_queries_keep_pushdown(spark, sf_dir, name):
+    plan = plan_text(spark, sf_dir, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("ts" in p for p in pushed if p), (name, pushed)
