@@ -311,13 +311,24 @@ def ivf_topk(
     pre = emb.select(
         id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
     )
-    cs = F.expr(ivf_cell_scores_sql(vec_col, cents))
-    # first index holding the max = lowest cell id on ties
-    assigned = pre.select(
+    # materialize the (nlist-wide) score array in its own projection: the
+    # fold expressions are non-cheap, so CollapseProject keeps this layer
+    # instead of re-inlining one copy of the giant tree per consumer —
+    # plan analysis/codegen cost stays O(1) copies, and arithmetic is
+    # unchanged (same folds, same order)
+    withcs = pre.select(
         id_col,
         vec_col,
-        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
-        cs.alias("_cs"),
+        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+    )
+    # first index holding the max = lowest cell id on ties
+    assigned = withcs.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+        "_cs",
     )
     probe_rank = Window.partitionBy("query_id").orderBy(
         F.desc("c"), F.asc("cell")
