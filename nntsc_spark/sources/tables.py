@@ -43,13 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _LOAD_MEMO.get(key)
     if df is None:
-        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects unless
-        # nanos are surfaced as raw longs; harmless for the other tables
-        # (micros).  Must be set before the first read of events.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception as exc:  # pragma: no cover - legacy nanos layout
+            # Older testdata stored events.ts as TIMESTAMP(NANOS), which
+            # Spark rejects unless surfaced as raw longs.  Retry with the
+            # legacy conf only when the read actually failed on it, so the
+            # conf never leaks into sessions reading micros data.
+            if "nanos" not in str(exc).lower():
+                raise
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _LOAD_MEMO[key] = df
     return df
+
+
+#: Wall-clock zero for TIMESTAMP_NTZ arithmetic; NTZ-vs-NTZ diffs are pure
+#: field arithmetic, so the derived epoch is independent of the session tz.
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def events_fact(
@@ -60,27 +71,56 @@ def events_fact(
 ) -> DataFrame:
     """Map the synthetic ``events`` table onto the engine's fact-table shape.
 
-    ``user_id`` plays the role of ``stream_id``; ``ts`` (read as nanosecond
-    longs) becomes integer epoch seconds — the reference stores integer epoch
-    seconds everywhere (libnntsc/database.py:872).  Integer arithmetic keeps
-    the bin math inside whole-stage codegen.
+    ``user_id`` plays the role of ``stream_id``; ``ts`` becomes integer epoch
+    seconds — the reference stores integer epoch seconds everywhere
+    (libnntsc/database.py:872).  Integer arithmetic keeps the bin math inside
+    whole-stage codegen.
+
+    The physical type of ``ts`` is environment-dependent (parquet
+    ``timestamp[us]`` read as TIMESTAMP/TIMESTAMP_NTZ today; historical
+    layouts stored TIMESTAMP(NANOS) read as long), so the loader adapts to
+    whatever the scan reports rather than assuming one layout.
 
     ``start``/``stop`` (inclusive epoch seconds) are applied to the RAW
-    nanosecond column: a predicate on the derived ``timestamp`` (``ts DIV
-    1e9``) is an expression and never reaches the parquet scan, whereas
-    ``ts >= start*1e9`` is a plain column comparison that pushes down to
-    row-group pruning — the difference between scanning a day and scanning
-    100 TB.  Equivalence: ``ts DIV 1e9 >= s  <=>  ts >= s*1e9`` and
-    ``ts DIV 1e9 <= e  <=>  ts < (e+1)*1e9`` for non-negative epochs.
+    ``ts`` column as literals of its own type: a predicate on the derived
+    ``timestamp`` column is an expression and never reaches the parquet
+    scan, whereas a comparison against a foldable literal is constant-folded
+    by Catalyst and pushes down to row-group pruning — the difference
+    between scanning a day and scanning 100 TB.  Epoch derivation and the
+    literals are timezone-independent in every branch (NTZ field arithmetic
+    / instant-based unix_seconds / integer division), so results don't
+    depend on the caller's ``spark.sql.session.timeZone``.
     """
     df = load_table(spark, sf_dir, "events")
-    if start is not None:
-        df = df.where(F.col("ts") >= int(start) * 1_000_000_000)
-    if stop is not None:
-        df = df.where(F.col("ts") < (int(stop) + 1) * 1_000_000_000)
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy nanos-as-long layout
+        if start is not None:
+            df = df.where(F.col("ts") >= int(start) * 1_000_000_000)
+        if stop is not None:
+            df = df.where(F.col("ts") < (int(stop) + 1) * 1_000_000_000)
+        epoch = F.expr("ts DIV 1000000000")
+    elif ts_type == "timestamp_ntz":
+        if start is not None:
+            df = df.where(
+                F.col("ts") >= F.expr(f"timestampadd(SECOND, {int(start)}, {_NTZ_EPOCH})")
+            )
+        if stop is not None:
+            df = df.where(
+                F.col("ts") < F.expr(f"timestampadd(SECOND, {int(stop) + 1}, {_NTZ_EPOCH})")
+            )
+        # floor-to-second for non-negative epochs: timestampdiff truncates
+        epoch = F.expr(f"timestampdiff(SECOND, {_NTZ_EPOCH}, ts)")
+    elif ts_type == "timestamp":
+        if start is not None:
+            df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(int(start))))
+        if stop is not None:
+            df = df.where(F.col("ts") < F.timestamp_seconds(F.lit(int(stop) + 1)))
+        epoch = F.unix_seconds(F.col("ts"))
+    else:  # pragma: no cover - unknown future layout
+        raise TypeError(f"unsupported events.ts type: {ts_type}")
     return df.select(
         F.col("user_id").alias("stream_id"),
-        F.expr("ts DIV 1000000000").alias("timestamp"),
+        epoch.alias("timestamp"),
         "event_type",
         "value",
         "event_id",

@@ -81,7 +81,6 @@ def write_fact(
 def read_fact(spark: SparkSession, path: str) -> DataFrame:
     """Single scan; Catalyst prunes date partitions from timestamp-derived
     predicates pushed by the query layer."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path).drop(DATE_COL)
 
 
