@@ -25,11 +25,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Hard ceiling on NEW identities assigned in one batch.  Sequential id
+#: assignment is single-partition by design (same bounded-growth argument as
+#: the reference's shared Postgres sequence); the cap turns an accidental
+#: fact-table-sized input into a loud error instead of a silent one-reducer
+#: sort of millions of rows.
+MAX_NEW_PER_BATCH = 1_000_000
+
+
 def upsert_dimension(
     existing: DataFrame | None,
     observed: DataFrame,
     unique_cols: Sequence[str],
     id_col: str = "stream_id",
+    max_new: int = MAX_NEW_PER_BATCH,
 ) -> DataFrame:
     """Generic insert-or-find for a dimension table (streams, traceroute
     path/aspath dictionaries — the reference's CTE upsert at
@@ -38,6 +47,10 @@ def upsert_dimension(
     ``observed`` carries one row per observed identity tuple (extra columns
     beyond ``unique_cols`` are kept as metadata, first-observed wins).
     Returns the updated dimension.
+
+    Raises ``ValueError`` if more than ``max_new`` new identities arrive in
+    one batch — see :data:`MAX_NEW_PER_BATCH`.  The count costs one job over
+    the (persisted) anti-join output, which the assignment then reuses.
     """
     first_seen = observed.dropDuplicates(list(unique_cols))
     if existing is None:
@@ -48,6 +61,17 @@ def upsert_dimension(
             existing.select(*unique_cols), list(unique_cols), "left_anti"
         )
         base = F.lit(existing.agg(F.max(id_col)).collect()[0][0] or 0)
+    new = new.persist()
+    n_new = new.count()
+    if n_new > max_new:
+        raise ValueError(
+            f"upsert_dimension: {n_new} new identities in one batch exceeds "
+            f"max_new={max_new}; sequential id assignment is deliberately "
+            "single-partition (bounded new-identity invariant) — split the "
+            "batch or raise max_new"
+        )
+    # Global (unpartitioned) window = one reducer: safe ONLY because n_new
+    # is bounded by the assertion above.
     w = Window.orderBy(*[F.col(c) for c in unique_cols])
     assigned = new.withColumn(id_col, (base + F.row_number().over(w)).cast("long"))
     assigned = assigned.select(

@@ -275,15 +275,25 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 128,
 ) -> DataFrame:
-    """n-gram Jaccard >= threshold, exact, via the inverted index ONLY.
+    """n-gram Jaccard >= threshold via the inverted index ONLY.
 
     Intersection sizes come straight from the shingle self-join aggregated
     on the pair key — candidates are never materialized and re-joined back
     to the shingle table (that re-join fans out to |pairs| x |avg shingles|
-    rows, ~50x the index join).  Join fan-out is sum over shingles of
-    C(df, 2); at 100 TB the guard is a df cap on the index with a re-verify
-    pass for dropped shingles, or MinHash banding
+    rows, ~50x the index join).
+
+    ``max_df`` guards the quadratic term: join fan-out is sum over shingles
+    of C(df, 2), so a single stop-word-like shingle with df=10^6 alone
+    produces ~5*10^11 join rows.  Shingles whose document frequency exceeds
+    ``max_df`` are dropped from BOTH join sides of the index (bounding any
+    one shingle's fan-out at C(max_df, 2)) but kept in the per-doc set
+    sizes, so computed Jaccard never over-estimates: the cap can only lose
+    pairs whose overlap is carried by corpus-ubiquitous shingles (recall
+    loss only, no precision loss).  Results are exact whenever ``max_df``
+    >= the corpus's maximum shingle df; pass ``None`` to disable.  For
+    corpora where capped recall is unacceptable, use MinHash banding
     (:func:`minhash_near_duplicates`), which replaces the quadratic term
     entirely.
     """
@@ -292,8 +302,23 @@ def ngram_jaccard_pairs(
     # consumed three times (both join sides + sizes): persist or the
     # explode+window shingle build runs three times
     sh = shingles(docs, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    idx = sh
+    if max_df is not None:
+        # Hot-shingle list is tiny by construction (only shingles with
+        # df > max_df — stop-word-grade n-grams), so a broadcast anti-join
+        # removes them MAP-SIDE, before any shuffle: the skewed keys never
+        # reach the self-join's exchange.  A window-count alternative would
+        # shuffle the whole index partitioned by exactly these hot keys.
+        # The df aggregation itself is map-side combinable (partial counts).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > int(max_df))
+            .select("shingle")
+        )
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    s1 = idx.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = idx.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
         s1.join(s2, "shingle")
         .where(F.col("d1") < F.col("d2"))

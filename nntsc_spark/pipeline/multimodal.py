@@ -219,11 +219,34 @@ def sample_frames(
 
 def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Repartition by payload byte budget so each Arrow batch / task holds
-    ~target_bytes of media, regardless of row count."""
-    total = media.select(
-        F.sum(F.length("content")).alias("b")
-    ).collect()[0]["b"] or 0
-    parts = max(1, int(total / target_bytes) + 1)
+    ~target_bytes of media, regardless of row count.
+
+    The byte total comes from DRIVER-SIDE file metadata (`inputFiles` +
+    filesystem stat — the same listing the planner already does), never
+    from a ``sum(length(content))`` job: that would be a full extra pass
+    over the binary corpus, doubling the most expensive scan at 100 TB.
+    On-disk (compressed) size slightly undercounts in-memory Arrow bytes,
+    which errs toward MORE partitions — the safe direction for memory.
+    For non-file-backed frames (in-memory test data, post-shuffle
+    intermediates) there is nothing to stat, so fall back to the session's
+    default parallelism rather than scanning.
+    """
+    spark = media.sparkSession
+    try:
+        files = media.inputFiles()
+    except Exception:
+        files = []
+    total = 0
+    if files:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for uri in files:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    if total:
+        parts = max(1, int(total / target_bytes) + 1)
+    else:
+        parts = spark.sparkContext.defaultParallelism
     return media.repartition(parts, "media_id")
 
 

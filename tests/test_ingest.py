@@ -338,6 +338,17 @@ def test_stream_id_upsert_and_attach(spark):
     assert fact.collect()[0]["stream_id"] == 4
 
 
+def test_upsert_dimension_rejects_unbounded_batch(spark):
+    from nntsc_spark.ingest.streams import upsert_dimension
+
+    observed = spark.range(10).selectExpr("concat('k', id) AS key")
+    with pytest.raises(ValueError, match="single-partition"):
+        upsert_dimension(None, observed, ["key"], "id", max_new=5)
+    # at or under the cap the same batch assigns dense sequential ids
+    ok = upsert_dimension(None, observed, ["key"], "id", max_new=10)
+    assert sorted(r["id"] for r in ok.collect()) == list(range(1, 11))
+
+
 # ---------------------------------------------------------------------------
 # nested-result families: udpstream / sip / external
 # (reference tests/: UdpstreamParser_test.py, SipParser_test.py,

@@ -65,6 +65,39 @@ def test_minhash_signature_determinism(spark, docs):
     assert a == b
 
 
+def test_ngram_jaccard_df_cap(spark):
+    from nntsc_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    # docs 2..11: identical one-shingle texts -> that shingle's df is 10 and
+    # carries 45 all-pairs matches; docs 0/1: a genuine near-dup pair whose
+    # overlap rides on df<=2 shingles only.
+    rows = [(i, "common shingle here") for i in range(2, 12)]
+    rows += [
+        (0, "zebra yak xylophone walrus vulture alpha"),
+        (1, "zebra yak xylophone walrus vulture beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, max_df=None).collect()}
+    assert (0, 1) in uncapped
+    assert len(uncapped) == 1 + 45  # hot shingle fans out to C(10,2) pairs
+
+    capped = {(r.d1, r.d2): r.jaccard for r in ngram_jaccard_pairs(docs, max_df=4).collect()}
+    # low-df pair survives exactly; hot-shingle pairs are gone (recall-only loss)
+    assert set(capped) == {(0, 1)}
+    assert capped[(0, 1)] == 0.6  # 3 shared / 5 union -> sizes stay uncapped
+
+    # the cap bounds the self-join input: sum C(df,2) drops from 45+3 to 3
+    sh = shingles(docs)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    fanout = lambda cap: (
+        df_counts.where(F.lit(cap).isNull() | (F.col("df") <= cap))
+        .select(F.sum(F.expr("df * (df - 1) / 2")))
+        .collect()[0][0]
+    )
+    assert fanout(None) == 48 and fanout(4) == 3
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
     df = docs.sparkSession.createDataFrame(
@@ -183,6 +216,20 @@ def test_multimodal_plumbing(docs):
     assert feats[0].feat_mean is not None
     # repartition by byte budget returns same rows
     assert media_repartition(media, target_bytes=64).count() == 4
+
+
+def test_media_repartition_uses_file_metadata_not_a_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    # file-backed: partition count must come from stat-ed parquet bytes
+    # (hundreds of KB / 1 KB budget >> default parallelism), proving the
+    # metadata path was taken; an in-memory frame has no files to stat and
+    # must fall back to default parallelism without running a scan job.
+    parts = media_repartition(media, target_bytes=1024).rdd.getNumPartitions()
+    assert parts > spark.sparkContext.defaultParallelism
+    mem = spark.createDataFrame([(1, b"xx")], "media_id long, content binary")
+    fallback = media_repartition(mem, target_bytes=1024).rdd.getNumPartitions()
+    assert fallback == spark.sparkContext.defaultParallelism
 
 
 def test_multimodal_real_decode_raises(docs):
