@@ -48,9 +48,13 @@ def upsert_dimension(
     beyond ``unique_cols`` are kept as metadata, first-observed wins).
     Returns the updated dimension.
 
-    Raises ``ValueError`` if more than ``max_new`` new identities arrive in
-    one batch — see :data:`MAX_NEW_PER_BATCH`.  The count costs one job over
-    the (persisted) anti-join output, which the assignment then reuses.
+    The per-batch cap is enforced INSIDE the plan (``raise_error`` folded
+    into the id expression), not by an eager ``count()``: a driver-side
+    count would cost an extra job per upsert and force a persist whose
+    unknown stats rob the downstream attach join of its broadcast.  The
+    guard evaluates on the same single reducer that assigns ids, costs
+    nothing when the invariant holds, and fails the job loudly when it
+    doesn't — see :data:`MAX_NEW_PER_BATCH`.
     """
     first_seen = observed.dropDuplicates(list(unique_cols))
     if existing is None:
@@ -61,19 +65,22 @@ def upsert_dimension(
             existing.select(*unique_cols), list(unique_cols), "left_anti"
         )
         base = F.lit(existing.agg(F.max(id_col)).collect()[0][0] or 0)
-    new = new.persist()
-    n_new = new.count()
-    if n_new > max_new:
-        raise ValueError(
-            f"upsert_dimension: {n_new} new identities in one batch exceeds "
-            f"max_new={max_new}; sequential id assignment is deliberately "
-            "single-partition (bounded new-identity invariant) — split the "
-            "batch or raise max_new"
-        )
-    # Global (unpartitioned) window = one reducer: safe ONLY because n_new
-    # is bounded by the assertion above.
+    # Global (unpartitioned) window = one reducer: safe ONLY while the
+    # new-identity set stays dimension-sized, which the guard enforces.
     w = Window.orderBy(*[F.col(c) for c in unique_cols])
-    assigned = new.withColumn(id_col, (base + F.row_number().over(w)).cast("long"))
+    rn = F.row_number().over(w)
+    guard = F.when(
+        rn > int(max_new),
+        F.raise_error(
+            F.lit(
+                f"upsert_dimension: more than max_new={max_new} new "
+                "identities in one batch; sequential id assignment is "
+                "deliberately single-partition (bounded new-identity "
+                "invariant) — split the batch or raise max_new"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    assigned = new.withColumn(id_col, (base + rn + guard).cast("long"))
     assigned = assigned.select(
         id_col, *[c for c in assigned.columns if c != id_col]
     )

@@ -342,8 +342,10 @@ def test_upsert_dimension_rejects_unbounded_batch(spark):
     from nntsc_spark.ingest.streams import upsert_dimension
 
     observed = spark.range(10).selectExpr("concat('k', id) AS key")
-    with pytest.raises(ValueError, match="single-partition"):
-        upsert_dimension(None, observed, ["key"], "id", max_new=5)
+    # the guard lives inside the plan (no eager count job), so it fires on
+    # materialization
+    with pytest.raises(Exception, match="single-partition"):
+        upsert_dimension(None, observed, ["key"], "id", max_new=5).collect()
     # at or under the cap the same batch assigns dense sequential ids
     ok = upsert_dimension(None, observed, ["key"], "id", max_new=10)
     assert sorted(r["id"] for r in ok.collect()) == list(range(1, 11))

@@ -39,7 +39,8 @@ def read_widths(plan: str) -> list[int]:
 
 
 def test_time_predicate_pushed_to_parquet(spark, sf_dir):
-    # select_raw filters on the RAW nanosecond ts column, so the bound
+    # select_raw filters on the RAW ts column (whatever its physical
+    # type — timestamp or legacy nanos-long), so the bound
     # appears in PushedFilters and prunes row groups (a filter on the
     # derived epoch-second column would not push — see
     # sources/tables.py:63-67)
