@@ -9,7 +9,7 @@ JVM/codegen (flagship query) and the Python/Arrow worker pool (a 1-row
 mapInPandas no-op) — so per-query numbers reflect steady-state throughput;
 in production both are long-lived.
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 2) and reports the
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 MINIMUM: the first execution pays one-time per-query analysis + codegen
 (amortized to zero on a long-lived cluster), and min-of-N also suppresses
 noisy-neighbor variance on shared hardware (observed single-run jitter here
@@ -42,7 +42,7 @@ def main() -> None:
     # warmup: Python/Arrow worker pool (paid once per executor in prod)
     spark.range(1).mapInPandas(lambda it: it, "id long").collect()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "540"))
 
     timings: dict[str, float] = {}

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -211,6 +212,37 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ), {_JACCARD_TAIL}
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+# Connected components as a recursive CTE: `reach` enumerates (node, label
+# of every node in its component) over the symmetric edge list; min(label)
+# per node is exactly the fixpoint the Spark-side min-label propagation
+# converges to.  Oracle-only — the quadratic reach table is fine at fixture
+# scale, while the Spark side iterates.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH}) mh
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+), csizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.n_members,
+       c.doc_id = c.cluster_id AS is_survivor
+FROM cc c JOIN csizes s USING (cluster_id)
 """
 
 
@@ -476,6 +508,7 @@ REGISTRY = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),

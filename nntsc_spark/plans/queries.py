@@ -538,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 from .coverage_queries import REGISTRY as COVERAGE_REGISTRY  # noqa: E402
+from .coverage_queries import TAIL_REGISTRY  # noqa: E402
 from .ingest_queries import REGISTRY as INGEST_REGISTRY  # noqa: E402
 
 REGISTRY.update(COVERAGE_REGISTRY)
@@ -545,8 +546,10 @@ REGISTRY.update(INGEST_REGISTRY)
 
 # Registered LAST on purpose: round-3's driver checked exactly the first 50
 # of 51 registered queries (insertion order), silently dropping the tail —
-# which cost ingest_youtube its only driver-side verification.  The tail
-# slot must therefore hold a query that is redundant with earlier coverage:
-# nation_revenue is a TPC-H demo (broadcast-join chain already exercised by
-# pricing_summary + top_revenue_orders) with no SURVEY §2 row of its own.
+# which cost ingest_youtube its only driver-side verification.  Tail slots
+# must therefore hold queries that are redundant with earlier coverage:
+# smoke_array is a variant check (smoke + most_array are driver-verified),
+# and nation_revenue is a TPC-H demo (broadcast-join chain already exercised
+# by pricing_summary + top_revenue_orders) with no SURVEY §2 row of its own.
+REGISTRY.update(TAIL_REGISTRY)
 REGISTRY["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)

@@ -65,6 +65,39 @@ def test_minhash_signature_determinism(spark, docs):
     assert a == b
 
 
+def test_connected_components_chain_triangle_and_pair(spark):
+    from nntsc_spark.pipeline.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from nntsc_spark.pipeline.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_dedup_clusters_survivors(docs):
+    from nntsc_spark.pipeline.dedup import dedup_clusters
+
+    out = {r.doc_id: r for r in dedup_clusters(docs).collect()}
+    # docs 0,1 exact dups + 2 near dup -> one cluster rooted at 0; doc 3
+    # is a singleton and must be absent
+    assert set(out) == {0, 1, 2}
+    assert all(r.cluster_id == 0 and r.n_members == 3 for r in out.values())
+    assert out[0].is_survivor and not out[1].is_survivor and not out[2].is_survivor
+
+
 def test_ngram_jaccard_df_cap(spark):
     from nntsc_spark.pipeline.dedup import ngram_jaccard_pairs
 

@@ -30,6 +30,20 @@ def test_query_builds(name, spark, sf_dir):
     assert df.columns, f"{name} produced a zero-column plan"
 
 
+def test_driver_entry_executes(spark):
+    """The driver's smoke check actually EXECUTES entry() — so do we.
+
+    Plan analysis alone (test_query_builds) would have caught round 3's
+    type drift, but only execution catches runtime-only breaks (codegen,
+    Arrow, partition reading) on the real testdata parquet.
+    """
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert df.columns and isinstance(rows, list)
+
+
 def test_every_query_has_oracle_or_is_whitelisted():
     missing = set(REGISTRY) - set(ORACLES) - NO_ORACLE
     assert not missing, f"queries without oracle SQL: {sorted(missing)}"
