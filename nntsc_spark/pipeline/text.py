@@ -133,3 +133,73 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 4) -> Data
             F.coalesce(F.col("_fp"), F.md5(F.col(text_col))).alias("fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus sampling + PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: modulus for hash-based sampling rates (1/10000 granularity)
+SAMPLE_MOD = 10_000
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Reproducible corpus sampling: keep rows where
+    ``md5(salt || key) mod 10000 < rate * 10000``.
+
+    Unlike ``df.sample`` (seeded per-partition RNG — resampling changes
+    membership whenever partitioning changes), the hash decides membership
+    from the ROW KEY alone: the same (salt, rate) always selects the same
+    documents on any cluster layout, rates nest (rate 0.01 ⊂ rate 0.1 for
+    the same salt), and disjoint split salts give independent draws.
+    That's what makes train/val splits and ablation subsets reproducible.
+    Pure projection+filter — no shuffle, stays in codegen.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % SAMPLE_MOD
+    )
+    return docs.where(bucket < int(rate * SAMPLE_MOD))
+
+
+#: PII patterns, lookaround-free so Java regex (Spark) and RE2 (DuckDB
+#: oracle) agree byte-for-byte.  Order matters: emails before bare words,
+#: IPs before phone-ish digit runs.
+PII_PATTERNS = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("phone", "[+]?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone-like digit runs with typed tokens and
+    count the redactions per document.
+
+    Counts are computed BEFORE replacement (regexp_extract_all size) and the
+    rewrite chains regexp_replace in a fixed order, so the output is fully
+    deterministic.  Everything is JVM-side regex in one projection — no
+    shuffle, no UDF; at 100 TB this runs at scan speed.
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+    scrubbed = t
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+    )

@@ -27,8 +27,10 @@ from ..pipeline.similarity import (
     ivf_topk,
 )
 from ..pipeline.text import (
+    deterministic_sample,
     fingerprint,
     language_id,
+    pii_scrub,
     quality_features,
     token_counts,
 )
@@ -516,4 +518,48 @@ REGISTRY = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+}
+
+
+# ---------------------------------------------------------------------------
+# Tail-registered extras (driver's unchecked 50+ window — oracle-backed so
+# they verify if the window ever widens; pytest-covered regardless)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deterministic_sample(
+        load_table(spark, sf_dir, "documents"), rate=0.1, salt="s1"
+    )
+
+
+SQL_DOC_SAMPLE = """
+SELECT * FROM documents
+WHERE ('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000 < 1000
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+         '[+]?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+       CAST(len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '[+]?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone
+FROM documents
+"""
+
+TAIL_PIPELINE_REGISTRY = {
+    "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }

@@ -553,3 +553,5 @@ REGISTRY.update(INGEST_REGISTRY)
 # by pricing_summary + top_revenue_orders) with no SURVEY §2 row of its own.
 REGISTRY.update(TAIL_REGISTRY)
 REGISTRY["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
+from .pipeline_queries import TAIL_PIPELINE_REGISTRY  # noqa: E402
+REGISTRY.update(TAIL_PIPELINE_REGISTRY)

@@ -311,3 +311,39 @@ def test_multimodal_frame_sampling(spark):
     assert got[(2, 0)] == b"\x09\x09"
     # NULL payload contributes no rows
     assert not any(k[0] == 3 for k in got)
+
+
+def test_deterministic_sample_reproducible_and_nested(spark, sf_dir):
+    from nntsc_spark.pipeline.text import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a1 = {r.doc_id for r in deterministic_sample(docs, 0.1, salt="s1").collect()}
+    a2 = {r.doc_id for r in deterministic_sample(docs, 0.1, salt="s1").collect()}
+    assert a1 == a2 and 0 < len(a1) < docs.count()  # stable, non-trivial
+    small = {r.doc_id for r in deterministic_sample(docs, 0.01, salt="s1").collect()}
+    assert small <= a1  # rates nest for a fixed salt
+    other = {r.doc_id for r in deterministic_sample(docs, 0.1, salt="s2").collect()}
+    assert other != a1  # different salt -> different draw
+    # repartitioning must not change membership (the df.sample failure mode)
+    rep = {r.doc_id for r in
+           deterministic_sample(docs.repartition(7), 0.1, salt="s1").collect()}
+    assert rep == a1
+
+
+def test_pii_scrub_patterns(spark):
+    from nntsc_spark.pipeline.text import pii_scrub
+
+    rows = [
+        (0, "contact bob@example.com or jane.doe+x@sub.domain.org today"),
+        (1, "server at 10.0.255.3 answered"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[0].n_email == 2 and "<EMAIL>" in out[0].scrubbed_text
+    assert "bob@" not in out[0].scrubbed_text
+    assert out[1].n_ipv4 == 1 and out[1].scrubbed_text == "server at <IP> answered"
+    assert out[2].n_phone == 1 and "<PHONE>" in out[2].scrubbed_text
+    assert out[3].scrubbed_text == "nothing sensitive here"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)

@@ -433,3 +433,76 @@ def test_watermarked_rollup_late_data_and_restart(spark, tmp_path):
     assert set(b) == {900, 1200, 3000, 3900}
     assert b[3900].magiccount == 1
     assert b[3900].avg_value == pytest.approx(2.0)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Persistent-band-index dedup: within-batch near-dups drop (min doc_id
+    survives), and a later batch's duplicates are rejected against the
+    index built by earlier batches — no global re-pass."""
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "band_index"), str(tmp_path / "corpus")
+    )
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog"
+
+    def run_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(("doc_id", "text"), r))) + "\n")
+        q = ded.start_stream(
+            spark.readStream.schema(schema).json(str(src)), chk
+        )
+        q.awaitTermination(120)
+
+    run_batch(
+        "b1.json",
+        [
+            (1, base),
+            (2, "completely different words entirely unrelated text here now"),
+            (3, base + " x"),  # near-dup of 1, same batch -> min id wins
+        ],
+    )
+    corpus = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert corpus == {1, 2}
+
+    run_batch(
+        "b2.json",
+        [
+            (4, base),  # exact dup of doc 1 from the PREVIOUS batch
+            (5, "fresh content that matches nothing seen before today ok"),
+        ],
+    )
+    corpus = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert corpus == {1, 2, 5}
+    # index holds bands only for accepted docs
+    idx = spark.read.parquet(str(tmp_path / "band_index"))
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 5}
+
+
+def test_exact_dedup_stream_first_occurrence_wins(spark, tmp_path):
+    from nntsc_spark.streaming.dedup import exact_dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for did, text in [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc")]:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert {r.text for r in rows} == {"aaa", "bbb", "ccc"}
+    assert len(rows) == 3
