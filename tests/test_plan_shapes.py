@@ -78,7 +78,13 @@ def test_traceroute_dict_joins_broadcast(spark, sf_dir):
 def test_map_only_pipelines_have_no_shuffle(spark, sf_dir):
     # pure projections must compile to zero Exchange operators: at 100 TB
     # an accidental shuffle here moves the entire corpus over the network
-    for name in ("text_tokens", "multimodal_features", "ingest_udpstream"):
+    for name in (
+        "text_tokens",
+        "multimodal_features",
+        "ingest_udpstream",
+        "doc_sample",
+        "pii_scrub",
+    ):
         plan = plan_text(spark, sf_dir, name)
         assert "Exchange" not in plan, name
 
