@@ -203,3 +203,76 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed.alias("scrubbed_text"),
         *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
     )
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_token_max: float = 0.2,
+    dup_3gram_max: float = 0.5,
+) -> DataFrame:
+    """Repetition / boilerplate metrics (the Gopher-family quality filters):
+    duplicate-token fraction, most-common-token share, and duplicate 2-/3-
+    gram fractions, plus an ``is_repetitive`` verdict against the given
+    thresholds.
+
+    Two aggregation passes, both map-side combinable and keyed by doc —
+    no skew (a doc's tokens all hash to its own key):
+
+    - token pass: explode -> per-(doc, token) counts -> per-doc total /
+      distinct / max  (two-level aggregate, the distributed way to get
+      "count of the most common element" without per-row nested loops);
+    - gram pass: per-doc position window builds 2-/3-grams with
+      null-propagating concat (incomplete windows vanish), then one per-doc
+      aggregate of totals and distincts.
+
+    The per-doc results join doc-to-doc (both sides already doc-keyed).
+    """
+    from pyspark.sql import Window
+
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    )
+    tok_counts = pos.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_token_cnt"),
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    grams = pos.select(
+        "doc_id",
+        F.concat(F.col("tok"), F.lit(" "), l1).alias("g2"),
+        F.concat(F.col("tok"), F.lit(" "), l1, F.lit(" "), l2).alias("g3"),
+    )
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.count("g2").alias("n_2grams"),
+        F.countDistinct("g2").alias("n_distinct_2grams"),
+        F.count("g3").alias("n_3grams"),
+        F.countDistinct("g3").alias("n_distinct_3grams"),
+    )
+
+    def ratio(distinct, total):
+        return F.when(
+            F.col(total) > 0,
+            F.round(1.0 - F.col(distinct) / F.col(total).cast("double"), 4),
+        ).otherwise(F.lit(0.0))
+
+    top_ratio = F.round(
+        F.col("top_token_cnt") / F.col("n_tokens").cast("double"), 4
+    )
+    joined = tok_stats.join(gram_stats, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        ratio("n_distinct_tokens", "n_tokens").alias("dup_token_ratio"),
+        top_ratio.alias("top_token_ratio"),
+        ratio("n_distinct_2grams", "n_2grams").alias("dup_2gram_ratio"),
+        ratio("n_distinct_3grams", "n_3grams").alias("dup_3gram_ratio"),
+        (
+            (top_ratio > top_token_max)
+            | (ratio("n_distinct_3grams", "n_3grams") > dup_3gram_max)
+        ).alias("is_repetitive"),
+    )

@@ -32,6 +32,7 @@ from ..pipeline.text import (
     language_id,
     pii_scrub,
     quality_features,
+    repetition_features,
     token_counts,
 )
 from ..sources.tables import load_table
@@ -559,7 +560,50 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = """
+WITH pos AS (
+  SELECT doc_id, l[u.i + 1] AS tok, u.i + 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(range(len(l))) AS i) u
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY doc_id, tok
+), tok_stats AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+         max(c) AS top_token_cnt
+  FROM tc GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w AS g2,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), gram_stats AS (
+  SELECT doc_id, count(g2) AS n_2grams, count(DISTINCT g2) AS n_distinct_2grams,
+         count(g3) AS n_3grams, count(DISTINCT g3) AS n_distinct_3grams
+  FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 - t.n_distinct_tokens / CAST(t.n_tokens AS DOUBLE), 4) AS dup_token_ratio,
+       round(t.top_token_cnt / CAST(t.n_tokens AS DOUBLE), 4) AS top_token_ratio,
+       CASE WHEN g.n_2grams > 0
+            THEN round(1.0 - g.n_distinct_2grams / CAST(g.n_2grams AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_2gram_ratio,
+       CASE WHEN g.n_3grams > 0
+            THEN round(1.0 - g.n_distinct_3grams / CAST(g.n_3grams AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_3gram_ratio,
+       (t.top_token_cnt / CAST(t.n_tokens AS DOUBLE) > 0.2
+        OR (CASE WHEN g.n_3grams > 0
+                 THEN 1.0 - g.n_distinct_3grams / CAST(g.n_3grams AS DOUBLE)
+                 ELSE 0.0 END) > 0.5) AS is_repetitive
+FROM tok_stats t JOIN gram_stats g USING (doc_id)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
 }

@@ -347,3 +347,31 @@ def test_pii_scrub_patterns(spark):
     assert out[2].n_phone == 1 and "<PHONE>" in out[2].scrubbed_text
     assert out[3].scrubbed_text == "nothing sensitive here"
     assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+
+def test_repetition_features_known_values(spark):
+    from nntsc_spark.pipeline.text import repetition_features
+
+    rows = [
+        (0, "spam spam spam spam"),             # fully repetitive
+        (1, "all tokens here are unique now"),  # no repetition
+        (2, "ab ab cd"),                        # partial
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_features(docs).collect()}
+
+    r0 = out[0]
+    assert (r0.n_tokens, r0.dup_token_ratio, r0.top_token_ratio) == (4, 0.75, 1.0)
+    assert r0.dup_2gram_ratio == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert r0.is_repetitive
+
+    r1 = out[1]
+    assert r1.dup_token_ratio == 0.0 and r1.dup_2gram_ratio == 0.0
+    assert not r1.is_repetitive
+
+    r2 = out[2]
+    # tokens: ab ab cd -> 3 total, 2 distinct, top 2
+    assert r2.dup_token_ratio == pytest.approx(1 - 2 / 3, abs=1e-4)
+    assert r2.top_token_ratio == pytest.approx(2 / 3, abs=1e-4)
+    # 2-grams: "ab ab", "ab cd" -> all distinct
+    assert r2.dup_2gram_ratio == 0.0

@@ -68,3 +68,49 @@ def test_trim_smoke_fan(spark):
     )
     out = df.select(F.size(trim_smoke_fan(F.col("fan"), F.col("n"))).alias("sz")).collect()
     assert sorted(r.sz for r in out) == [5, 20]
+
+
+def test_events_fact_adapts_to_both_ts_layouts(spark, tmp_path):
+    """The driver's testdata changed events.ts physical type between rounds
+    (TIMESTAMP(NANOS)-as-long -> timestamp[us]); a hardcoded assumption cost
+    round 3 thirty queries.  events_fact must produce IDENTICAL epoch-second
+    facts from either layout, with the range predicate applied in the
+    column's own type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nntsc_spark.sources.tables import events_fact
+
+    base = 1704153600  # 2024-01-02 00:00:00 UTC
+    rows = [(i, base + i * 3600, i % 3, f"t{i % 2}", float(i)) for i in range(48)]
+    ids, secs, uids, etypes, vals = zip(*rows)
+
+    for sub, ts_arr in [
+        ("micros", pa.array([s * 1_000_000 for s in secs], pa.timestamp("us"))),
+        ("nanos", pa.array([s * 1_000_000_000 for s in secs], pa.timestamp("ns"))),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array(uids, pa.int64()),
+                "event_type": pa.array(etypes, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+
+    def facts(sub):
+        df = events_fact(spark, str(tmp_path / sub), base + 3600, base + 10 * 3600)
+        return sorted(
+            (r.stream_id, r.timestamp, r.event_type, r.value, r.event_id)
+            for r in df.collect()
+        )
+
+    micros, nanos = facts("micros"), facts("nanos")
+    assert micros == nanos
+    assert len(micros) == 10  # inclusive bounds: hours 1..10
+    assert min(r[1] for r in micros) == base + 3600
+    assert max(r[1] for r in micros) == base + 10 * 3600
