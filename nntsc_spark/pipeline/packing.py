@@ -1,0 +1,119 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences.
+
+LLM training consumes fixed-length sequences; feeding one short document
+per sequence wastes the budget on padding, so pipelines PACK documents
+until the budget is full.  Exact global first-fit is inherently
+sequential, which is why production packers parallelize the way this one
+does: hash documents into G independent groups, pack each group exactly
+and deterministically, and let the groups run in parallel.  Packing
+quality is unaffected at corpus scale (each group sees a representative
+sample of lengths), and determinism is total: membership depends only on
+(doc_id % G), order within a group only on doc_id.
+
+Spark-first shape: token counts are a JVM-side projection; the sequential
+fold runs per group inside ``applyInPandas`` (Arrow-batched, one group per
+task — the sanctioned custom-stateful batch operator tier from the
+charter, same as the streaming sessionizer).  State never leaves a task;
+scaling out = more groups.
+
+Semantics (mirrored exactly by the DuckDB recursive-CTE oracle):
+
+- docs are packed in ``doc_id`` order within their group;
+- a doc's effective length is ``min(n_tokens, capacity)``; docs longer
+  than the capacity occupy a fresh sequence alone and are flagged
+  ``truncated``;
+- a doc opens a new sequence when the current fill plus its effective
+  length would exceed the capacity;
+- ``seq_id`` is globally unique: ``group * SEQ_STRIDE + local index``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .text import token_count_expr
+
+#: per-group sequence-id stride (max sequences per group)
+SEQ_STRIDE = 1_000_000
+
+PACKED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("grp", LongType(), False),
+        StructField("seq_id", LongType(), False),
+        StructField("seq_offset", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("truncated", BooleanType(), False),
+    ]
+)
+
+
+def _make_pack_fn(capacity: int):
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        grp = int(pdf["grp"].iloc[0])
+        seq, fill = 0, 0
+        out = []
+        for doc_id, t in zip(pdf["doc_id"], pdf["n_tokens"]):
+            t = int(t)
+            e = min(t, capacity)
+            # fill == 0 implies e <= capacity fits, so no flag needed for
+            # the first doc of a sequence
+            if fill + e > capacity:
+                seq += 1
+                fill = 0
+            out.append(
+                (
+                    int(doc_id),
+                    grp,
+                    grp * SEQ_STRIDE + seq,
+                    fill,
+                    t,
+                    t > capacity,
+                )
+            )
+            fill += e
+        return pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "grp",
+                "seq_id",
+                "seq_offset",
+                "n_tokens",
+                "truncated",
+            ],
+        )
+
+    return pack
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    n_groups: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into token-budget sequences (see module doc).
+
+    Output: (doc_id, grp, seq_id, seq_offset, n_tokens, truncated).
+    """
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_groups).alias("grp"),
+        token_count_expr(text_col).alias("n_tokens"),
+    )
+    return sized.groupBy("grp").applyInPandas(
+        _make_pack_fn(capacity), schema=PACKED_SCHEMA
+    )

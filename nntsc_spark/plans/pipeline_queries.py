@@ -602,8 +602,44 @@ FROM tok_stats t JOIN gram_stats g USING (doc_id)
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# Exact greedy fill as a recursive CTE: the recursion advances one doc per
+# group per step (depth = largest group), carrying (seq, fill-after) — the
+# same fold the Spark side runs inside applyInPandas per group.  Capacity
+# 256, 8 groups, stride 1e6 mirror pipeline.packing defaults.
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id % 8 AS grp,
+         len(string_split(text, ' ')) AS t,
+         least(len(string_split(text, ' ')), 256) AS e
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM sized
+), rec(grp, rn, doc_id, t, seq, off, fill_after) AS (
+  SELECT grp, rn, doc_id, t, 0, 0, e FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.grp, r.rn, r.doc_id, r.t,
+         CASE WHEN p.fill_after + r.e > 256 THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.fill_after + r.e > 256 THEN 0 ELSE p.fill_after END,
+         CASE WHEN p.fill_after + r.e > 256 THEN r.e
+              ELSE p.fill_after + r.e END
+  FROM ranked r JOIN rec p ON r.grp = p.grp AND r.rn = p.rn + 1
+)
+SELECT doc_id, grp, grp * 1000000 + seq AS seq_id, CAST(off AS BIGINT) AS seq_offset,
+       CAST(t AS BIGINT) AS n_tokens, t > 256 AS truncated
+FROM rec
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }

@@ -375,3 +375,48 @@ def test_repetition_features_known_values(spark):
     assert r2.top_token_ratio == pytest.approx(2 / 3, abs=1e-4)
     # 2-grams: "ab ab", "ab cd" -> all distinct
     assert r2.dup_2gram_ratio == 0.0
+
+
+def test_pack_sequences_greedy_fill_and_truncation(spark):
+    from nntsc_spark.pipeline.packing import SEQ_STRIDE, pack_sequences
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    # one group (n_groups=1) so the greedy fold is fully observable:
+    # capacity 10; lengths 4,4,3,12,5 -> seqs [4+4], [3], [12 trunc], [5]
+    rows = [(0, words(4)), (1, words(4)), (2, words(3)), (3, words(12)), (4, words(5))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(docs, capacity=10, n_groups=1).collect()}
+
+    assert [out[i].seq_id for i in range(5)] == [0, 0, 1, 2, 3]
+    assert [out[i].seq_offset for i in range(5)] == [0, 4, 0, 0, 0]
+    assert out[3].truncated and not out[0].truncated
+    assert out[3].n_tokens == 12
+
+    # grouped run: ids land in their own group's stride range, offsets
+    # restart per group
+    g = pack_sequences(docs, capacity=10, n_groups=2).collect()
+    for r in g:
+        assert r.grp == r.doc_id % 2
+        assert r.seq_id // SEQ_STRIDE == r.grp
+
+
+def test_pack_sequences_budget_utilization(spark, sf_dir):
+    from nntsc_spark.pipeline.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, capacity=256).cache()
+    # no sequence exceeds the budget (untruncated docs only)
+    over = (
+        out.where(~F.col("truncated"))
+        .groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .where(F.col("tot") > 256)
+        .count()
+    )
+    assert over == 0
+    # packing must actually pack: far fewer sequences than documents
+    n_docs = out.count()
+    n_seqs = out.select("seq_id").distinct().count()
+    assert n_seqs < n_docs / 2
