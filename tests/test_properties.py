@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the exact-semantics expressions.
+
+SURVEY.md §7.3 "Hard #1" calls out the operators whose defaults silently
+diverge (integer-truncating median, RLE, greedy packing, bin arithmetic).
+Fixed fixtures pin known cases; these properties pin the SEMANTICS against
+independent pure-Python references over generated inputs.  Each example
+costs a Spark job, so examples are capped and deadlines disabled — the
+point is breadth of inputs, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same examples every run
+)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**9), max_size=25))
+@settings(**SETTINGS)
+def test_int_median_matches_reference_semantics(spark, vals):
+    from nntsc_spark.ingest.base import int_median_expr
+
+    df = spark.createDataFrame([(vals,)], "a array<long>")
+    got = df.select(
+        int_median_expr(F.array_sort(F.col("a"))).alias("m")
+    ).collect()[0]["m"]
+
+    s = sorted(vals)
+    if not s:
+        expected = None
+    elif len(s) % 2 == 1:
+        expected = s[len(s) // 2]
+    else:
+        expected = int((s[len(s) // 2] + s[len(s) // 2 - 1]) / 2)
+    assert got == expected
+
+
+@given(path=st.lists(st.integers(min_value=0, max_value=5), max_size=20))
+@settings(**SETTINGS)
+def test_rle_roundtrip_and_run_invariants(spark, path):
+    from nntsc_spark.functions.scalars import rle_runs
+
+    df = spark.createDataFrame([(path,)], "a array<long>")
+    runs = df.select(rle_runs(F.col("a")).alias("r")).collect()[0]["r"]
+
+    # decode(encode(x)) == x
+    decoded = [r["asn"] for r in runs for _ in range(r["cnt"])]
+    assert decoded == path
+    # runs are maximal: no two adjacent runs share a value
+    assert all(a["asn"] != b["asn"] for a, b in zip(runs, runs[1:]))
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    capacity=st.integers(min_value=8, max_value=64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, lengths, capacity):
+    from nntsc_spark.pipeline.packing import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(docs, capacity=capacity, n_groups=1).collect(),
+        key=lambda r: r.doc_id,
+    )
+
+    # reference greedy fold
+    seq, fill = 0, 0
+    for r, t in zip(out, lengths):
+        e = min(t, capacity)
+        if fill + e > capacity:
+            seq, fill = seq + 1, 0
+        assert (r.seq_id, r.seq_offset, r.n_tokens, r.truncated) == (
+            seq,
+            fill,
+            t,
+            t > capacity,
+        )
+        fill += e
+    # budget: untruncated docs in one sequence never exceed capacity
+    by_seq: dict[int, int] = {}
+    for r in out:
+        if not r.truncated:
+            by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_tokens
+    assert all(v <= capacity for v in by_seq.values())
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=2**31), max_size=20),
+    binsize=st.integers(min_value=1, max_value=10**6),
+)
+@settings(**SETTINGS)
+def test_binstart_matches_python_floor_division(spark, ts, binsize):
+    from nntsc_spark.operators.aggregate import with_binstart
+
+    df = spark.createDataFrame([(t,) for t in ts], "timestamp long")
+    got = [
+        r.binstart
+        for r in with_binstart(df, binsize).orderBy("timestamp").collect()
+    ]
+    assert got == [t - (t % binsize) for t in sorted(ts)]
