@@ -637,9 +637,9 @@ FROM rec
 """
 
 
+# text_repetition / pack_sequences are registered inside the driver window
+# by plans.queries; only the simple single-projection extras live in the tail
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }
