@@ -62,6 +62,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: field arithmetic, so the derived epoch is independent of the session tz.
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
+#: integer-ts unit probe memo: (appId, sf_dir) -> per-second multiplier
+_UNIT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _long_ts_unit(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
+    """Per-second multiplier for an integer ``ts`` column, by magnitude.
+
+    A long ts has historically meant nanoseconds here, but the unit is a
+    driver/testdata choice that has already changed once — so probe ONE row
+    (limit(1), memoized per session) instead of assuming.  Epochs in this
+    century: seconds ~2e9, millis ~2e12, micros ~2e15, nanos ~2e18 — three
+    orders of magnitude apart, so the magnitude test cannot misclassify any
+    plausible data.  An empty table defaults to nanos (nothing to scan
+    either way).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    unit = _UNIT_MEMO.get(key)
+    if unit is None:
+        row = df.select("ts").where(F.col("ts").isNotNull()).limit(1).collect()
+        v = abs(row[0]["ts"]) if row else 10**18
+        for unit in (1, 10**3, 10**6, 10**9):
+            if v < unit * 100_000_000_000:  # < year ~5138 in this unit
+                break
+        _UNIT_MEMO[key] = unit
+    return unit
+
 
 def events_fact(
     spark: SparkSession,
@@ -93,12 +119,13 @@ def events_fact(
     """
     df = load_table(spark, sf_dir, "events")
     ts_type = dict(df.dtypes)["ts"]
-    if ts_type == "bigint":  # legacy nanos-as-long layout
+    if ts_type == "bigint":  # integer layout (nanos historically; probed)
+        unit = _long_ts_unit(spark, sf_dir, df)
         if start is not None:
-            df = df.where(F.col("ts") >= int(start) * 1_000_000_000)
+            df = df.where(F.col("ts") >= int(start) * unit)
         if stop is not None:
-            df = df.where(F.col("ts") < (int(stop) + 1) * 1_000_000_000)
-        epoch = F.expr("ts DIV 1000000000")
+            df = df.where(F.col("ts") < (int(stop) + 1) * unit)
+        epoch = F.expr(f"ts DIV {unit}")
     elif ts_type == "timestamp_ntz":
         if start is not None:
             df = df.where(

@@ -88,6 +88,11 @@ def test_events_fact_adapts_to_both_ts_layouts(spark, tmp_path):
     for sub, ts_arr in [
         ("micros", pa.array([s * 1_000_000 for s in secs], pa.timestamp("us"))),
         ("nanos", pa.array([s * 1_000_000_000 for s in secs], pa.timestamp("ns"))),
+        # raw-integer layouts at three units: the bigint branch must probe
+        # the magnitude, not assume nanos
+        ("long_s", pa.array(list(secs), pa.int64())),
+        ("long_us", pa.array([s * 1_000_000 for s in secs], pa.int64())),
+        ("long_ns", pa.array([s * 1_000_000_000 for s in secs], pa.int64())),
     ]:
         d = tmp_path / sub
         d.mkdir()
@@ -109,8 +114,9 @@ def test_events_fact_adapts_to_both_ts_layouts(spark, tmp_path):
             for r in df.collect()
         )
 
-    micros, nanos = facts("micros"), facts("nanos")
-    assert micros == nanos
+    micros = facts("micros")
     assert len(micros) == 10  # inclusive bounds: hours 1..10
     assert min(r[1] for r in micros) == base + 3600
     assert max(r[1] for r in micros) == base + 10 * 3600
+    for sub in ("nanos", "long_s", "long_us", "long_ns"):
+        assert facts(sub) == micros, sub
