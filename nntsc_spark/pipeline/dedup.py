@@ -376,6 +376,77 @@ def dedup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus contamination (train/eval overlap detection)
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Find eval/test documents that leak from the training corpus — the
+    benchmark-contamination check every training pipeline needs.
+
+    Two channels, strictly cross-corpus (within-side duplicates are the
+    dedup operators' job, not this one's):
+
+    - *exact*: content-hash equi-join (shuffle keyed on md5 — skew-proof);
+    - *near*: each side is banded independently (a doc's LSH bands depend
+      only on its own text), candidates are the CROSS band-bucket
+      collisions only, then exact-Jaccard verification over the union
+      shingle table.  Never an all-pairs comparison, and never a
+      train-vs-train pair.
+
+    ``doc_id`` must be unique across the two inputs (they usually come
+    from one catalog, as in the registered query).  Exact matches are
+    reported once with match='exact' and excluded from the near channel.
+
+    Output: (test_doc_id, train_doc_id, jaccard, match_type).
+    """
+    ex = (
+        test.select(F.md5(F.col(text_col)).alias("h"), F.col("doc_id").alias("test_doc_id"))
+        .join(
+            train.select(
+                F.md5(F.col(text_col)).alias("h"), F.col("doc_id").alias("train_doc_id")
+            ),
+            "h",
+        )
+        .select(
+            "test_doc_id",
+            "train_doc_id",
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("match_type"),
+        )
+    )
+
+    sh = shingles(train.unionByName(test), text_col).persist()
+    ids = lambda side: side.select("doc_id")
+    bands = lsh_bands(minhash_signatures(sh))
+    bt = bands.join(ids(train), "doc_id", "left_semi").select(
+        "band", "band_hash", F.col("doc_id").alias("d2")
+    )
+    be = bands.join(ids(test), "doc_id", "left_semi").select(
+        "band", "band_hash", F.col("doc_id").alias("d1")
+    )
+    cands = (
+        be.join(bt, ["band", "band_hash"]).select("d1", "d2").dropDuplicates()
+    )
+    near = (
+        jaccard_verify(cands, sh, threshold)
+        .select(
+            F.col("d1").alias("test_doc_id"),
+            F.col("d2").alias("train_doc_id"),
+            "jaccard",
+            F.lit("near").alias("match_type"),
+        )
+        .join(ex.select("test_doc_id", "train_doc_id"), ["test_doc_id", "train_doc_id"], "left_anti")
+    )
+    return ex.unionByName(near)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (direct, candidate-free — for bounded corpora / validation)
 # ---------------------------------------------------------------------------
 

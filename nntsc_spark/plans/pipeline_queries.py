@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import (
+    contamination,
     dedup_clusters,
     exact_duplicates,
     minhash_near_duplicates,
@@ -637,9 +638,54 @@ FROM rec
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    test = deterministic_sample(docs, rate=0.1, salt="contam")
+    train = docs.join(test.select("doc_id"), "doc_id", "left_anti")
+    return contamination(train, test)
+
+
+# Cross-corpus equivalence: a doc's LSH bands depend only on its own text,
+# so cross-side band collisions == full-corpus minhash pairs restricted to
+# pairs straddling the split — which lets the oracle reuse the full minhash
+# SQL and just orient each pair (test side first).
+SQL_CONTAMINATION_TMPL = """
+WITH split AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5('contam' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 < 1000 AS is_test
+  FROM documents
+), exact AS (
+  SELECT te.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+         1.0 AS jaccard, 'exact' AS match_type
+  FROM split te JOIN split tr ON md5(te.text) = md5(tr.text)
+  WHERE te.is_test AND NOT tr.is_test
+), mh AS (
+  SELECT d1, d2, jaccard FROM ({{mh_sql}}) p
+), near AS (
+  SELECT CASE WHEN s1.is_test THEN m.d1 ELSE m.d2 END AS test_doc_id,
+         CASE WHEN s1.is_test THEN m.d2 ELSE m.d1 END AS train_doc_id,
+         m.jaccard, 'near' AS match_type
+  FROM mh m
+  JOIN split s1 ON s1.doc_id = m.d1
+  JOIN split s2 ON s2.doc_id = m.d2
+  WHERE s1.is_test <> s2.is_test
+)
+SELECT * FROM exact
+UNION ALL
+SELECT n.* FROM near n
+WHERE NOT EXISTS (SELECT 1 FROM exact e
+                  WHERE e.test_doc_id = n.test_doc_id
+                    AND e.train_doc_id = n.train_doc_id)
+"""
+
+SQL_CONTAMINATION = SQL_CONTAMINATION_TMPL.replace("{{mh_sql}}", SQL_DEDUP_MINHASH)
+
+
 # text_repetition / pack_sequences are registered inside the driver window
 # by plans.queries; only the simple single-projection extras live in the tail
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
 }

@@ -420,3 +420,35 @@ def test_pack_sequences_budget_utilization(spark, sf_dir):
     n_docs = out.count()
     n_seqs = out.select("seq_id").distinct().count()
     assert n_seqs < n_docs / 2
+
+
+def test_contamination_exact_and_near_channels(spark):
+    from nntsc_spark.pipeline.dedup import contamination
+
+    base = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "totally unrelated training content goes right here folks"),
+            (2, base + " cat"),  # near-source for test doc 11
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (10, base),          # exact leak of train 0
+            (11, base + " rat"), # near leak of train 0/2
+            (12, "clean evaluation document with fresh unseen words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination(train, test).collect()
+    by_pair = {(r.test_doc_id, r.train_doc_id): r for r in out}
+
+    assert by_pair[(10, 0)].match_type == "exact"
+    assert by_pair[(10, 0)].jaccard == 1.0
+    near_hits = {p for p, r in by_pair.items() if r.match_type == "near"}
+    assert any(p[0] == 11 for p in near_hits)  # near leak caught
+    assert not any(p[0] == 12 for p in by_pair)  # clean doc untouched
+    # no train-vs-train or test-vs-test pairs ever
+    assert all(p[0] >= 10 and p[1] < 10 for p in by_pair)
