@@ -2,9 +2,13 @@
 
 First-class extensions beyond the reference's surface (charter/BASELINE.json):
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
-cosine), similarity search (brute-force + LSH-bucketed ANN), text analysis
-(language-ID, quality scoring, token counting, fingerprinting), and
-multimodal column plumbing.
+cosine, near-dup clustering with survivor election, train/eval
+contamination), similarity search (brute-force + LSH-bucketed + IVF-Flat
+ANN), text analysis (language-ID, quality scoring, token counting,
+fingerprinting, repetition filters, PII scrubbing, deterministic
+sampling), sequence packing, and multimodal column plumbing.  Streaming
+incremental dedup lives in ``streaming.dedup`` (persistent LSH band
+index).
 
 Design rules shared by every operator here:
 - all hashing is md5-based so the DuckDB oracle can reproduce results
