@@ -117,3 +117,53 @@ def pack_sequences(
     return sized.groupBy("grp").applyInPandas(
         _make_pack_fn(capacity), schema=PACKED_SCHEMA
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-length preprocessing dual of :func:`pack_sequences` (packing
+    merges short docs; chunking splits long ones).
+
+    Chunk starts advance by ``chunk_tokens - overlap``; the final window is
+    allowed to be short rather than re-anchored, so every token appears in
+    at least one chunk and chunk membership is a pure function of the doc
+    (stable across runs and cluster layouts).  All array expressions —
+    split once, explode over the start sequence, slice per chunk — stay
+    JVM-side; the explode multiplies rows, never a shuffle.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / step) for n>0
+    n_chunks = F.ceil(
+        F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(step)
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_idx") * step + 1, chunk_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(F.col("_chunk"), " ").alias("chunk_text"),
+            F.size(F.col("_chunk")).cast("long").alias("n_chunk_tokens"),
+        )
+    )

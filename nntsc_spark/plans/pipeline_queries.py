@@ -684,8 +684,36 @@ SQL_CONTAMINATION = SQL_CONTAMINATION_TMPL.replace("{{mh_sql}}", SQL_DEDUP_MINHA
 
 # text_repetition / pack_sequences are registered inside the driver window
 # by plans.queries; only the simple single-projection extras live in the tail
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.packing import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
+# step = 32 - 8 = 24; DuckDB list slice is 1-based end-inclusive and clamps,
+# matching Spark's slice(start, length) with end = start + length - 1
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, l, u.i AS chunk_idx
+  FROM t, LATERAL (
+    SELECT unnest(range(CAST(ceil(greatest(len(l) - 8, 1) / 24.0) AS INT))) AS i
+  ) u
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(l[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text,
+       CAST(len(l[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+         AS n_chunk_tokens
+FROM c
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "contamination": (q_contamination, SQL_CONTAMINATION),
 }

@@ -452,3 +452,29 @@ def test_contamination_exact_and_near_channels(spark):
     assert not any(p[0] == 12 for p in by_pair)  # clean doc untouched
     # no train-vs-train or test-vs-test pairs ever
     assert all(p[0] >= 10 and p[1] < 10 for p in by_pair)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from nntsc_spark.pipeline.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(0, text), (1, "short doc")],
+                                 "doc_id long, text string")
+    out = sorted(chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_idx))
+    d0 = [r for r in out if r.doc_id == 0]
+    # starts advance by 3: [w0..w3], [w3..w6], [w6..w9]
+    assert [r.chunk_text.split() for r in d0] == [
+        ["w0", "w1", "w2", "w3"],
+        ["w3", "w4", "w5", "w6"],
+        ["w6", "w7", "w8", "w9"],
+    ]
+    assert [r.n_chunk_tokens for r in d0] == [4, 4, 4]
+    # every token appears in at least one chunk; consecutive chunks share
+    # exactly the overlap token
+    assert set(text.split()) == {t for r in d0 for t in r.chunk_text.split()}
+    # a doc shorter than one chunk yields exactly one (short) chunk
+    d1 = [r for r in out if r.doc_id == 1]
+    assert len(d1) == 1 and d1[0].chunk_text == "short doc"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
