@@ -84,9 +84,18 @@ def test_map_only_pipelines_have_no_shuffle(spark, sf_dir):
         "ingest_udpstream",
         "doc_sample",
         "pii_scrub",
+        "doc_chunks",  # row-multiplying explode, still shuffle-free
     ):
         plan = plan_text(spark, sf_dir, name)
         assert "Exchange" not in plan, name
+
+
+def test_pack_sequences_single_group_shuffle(spark, sf_dir):
+    # the only exchange is the hash partition on grp feeding applyInPandas;
+    # token counting must stay in the scan-side projection
+    plan = plan_text(spark, sf_dir, "pack_sequences")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_binned_agg_is_partial_aggregated(spark, sf_dir):
@@ -110,7 +119,12 @@ def test_dedup_candidates_are_equi_joined(spark, sf_dir):
     # (band, band_hash) — NEVER an all-pairs cross product.  (At test
     # scale the sides are tiny so AQE broadcasts them; at 100 TB the same
     # equi-join keys sort-merge — either way the plan stays bucketed.)
-    for name in ("dedup_minhash", "dedup_ngram_jaccard", "embedding_neardup"):
+    for name in (
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "embedding_neardup",
+        "contamination",
+    ):
         plan = plan_text(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
