@@ -92,8 +92,16 @@ def test_map_only_pipelines_have_no_shuffle(spark, sf_dir):
 
 def test_pack_sequences_single_group_shuffle(spark, sf_dir):
     # the only exchange is the hash partition on grp feeding applyInPandas;
-    # token counting must stay in the scan-side projection
-    plan = plan_text(spark, sf_dir, "pack_sequences")
+    # token counting must stay in the scan-side projection.  Non-default
+    # params so Spark's cache manager can never substitute a fragment
+    # cached by another test (an InMemoryRelation's stored description
+    # keeps the original exchange text and would double the count).
+    from nntsc_spark.pipeline.packing import pack_sequences
+    from nntsc_spark.sources.tables import load_table
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"),
+                        capacity=97, n_groups=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "FlatMapGroupsInPandas" in plan
 
