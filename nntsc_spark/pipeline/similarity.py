@@ -470,3 +470,114 @@ def brute_force_near_duplicates(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: build once, probe with directory-level pruning
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-Flat index on disk: the corpus written
+    ``partitionBy(cell)`` plus the quantizer as its own tiny table.
+
+    Separating index BUILD from query is what production ANN does — the
+    expensive pass (cell assignment over the whole corpus, map-only here)
+    runs once, and every query afterwards touches only its probed cells.
+    Because ``cell`` is a physical partition column, probe filters prune
+    at the DIRECTORY level: a query scans nprobe/nlist of the files, not
+    nprobe/nlist of the rows of every file.
+    """
+    spark = emb.sparkSession
+    cents = centroid_rows(emb, nlist, id_col, vec_col)
+    pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
+    withcs = pre.select(
+        id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
+    )
+    assigned = withcs.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/corpus")
+    spark.createDataFrame(
+        [(c, v) for c, v in enumerate(v for _, v in cents)],
+        "cell_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF index (:func:`ivf_build_index`).
+
+    The probe list (query x nprobe cells) broadcasts against the corpus
+    scan; the equi-join on the PARTITION column triggers Spark's dynamic
+    partition pruning, so unprobed cell directories are never read.  No
+    driver-side corpus work: the quantizer read is nlist-bounded and the
+    query vectors come from a pushed-filter scan of the index itself.
+    Matches :func:`ivf_topk` exactly for the same (nlist, nprobe, k).
+    """
+    from pyspark.sql import Window
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    cents = [
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cell_id")
+        .collect()
+    ]
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("cell")
+    )
+    qcells = (
+        corpus.where(F.col(id_col).isin(query_ids))
+        .select(
+            id_col,
+            vec_col,
+            F.expr(vnorm_sql(vec_col)).alias("_vn"),
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.posexplode(
+                F.expr(ivf_cell_scores_sql(vec_col, cents))
+            ).alias("cell", "c"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(qcells), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -478,3 +478,27 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(d1) == 1 and d1[0].chunk_text == "short doc"
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    from nntsc_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(6))
+    ivf_build_index(emb, str(tmp_path / "ivf"), nlist=8)
+
+    inline = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+              for r in ivf_topk(emb, qids, k=5, nlist=8, nprobe=2).collect()}
+    persisted_df = ivf_query_index(spark, str(tmp_path / "ivf"), qids, k=5, nprobe=2)
+    persisted = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+                 for r in persisted_df.collect()}
+    assert persisted == inline
+
+    # the probe join on the PARTITION column must trigger dynamic partition
+    # pruning — unprobed cell directories are never read
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
