@@ -506,3 +506,32 @@ def test_exact_dedup_stream_first_occurrence_wins(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert {r.text for r in rows} == {"aaa", "bbb", "ccc"}
     assert len(rows) == 3
+
+
+def test_text_operators_compose_with_streams(spark, tmp_path):
+    """The text/quality operators are stateless projections, so the SAME
+    functions run unchanged on a streaming DataFrame — batch/streaming
+    parity by construction, no separate streaming implementations."""
+    from nntsc_spark.pipeline.text import pii_scrub, quality_features
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "mail me at a@b.co now ok"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "just some plain words here"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    scrubbed = pii_scrub(stream)
+    quality = quality_features(stream).select("doc_id", "n_tokens")
+    q = (
+        scrubbed.join(quality, "doc_id")  # stateless projections compose
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].scrubbed_text
+    assert rows[2].n_email == 0 and rows[2].n_tokens == 5
