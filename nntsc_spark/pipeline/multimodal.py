@@ -238,11 +238,24 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFr
         files = []
     total = 0
     if files:
+        # one listStatus per parent DIRECTORY, not one stat per file: a
+        # 100 TB corpus has ~10^6 files and per-file py4j roundtrips would
+        # make the driver the bottleneck; directories number ~10^3
+        import re
+
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
-        for uri in files:
-            p = jvm.org.apache.hadoop.fs.Path(uri)
-            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        # Hadoop Path.toString() renders an empty authority as scheme:/path
+        # while inputFiles() reports scheme:///path — normalize before
+        # comparing
+        norm = lambda u: re.sub(r"^([A-Za-z0-9+.-]+):///", r"\1:/", u)
+        wanted = {norm(uri) for uri in files}
+        parents = {uri.rsplit("/", 1)[0] for uri in files}
+        for d in parents:
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            for st in p.getFileSystem(hconf).listStatus(p):
+                if norm(st.getPath().toString()) in wanted:
+                    total += st.getLen()
     if total:
         parts = max(1, int(total / target_bytes) + 1)
     else:
