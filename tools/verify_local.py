@@ -56,10 +56,23 @@ def rows_to_multiset(cols, rows):
     return out
 
 
+def _session():
+    """Tuned session by default; SPARK_GRAFT_VANILLA=1 builds a bare
+    SparkSession like the driver's (no AQE/tz/partition tuning) so session-
+    config-dependent bugs surface here instead of in the driver run."""
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.master("local[8]").appName(
+            "verify-vanilla"
+        ).getOrCreate()
+    return get_spark("verify-local")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("verify-local")
+    spark = _session()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -71,7 +84,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(get_spark("verify-local"), sf_dir)
+        sdf = fn(_session(), sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         spark_t = time.time() - t0
