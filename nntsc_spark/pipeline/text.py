@@ -276,3 +276,40 @@ def repetition_features(
             | (ratio("n_distinct_3grams", "n_3grams") > dup_3gram_max)
         ).alias("is_repetitive"),
     )
+
+
+def deterministic_sample_by(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: corpus mixing by source/quality
+    band with the same reproducibility guarantees as
+    :func:`deterministic_sample` (hash-mod membership — layout-independent,
+    rates nest per salt, strata draws are independent because the key hash
+    ignores the stratum).
+
+    The rate table is inlined as a literal CASE map (strata counts are
+    human-scale), so the whole operator stays a single codegen projection
+    + filter — ``df.sampleBy`` offers none of the determinism and builds
+    the same plan shape anyway.  Unlisted strata get ``default_rate``.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SAMPLE_MOD
+    )
+    rate_expr = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(float(rate))
+        ).otherwise(rate_expr)
+    return docs.where(bucket < (rate_expr * SAMPLE_MOD).cast("long"))

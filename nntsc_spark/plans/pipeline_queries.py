@@ -29,6 +29,7 @@ from ..pipeline.similarity import (
 )
 from ..pipeline.text import (
     deterministic_sample,
+    deterministic_sample_by,
     fingerprint,
     language_id,
     pii_scrub,
@@ -684,6 +685,24 @@ SQL_CONTAMINATION = SQL_CONTAMINATION_TMPL.replace("{{mh_sql}}", SQL_DEDUP_MINHA
 
 # text_repetition / pack_sequences are registered inside the driver window
 # by plans.queries; only the simple single-projection extras live in the tail
+def q_doc_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deterministic_sample_by(
+        load_table(spark, sf_dir, "documents"),
+        rates={"src0": 0.5, "src1": 0.2, "src2": 0.05},
+        salt="mix1",
+        default_rate=0.01,
+    )
+
+
+SQL_DOC_SAMPLE_BY = """
+SELECT * FROM documents
+WHERE ('0x' || substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000
+      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
+              WHEN 'src2' THEN 0.05 ELSE 0.01 END) * 10000 AS BIGINT)
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.packing import chunk_documents
 
@@ -713,6 +732,7 @@ FROM c
 
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
+    "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "contamination": (q_contamination, SQL_CONTAMINATION),

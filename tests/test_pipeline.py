@@ -502,3 +502,28 @@ def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path)
     # pruning — unprobed cell directories are never read
     plan = persisted_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_deterministic_sample_by_strata_rates(spark, sf_dir):
+    from nntsc_spark.pipeline.text import (
+        deterministic_sample,
+        deterministic_sample_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 0.5, "src1": 0.1}
+    out = deterministic_sample_by(docs, rates, salt="s", default_rate=0.0)
+    got = out.groupBy("source").count().collect()
+    # default_rate 0 -> only listed strata survive
+    assert {r.source for r in got} <= set(rates)
+    # per-stratum selection == global sampler restricted to that stratum
+    # (stratum plays no part in the key hash)
+    for stratum, rate in rates.items():
+        expect = {
+            r.doc_id
+            for r in deterministic_sample(
+                docs.where(F.col("source") == stratum), rate, salt="s"
+            ).collect()
+        }
+        have = {r.doc_id for r in out.where(F.col("source") == stratum).collect()}
+        assert have == expect, stratum
