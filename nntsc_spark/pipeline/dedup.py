@@ -335,9 +335,14 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the probe above was the old generation's last consumer — release
+        # its checkpoint storage before the next round
+        labels.unpersist()
         labels = new_labels
         if improved == 0:
+            sym.unpersist()
             return labels
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer-than-expected chain — raise max_iter"

@@ -227,9 +227,12 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFr
     over the binary corpus, doubling the most expensive scan at 100 TB.
     On-disk (compressed) size slightly undercounts in-memory Arrow bytes,
     which errs toward MORE partitions — the safe direction for memory.
-    For non-file-backed frames (in-memory test data, post-shuffle
-    intermediates) there is nothing to stat, so fall back to the session's
-    default parallelism rather than scanning.
+    For non-file-backed frames (post-shuffle intermediates, in-memory
+    frames) there is no metadata to consult, so the byte budget is
+    enforced the only way possible: one ``sum(length(content))`` pass.
+    That pass exists ONLY on this path — the file-backed case (every
+    registered query, and any table-reading production pipeline) never
+    rescans the corpus.
     """
     spark = media.sparkSession
     try:
@@ -256,10 +259,14 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFr
             for st in p.getFileSystem(hconf).listStatus(p):
                 if norm(st.getPath().toString()) in wanted:
                     total += st.getLen()
-    if total:
-        parts = max(1, int(total / target_bytes) + 1)
-    else:
-        parts = spark.sparkContext.defaultParallelism
+    if not files:
+        # non-file-backed: the budget contract still holds — pay the one
+        # aggregation pass (there is no cheaper source of truth)
+        total = (
+            media.select(F.sum(F.length("content")).alias("b")).collect()[0]["b"]
+            or 0
+        )
+    parts = max(1, int(total / target_bytes) + 1)
     return media.repartition(parts, "media_id")
 
 

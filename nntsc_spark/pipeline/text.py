@@ -168,7 +168,9 @@ def deterministic_sample(
         ).cast("long")
         % SAMPLE_MOD
     )
-    return docs.where(bucket < int(rate * SAMPLE_MOD))
+    # round, don't truncate: 0.0003 * 10000 is 2.9999999999999996 in
+    # float64 and int() would select one bucket too few
+    return docs.where(bucket < int(round(rate * SAMPLE_MOD)))
 
 
 #: PII patterns, lookaround-free so Java regex (Spark) and RE2 (DuckDB
@@ -254,26 +256,30 @@ def repetition_features(
         F.countDistinct("g3").alias("n_distinct_3grams"),
     )
 
-    def ratio(distinct, total):
+    def raw_ratio(distinct, total):
         return F.when(
             F.col(total) > 0,
-            F.round(1.0 - F.col(distinct) / F.col(total).cast("double"), 4),
+            1.0 - F.col(distinct) / F.col(total).cast("double"),
         ).otherwise(F.lit(0.0))
 
-    top_ratio = F.round(
-        F.col("top_token_cnt") / F.col("n_tokens").cast("double"), 4
-    )
+    def ratio(distinct, total):
+        return F.round(raw_ratio(distinct, total), 4)
+
+    raw_top = F.col("top_token_cnt") / F.col("n_tokens").cast("double")
     joined = tok_stats.join(gram_stats, "doc_id")
+    # the verdict compares UNROUNDED ratios (matching the oracle SQL);
+    # rounding is for the reported columns only — a doc at 0.200005 must
+    # flag even though its displayed ratio is 0.2
     return joined.select(
         "doc_id",
         "n_tokens",
         ratio("n_distinct_tokens", "n_tokens").alias("dup_token_ratio"),
-        top_ratio.alias("top_token_ratio"),
+        F.round(raw_top, 4).alias("top_token_ratio"),
         ratio("n_distinct_2grams", "n_2grams").alias("dup_2gram_ratio"),
         ratio("n_distinct_3grams", "n_3grams").alias("dup_3gram_ratio"),
         (
-            (top_ratio > top_token_max)
-            | (ratio("n_distinct_3grams", "n_3grams") > dup_3gram_max)
+            (raw_top > top_token_max)
+            | (raw_ratio("n_distinct_3grams", "n_3grams") > dup_3gram_max)
         ).alias("is_repetitive"),
     )
 
@@ -307,9 +313,13 @@ def deterministic_sample_by(
         ).cast("long")
         % SAMPLE_MOD
     )
-    rate_expr = F.lit(float(default_rate))
+    # thresholds precomputed as INTEGERS driver-side (round, don't
+    # truncate — see deterministic_sample) so the comparison literal is
+    # exact on both the Spark and oracle sides
+    thr_expr = F.lit(int(round(float(default_rate) * SAMPLE_MOD)))
     for stratum, rate in sorted(rates.items()):
-        rate_expr = F.when(
-            F.col(strata_col) == stratum, F.lit(float(rate))
-        ).otherwise(rate_expr)
-    return docs.where(bucket < (rate_expr * SAMPLE_MOD).cast("long"))
+        thr_expr = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(round(float(rate) * SAMPLE_MOD))),
+        ).otherwise(thr_expr)
+    return docs.where(bucket < thr_expr)

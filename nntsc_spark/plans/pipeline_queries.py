@@ -252,7 +252,10 @@ FROM cc c JOIN csizes s USING (cluster_id)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    # max_df=None: the oracle is exact, so the registered query must be
+    # too — a future corpus with one shingle df>128 would otherwise
+    # hash-mismatch.  The capped default serves the 100 TB path.
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), max_df=None)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -698,8 +701,8 @@ SQL_DOC_SAMPLE_BY = """
 SELECT * FROM documents
 WHERE ('0x' || substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       % 10000
-      < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
-              WHEN 'src2' THEN 0.05 ELSE 0.01 END) * 10000 AS BIGINT)
+      < (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2000
+         WHEN 'src2' THEN 500 ELSE 100 END)
 """
 
 

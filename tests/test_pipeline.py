@@ -256,13 +256,15 @@ def test_media_repartition_uses_file_metadata_not_a_scan(spark, sf_dir):
     media = documents_as_media(docs)
     # file-backed: partition count must come from stat-ed parquet bytes
     # (hundreds of KB / 1 KB budget >> default parallelism), proving the
-    # metadata path was taken; an in-memory frame has no files to stat and
-    # must fall back to default parallelism without running a scan job.
+    # metadata path was taken; a non-file frame has no metadata and pays
+    # the single aggregation pass, still honoring the byte budget.
     parts = media_repartition(media, target_bytes=1024).rdd.getNumPartitions()
     assert parts > spark.sparkContext.defaultParallelism
-    mem = spark.createDataFrame([(1, b"xx")], "media_id long, content binary")
+    mem = spark.createDataFrame(
+        [(i, b"x" * 512) for i in range(8)], "media_id long, content binary"
+    )
     fallback = media_repartition(mem, target_bytes=1024).rdd.getNumPartitions()
-    assert fallback == spark.sparkContext.defaultParallelism
+    assert fallback == 8 * 512 // 1024 + 1  # budget-derived, not parallelism
 
 
 def test_multimodal_real_decode_raises(docs):

@@ -15,9 +15,9 @@ import pytest
 
 from nntsc_spark.plans import queries as _q
 
-#: queries intentionally without a DuckDB oracle (non-SQL-expressible or
-#: catalog introspection) — the driver records a rows-only check for these.
-NO_ORACLE = {"multimodal_features", "catalog_collections"}
+#: queries intentionally without a DuckDB oracle — currently none; kept so
+#: a future non-SQL-expressible op has a documented escape hatch.
+NO_ORACLE: set[str] = set()
 
 REGISTRY = _q.queries()
 ORACLES = _q.oracle_sql()
