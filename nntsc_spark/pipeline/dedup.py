@@ -335,14 +335,17 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # the probe above was the old generation's last consumer — release
-        # its checkpoint storage before the next round
-        labels.unpersist()
+        # Superseded generations are NOT explicitly freed: Dataset.unpersist
+        # does not release localCheckpoint blocks (verified on Spark 4.1.2 —
+        # they belong to the checkpointed RDD, not the cache manager), so the
+        # honest statement is that each round retains one label-table
+        # generation until the JVM-side RDD is garbage-collected by the
+        # ContextCleaner once this loop drops its reference.  Peak storage
+        # is therefore O(max_iter x |nodes|) worst-case, bounded in practice
+        # by convergence in a handful of rounds over a pairs-sized table.
         labels = new_labels
         if improved == 0:
-            sym.unpersist()
             return labels
-    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer-than-expected chain — raise max_iter"

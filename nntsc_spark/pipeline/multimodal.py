@@ -266,7 +266,14 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFr
             media.select(F.sum(F.length("content")).alias("b")).collect()[0]["b"]
             or 0
         )
-    parts = max(1, int(total / target_bytes) + 1)
+    if files and not total:
+        # files exist but none stat-matched (a URI rendering this
+        # normalization doesn't cover) or all are empty: DON'T funnel an
+        # unknown-size corpus into one partition — session parallelism is
+        # the safe unknown-size default
+        parts = max(1, spark.sparkContext.defaultParallelism)
+    else:
+        parts = max(1, int(total / target_bytes) + 1)
     return media.repartition(parts, "media_id")
 
 

@@ -102,17 +102,38 @@ class IncrementalDeduper:
         #: (est. jaccard >= min_matches/k)
         self.min_matches = min_matches
 
-    def _read_prior(self, sub: str, batch_id: int) -> DataFrame | None:
-        """Index partitions from batches BEFORE this one; None when absent.
+    #: empty-index schemas, so a missing subdirectory reads as zero rows
+    #: rather than a None that every consumer must branch on — crucially,
+    #: the bands and sigs dirs can legitimately disagree on existence after
+    #: a crash between their writes, and the retry must still run.
+    _SCHEMAS = {
+        "bands": "doc_id long, band int, band_hash string",
+        "sigs": "doc_id long, " + ", ".join(f"mh{i} long" for i in range(MINHASH_K)),
+    }
+    _COLS = {
+        "bands": ["doc_id", "band", "band_hash"],
+        "sigs": ["doc_id", *SIG_COLS],
+    }
 
-        try/except instead of an existence check: path probing must work
-        for any filesystem URI (hdfs://, s3a://), not just local paths.
+    def _read_prior(self, sub: str, batch_id: int) -> DataFrame:
+        """Index partitions from batches BEFORE this one (empty if absent).
+
+        Probing by read (not os.path) works for any filesystem URI
+        (hdfs://, s3a://).  ONLY path-not-found maps to 'no index yet';
+        any other failure (transient store error, corrupt footer) must
+        raise so foreachBatch retries the batch — swallowing it would
+        silently skip cross-corpus dedup for this batch and admit
+        permanent duplicates.
         """
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.parquet(f"{self.index_path}/{sub}")
-        except Exception:
-            return None
-        return df.where(F.col("batch") < int(batch_id))
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return self.spark.createDataFrame([], self._SCHEMAS[sub])
+        return df.where(F.col("batch") < int(batch_id)).select(*self._COLS[sub])
 
     def process_batch(
         self, docs: DataFrame, batch_id: int = 0, text_col: str = "text"
@@ -130,30 +151,26 @@ class IncrementalDeduper:
         sigs = minhash_signatures(
             shingles(docs, text_col), MINHASH_K
         ).localCheckpoint()
-        bands = lsh_bands(sigs)
+        # bands feed four consumers (index probe, both self-join sides, the
+        # index write) — materialize once
+        bands = lsh_bands(sigs).localCheckpoint()
 
-        other_sigs = [
-            F.col(c).alias(f"b_{c}") for c in SIG_COLS
-        ]
-        pairs = None
-
+        other_sigs = [F.col(c).alias(f"b_{c}") for c in SIG_COLS]
         prior_bands = self._read_prior("bands", batch_id)
-        if prior_bands is not None:
-            prior_sigs = self._read_prior("sigs", batch_id).select(
-                F.col("doc_id").alias("other_id"), *other_sigs
+        prior_sigs = self._read_prior("sigs", batch_id).select(
+            F.col("doc_id").alias("other_id"), *other_sigs
+        )
+        vs_index = (
+            bands.join(
+                prior_bands.select(
+                    "band", "band_hash", F.col("doc_id").alias("other_id")
+                ),
+                ["band", "band_hash"],
             )
-            vs_index = (
-                bands.join(
-                    prior_bands.select(
-                        "band", "band_hash", F.col("doc_id").alias("other_id")
-                    ),
-                    ["band", "band_hash"],
-                )
-                .select("doc_id", "other_id")
-                .dropDuplicates()
-                .join(prior_sigs, "other_id")
-            )
-            pairs = vs_index
+            .select("doc_id", "other_id")
+            .dropDuplicates()
+            .join(prior_sigs, "other_id")
+        )
 
         b2 = bands.select(
             "band", "band_hash", F.col("doc_id").alias("other_id")
@@ -168,7 +185,7 @@ class IncrementalDeduper:
                 "other_id",
             )
         )
-        pairs = vs_batch if pairs is None else pairs.unionByName(vs_batch)
+        pairs = vs_index.unionByName(vs_batch)
 
         dups = (
             pairs.join(sigs, "doc_id")

@@ -513,6 +513,30 @@ def test_incremental_dedup_retry_is_idempotent(spark, tmp_path):
     assert accepted.count() == 0
 
 
+def test_incremental_dedup_survives_partial_index_write(spark, tmp_path):
+    """Crash window between the bands and sigs index writes: the retry must
+    run (not crash on the asymmetric dir state) and restore full state."""
+    import shutil
+
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    ded = IncrementalDeduper(spark, str(tmp_path / "idx"), str(tmp_path / "corpus"))
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven")], "doc_id long, text string"
+    )
+    ded.process_batch(docs, batch_id=0)
+    # simulate the crash: bands written, sigs lost
+    shutil.rmtree(tmp_path / "idx" / "sigs")
+    ded.process_batch(docs, batch_id=0)  # retry must not raise
+    assert {r.doc_id for r in ded.corpus().collect()} == {1}
+    assert (tmp_path / "idx" / "sigs").exists()
+    # duplicates in the next batch are still caught after the repair
+    dup = spark.createDataFrame(
+        [(9, "one two three four five six seven")], "doc_id long, text string"
+    )
+    assert ded.process_batch(dup, batch_id=1).count() == 0
+
+
 def test_exact_dedup_stream_first_occurrence_wins(spark, tmp_path):
     from nntsc_spark.streaming.dedup import exact_dedup_stream
 
