@@ -53,6 +53,11 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in registry.items():
         try:
+            # fn() runs INSIDE the timer on every rep: for most queries it
+            # is pure plan construction, but the iterative operators
+            # (dedup_clusters' label propagation, contamination's checkpointed
+            # shingling) do real work during construction — excluding it
+            # would under-report exactly the most expensive queries.
             best = None
             for rep in range(reps):
                 t0 = time.time()
