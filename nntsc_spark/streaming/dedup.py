@@ -102,38 +102,43 @@ class IncrementalDeduper:
         #: (est. jaccard >= min_matches/k)
         self.min_matches = min_matches
 
-    #: empty-index schemas, so a missing subdirectory reads as zero rows
-    #: rather than a None that every consumer must branch on — crucially,
-    #: the bands and sigs dirs can legitimately disagree on existence after
-    #: a crash between their writes, and the retry must still run.
+    #: empty-index schemas (single source of truth: SIG_COLS), so a missing
+    #: subdirectory reads as zero rows rather than a None every consumer
+    #: must branch on — crucially, the bands and sigs dirs can legitimately
+    #: disagree on existence after a crash between their writes, and the
+    #: retry must still run.  ``batch`` is the per-batch partition column.
     _SCHEMAS = {
         "bands": "doc_id long, band int, band_hash string",
-        "sigs": "doc_id long, " + ", ".join(f"mh{i} long" for i in range(MINHASH_K)),
-    }
-    _COLS = {
-        "bands": ["doc_id", "band", "band_hash"],
-        "sigs": ["doc_id", *SIG_COLS],
+        "sigs": "doc_id long, " + ", ".join(f"{c} long" for c in SIG_COLS),
     }
 
     def _read_prior(self, sub: str, batch_id: int) -> DataFrame:
         """Index partitions from batches BEFORE this one (empty if absent).
 
         Probing by read (not os.path) works for any filesystem URI
-        (hdfs://, s3a://).  ONLY path-not-found maps to 'no index yet';
-        any other failure (transient store error, corrupt footer) must
-        raise so foreachBatch retries the batch — swallowing it would
-        silently skip cross-corpus dedup for this batch and admit
-        permanent duplicates.
+        (hdfs://, s3a://).  The schema is passed EXPLICITLY: a crash can
+        leave a subdir holding only an uncommitted ``_temporary`` (zero
+        data files), and schema inference there raises
+        UNABLE_TO_INFER_SCHEMA — with the schema supplied the read returns
+        zero rows instead, so the repairing overwrite can run.  ONLY
+        path-not-found maps to 'no index yet'; any other failure
+        (transient store error, corrupt footer) must raise so foreachBatch
+        retries the batch — swallowing it would silently skip cross-corpus
+        dedup and admit permanent duplicates.
         """
         from pyspark.errors import AnalysisException
 
+        schema = self._SCHEMAS[sub] + ", batch int"
+        cols = [c.split()[0] for c in self._SCHEMAS[sub].split(", ")]
         try:
-            df = self.spark.read.parquet(f"{self.index_path}/{sub}")
+            df = self.spark.read.schema(schema).parquet(
+                f"{self.index_path}/{sub}"
+            )
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc):
                 raise
-            return self.spark.createDataFrame([], self._SCHEMAS[sub])
-        return df.where(F.col("batch") < int(batch_id)).select(*self._COLS[sub])
+            return self.spark.createDataFrame([], schema).select(*cols)
+        return df.where(F.col("batch") < int(batch_id)).select(*cols)
 
     def process_batch(
         self, docs: DataFrame, batch_id: int = 0, text_col: str = "text"

@@ -528,6 +528,12 @@ def test_incremental_dedup_survives_partial_index_write(spark, tmp_path):
     # simulate the crash: bands written, sigs lost
     shutil.rmtree(tmp_path / "idx" / "sigs")
     ded.process_batch(docs, batch_id=0)  # retry must not raise
+    # harsher variant: the sigs dir exists but holds only an uncommitted
+    # _temporary (FileOutputCommitter died mid-write) — schema inference
+    # would raise UNABLE_TO_INFER_SCHEMA; the explicit-schema read must not
+    shutil.rmtree(tmp_path / "idx" / "sigs")
+    (tmp_path / "idx" / "sigs" / "batch=0" / "_temporary").mkdir(parents=True)
+    ded.process_batch(docs, batch_id=0)  # retry must not raise
     assert {r.doc_id for r in ded.corpus().collect()} == {1}
     assert (tmp_path / "idx" / "sigs").exists()
     # duplicates in the next batch are still caught after the repair
