@@ -5,11 +5,19 @@ at the given sf dir, compares row counts, column sets, and (order-
 insensitively, columns sorted by name) the cell values.  Floats compare
 exactly — queries are expected to round identically on both sides.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+When run over the FULL registry (no query filter), writes
+``CORRECTNESS_FULL.json`` at the repo root — one row per registered query,
+including the tail beyond the driver's 50-query window — so tail oracle
+status is a committed artifact, not a claim.  ``--plans`` additionally
+regenerates PERF.md via tools/plan_report.py after a green run, making the
+plan-audit habit part of the same verification pass.
+
+Usage: python tools/verify_local.py [--plans] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -70,8 +78,12 @@ def _session():
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    with_plans = "--plans" in argv
+    if with_plans:
+        argv.remove("--plans")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = _session()
     con = duckdb.connect()
     for t in TABLES:
@@ -80,16 +92,30 @@ def main() -> int:
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(_session(), sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(_session(), sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # record, keep verifying the rest
+            failures.append((name, f"spark error: {exc}"))
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "err": str(exc)[:500],
+            }
+            print(f"{name}: spark ERROR  FAIL")
+            continue
         spark_t = time.time() - t0
         status_parts = [f"{name}: spark {len(srows)} rows {spark_t:.1f}s"]
         if name not in oracles:
+            results[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "err": None, "mode": "rows-only",
+            }
             print(status_parts[0] + "  (no oracle — rows-only)")
             continue
         rel = con.sql(oracles[name])
@@ -107,15 +133,16 @@ def main() -> int:
         ocols = rel.columns
         orows = rel.fetchall()
         ok = True
+        rows_ok = schema_ok = hash_ok = True
         if bad_types:
             failures.append((name, f"oracle emits driver-hostile types: {bad_types}"))
-            ok = False
+            ok = schema_ok = False
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"columns differ: spark={sorted(scols)} duck={sorted(ocols)}"))
-            ok = False
+            ok = schema_ok = hash_ok = False
         elif len(srows) != len(orows):
             failures.append((name, f"rowcount spark={len(srows)} duck={len(orows)}"))
-            ok = False
+            ok = rows_ok = hash_ok = False
         else:
             sm = rows_to_multiset(scols, srows)
             om = rows_to_multiset(ocols, orows)
@@ -125,14 +152,42 @@ def main() -> int:
                 failures.append(
                     (name, f"values differ; spark-only={diff_s} duck-only={diff_o}")
                 )
-                ok = False
+                ok = hash_ok = False
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "err": None,
+        }
         print(status_parts[0] + ("  OK" if ok else "  FAIL"))
     print()
+    if not only:  # full-registry run: commit-able artifact incl. the tail
+        artifact = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_FULL.json",
+        )
+        with open(artifact, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "queries": results},
+                f, indent=1,
+            )
+        print(f"wrote {artifact} ({len(results)} queries)")
     if failures:
         for name, msg in failures:
             print(f"FAIL {name}: {msg}")
         return 1
     print("all queries match")
+    if with_plans:
+        import subprocess
+
+        print("regenerating PERF.md (plan_report)...")
+        rc = subprocess.call(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "plan_report.py")]
+        )
+        if rc != 0:
+            print("plan_report FAILED")
+            return rc
     return 0
 
 
