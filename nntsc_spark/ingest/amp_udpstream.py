@@ -52,13 +52,18 @@ DATA_COLS = [
 
 
 def _pct(k: int):
-    """jitter_percentile_{(k+1)*10} extraction (amp_udpstream.py:184-205)."""
-    p = F.col("res.percentiles")
-    n = F.size(p)
-    return (
-        F.when(n >= 10, F.element_at(p, k + 1))
-        .when(n > 0, F.element_at(p, (F.floor(F.lit(k) * n / 10) + 1).cast("int")))
-        .cast("long")
+    """jitter_percentile_{(k+1)*10} extraction (amp_udpstream.py:184-205).
+
+    Built as parsed SQL text: the when/when Column form cost ~8 Py4J round
+    trips per bucket × 10 buckets, a measurable slice of plan-construction
+    time for a transform that is otherwise pure field access."""
+    return F.expr(
+        f"CAST(CASE WHEN size(res.percentiles) >= 10"
+        f" THEN element_at(res.percentiles, {k + 1})"
+        f" WHEN size(res.percentiles) > 0"
+        f" THEN element_at(res.percentiles, CAST("
+        f"floor({k} * size(res.percentiles) / 10) + 1 AS INT))"
+        f" END AS BIGINT)"
     )
 
 

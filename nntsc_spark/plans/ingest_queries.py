@@ -746,62 +746,47 @@ def q_ingest_udpstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ingest.amp_udpstream import process_udpstream
 
     fact = events_fact(spark, sf_dir, START, STOP)
-    sid = F.col("stream_id")
-    v = F.floor(F.col("value") * 100)
 
-    def entry(d: int):
-        w = v + F.lit(d)
-        n = (w % 12).cast("int")
-        base = w % 90
-        return F.struct(
-            F.lit("out" if d == 0 else "in").alias("direction"),
-            F.when(w % 5 != 0, F.struct(w.alias("mean"))).alias("rtt"),
-            F.when(
-                w % 6 != 0,
-                F.struct(
-                    (w % 50).alias("mean"),
-                    (w % 10).alias("minimum"),
-                    (w % 200).alias("maximum"),
-                ),
-            ).alias("jitter"),
-            F.when(w % 7 != 0, F.lit(11).cast("long") - w % 3).alias(
-                "packets_received"
-            ),
-            F.round((w % 3).cast("double") / 11.0, 4).alias("loss_percent"),
-            F.when(
-                w % 4 != 0,
-                F.struct(
-                    F.round((w % 500).cast("double") / 100.0, 4).alias("itu_mos")
-                ),
-            ).alias("voip"),
-            # transform(sequence(1, n)) measured faster than the
-            # slice(array(<11 exprs>)) form here: the literal array doubles
-            # the projection's expression count inside an already-huge
-            # nested-struct builder, while the HOF only materializes the n
-            # elements a row actually has
-            F.when(
-                n > 0,
-                F.transform(
-                    F.sequence(F.lit(1), n), lambda i: (base + i * 7).cast("long")
-                ),
-            )
-            .otherwise(F.array().cast("array<long>"))
-            .alias("percentiles"),
-        )
+    # The nested-struct fixture is built as ONE parsed SQL projection rather
+    # than via the Python Column API: the Column form spent ~0.75 s/rep in
+    # Py4J expression construction (hundreds of round trips, two lambda HOF
+    # conversions) against ~0.3 s of actual execution — the lone >2×
+    # per-query regression in BENCH_r04.  selectExpr text parses JVM-side
+    # in one shot (same trick as dedup_simhash, commit 09bf0a1).
+    def entry(d: int) -> str:
+        w = f"(v + {d})"
+        return f"""named_struct(
+          'direction', '{"out" if d == 0 else "in"}',
+          'rtt', IF({w} % 5 != 0, named_struct('mean', {w}), NULL),
+          'jitter', IF({w} % 6 != 0, named_struct(
+              'mean', {w} % 50, 'minimum', {w} % 10, 'maximum', {w} % 200),
+              NULL),
+          'packets_received',
+              IF({w} % 7 != 0, CAST(11 AS BIGINT) - {w} % 3, NULL),
+          'loss_percent', round(CAST({w} % 3 AS DOUBLE) / 11.0, 4),
+          'voip', IF({w} % 4 != 0, named_struct(
+              'itu_mos', round(CAST({w} % 500 AS DOUBLE) / 100.0, 4)), NULL),
+          'percentiles', IF(CAST({w} % 12 AS INT) > 0,
+              transform(sequence(1, CAST({w} % 12 AS INT)),
+                        i -> CAST({w} % 90 + i * 7 AS BIGINT)),
+              CAST(array() AS ARRAY<BIGINT>))
+        )"""
 
-    raw = fact.select(
-        F.lit("amp").alias("source"),
-        F.col("timestamp"),
-        F.concat(F.lit("dst"), (sid % 4).cast("string")).alias("target"),
-        F.when(sid % 2 == 0, F.concat(F.lit("192.0.2."), sid.cast("string")))
-        .otherwise(F.concat(F.lit("fe80::"), sid.cast("string")))
-        .alias("address"),
-        F.lit(100).cast("long").alias("packet_size"),
-        F.lit(20000).cast("long").alias("packet_spacing"),
-        F.lit(11).cast("long").alias("packet_count"),
-        F.lit("Default").alias("dscp"),
-        F.array(entry(0), entry(1)).alias("results"),
-        F.lit("DROP ME").alias("junkcol"),
+    raw = fact.selectExpr(
+        "*", "CAST(floor(value * 100) AS BIGINT) AS v"
+    ).selectExpr(
+        "'amp' AS source",
+        "timestamp",
+        "concat('dst', CAST(stream_id % 4 AS STRING)) AS target",
+        "CASE WHEN stream_id % 2 = 0"
+        " THEN concat('192.0.2.', CAST(stream_id AS STRING))"
+        " ELSE concat('fe80::', CAST(stream_id AS STRING)) END AS address",
+        "CAST(100 AS BIGINT) AS packet_size",
+        "CAST(20000 AS BIGINT) AS packet_spacing",
+        "CAST(11 AS BIGINT) AS packet_count",
+        "'Default' AS dscp",
+        f"array({entry(0)}, {entry(1)}) AS results",
+        "'DROP ME' AS junkcol",
     )
     out = process_udpstream(raw)
     assert "junkcol" not in out.columns and "packets_recvd" in out.columns
