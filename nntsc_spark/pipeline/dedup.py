@@ -475,17 +475,19 @@ def dedup_clusters(
     belongs to a near-dup cluster (singletons are absent — they survive by
     definition and listing them would be corpus-sized output).
     """
+    from pyspark.sql import Window
+
     pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
     cc = connected_components(pairs)
-    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        cc.join(F.broadcast(sizes), "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "n_members",
-            (F.col("node") == F.col("label")).alias("is_survivor"),
-        )
+    # member counts via a window over the cluster label: one shuffle of the
+    # (small) clustered-node table and no size assumptions.  The previous
+    # F.broadcast(sizes) join forced an O(#clusters) table into every
+    # executor — unbounded at corpus scale (r4 advice finding).
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n_members"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
     )
 
 
@@ -592,7 +594,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = 128,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard >= threshold via the inverted index ONLY.
 
@@ -608,11 +610,13 @@ def ngram_jaccard_pairs(
     one shingle's fan-out at C(max_df, 2)) but kept in the per-doc set
     sizes, so computed Jaccard never over-estimates: the cap can only lose
     pairs whose overlap is carried by corpus-ubiquitous shingles (recall
-    loss only, no precision loss).  Results are exact whenever ``max_df``
-    >= the corpus's maximum shingle df; pass ``None`` to disable.  For
-    corpora where capped recall is unacceptable, use MinHash banding
-    (:func:`minhash_near_duplicates`), which replaces the quadratic term
-    entirely.
+    loss only, no precision loss).  The default is ``None`` — EXACT — so
+    callers are never silently recall-lossy (the r4 default of 128 made
+    the public API approximate without asking); scale runs over corpora
+    with hot shingles must opt in with an explicit cap, e.g.
+    ``max_df=128``.  For corpora where capped recall is unacceptable, use
+    MinHash banding (:func:`minhash_near_duplicates`), which replaces the
+    quadratic term entirely.
     """
     # consumed three times (both join sides + sizes): persist or the
     # shingle build runs three times; materialize eagerly so sibling
