@@ -30,6 +30,14 @@ from ..storage import read_dimension, write_dimension
 class RollupMaintainer:
     """Maintains one rollup granularity for one fact table."""
 
+    #: widest touched-bin set refreshed via an exact IN-list; a batch
+    #: touching more distinct bins (a months-spanning backfill) falls back
+    #: to refreshing the full [min_bin, max_bin] range — recomputing some
+    #: untouched bins (idempotent, just extra work) instead of building a
+    #: plan-exploding million-entry IN predicate or collecting an
+    #: unbounded bin list onto the driver.
+    max_inlist_bins = 1024
+
     def __init__(
         self,
         spark: SparkSession,
@@ -57,23 +65,45 @@ class RollupMaintainer:
         Reads raw rows for those bins from the fact table (bin boundaries
         map 1:1 onto timestamp ranges so the date-partitioned scan prunes),
         rebuilds the rollup rows, and swaps them in.
+
+        The touched-bin stats (count, min, max) come back as ONE aggregated
+        row; the exact bin list is collected only when it fits
+        ``max_inlist_bins``, so the driver never holds an unbounded list
+        and the refresh predicate never exceeds the cap (wide batches use
+        the [min_bin, max_bin] range instead).
         """
-        bins = [r[0] for r in self.touched_bins(batch).collect()]
-        if not bins:
+        tb = self.touched_bins(batch)
+        stats = tb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(BINSTART_COL).alias("lo"),
+            F.max(BINSTART_COL).alias("hi"),
+        ).collect()[0]
+        if not stats["n"]:
             return
-        lo, hi = min(bins), max(bins) + self.binsize - 1
+        lo_bin, hi_bin = stats["lo"], stats["hi"]
+        lo, hi = lo_bin, hi_bin + self.binsize - 1
+        if stats["n"] <= self.max_inlist_bins:
+            bins = [r[0] for r in tb.collect()]
+            # range guard first (partition/zone pruning), exact isin second
+            refresh_pred = (
+                (F.col(BINSTART_COL) >= lo_bin)
+                & (F.col(BINSTART_COL) <= hi_bin)
+                & F.col(BINSTART_COL).isin(bins)
+            )
+        else:
+            refresh_pred = (F.col(BINSTART_COL) >= lo_bin) & (
+                F.col(BINSTART_COL) <= hi_bin
+            )
         fact = self.spark.read.parquet(self.fact_path)
         slice_df = fact.where(
             (F.col("timestamp") >= lo) & (F.col("timestamp") <= hi)
         )
         fresh = build_rollup(slice_df, self.binsize, self.value_cols).where(
-            F.col(BINSTART_COL).isin(bins)
+            refresh_pred
         )
         old_all = read_dimension(self.spark, self.rollup_path)
         if old_all is not None:
-            merged = old_all.where(
-                ~F.col(BINSTART_COL).isin(bins)
-            ).unionByName(fresh)
+            merged = old_all.where(~refresh_pred).unionByName(fresh)
         else:
             merged = fresh
         # snapshot-commit (storage.write_dimension): the new rollup is

@@ -224,6 +224,37 @@ def test_rollup_maintainer_matches_batch_build(spark, tmp_path):
         assert r2[b].magiccount_value == batch[b].magiccount_value
 
 
+def test_rollup_maintainer_wide_sparse_batch_range_fallback(spark, tmp_path):
+    """A batch touching more distinct bins than max_inlist_bins refreshes
+    via the [min_bin, max_bin] range predicate instead of a giant IN-list;
+    results still match the batch builder, and a pre-existing bin OUTSIDE
+    the range survives."""
+    fact_path = str(tmp_path / "fact")
+    early = spark.createDataFrame(
+        [(1, 999_000, 9.0)], "stream_id long, timestamp long, value double"
+    )
+    write_fact(early, fact_path)
+    rm = RollupMaintainer(spark, fact_path, str(tmp_path / "rollup"), 60, ["value"])
+    rm.max_inlist_bins = 4  # force the fallback at test size
+    rm.refresh_for_batch(early)
+
+    # 6 sparse bins spread over ~6 days > cap of 4 -> range fallback
+    wide = spark.createDataFrame(
+        [(1, i * 86_400 + 30, float(i)) for i in range(6)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact(wide, fact_path)
+    rm.refresh_for_batch(wide)
+    got = {r.binstart: r for r in rm.read().collect()}
+    assert got[999_000 - 999_000 % 60].magiccount_value == 1  # outside range
+    full = build_rollup(read_fact(spark, fact_path), 60, ["value"])
+    batch = {r.binstart: r for r in full.collect()}
+    assert set(got) == set(batch)
+    for b in batch:
+        assert got[b].sum_value == pytest.approx(batch[b].sum_value)
+        assert got[b].magiccount_value == batch[b].magiccount_value
+
+
 def test_bucketed_fact_avoids_shuffle(spark, tmp_path):
     from nntsc_spark.storage import write_fact_bucketed
 
