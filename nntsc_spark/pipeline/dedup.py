@@ -288,9 +288,13 @@ def minhash_near_duplicates(
     bands: int = 4,
     rows: int = 2,
     threshold: float = 0.5,
+    verify_prune: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     candidates -> exact-Jaccard verify.
+
+    ``verify_prune`` forwards to :func:`jaccard_verify`'s candidate-doc
+    prune — the corpus-scale path; see its docstring for the crossover.
 
     The shingle table feeds both the signature build and the verify join;
     persisting it halves the explode+md5 work (one materialization, two
@@ -313,7 +317,11 @@ def minhash_near_duplicates(
     # racing to recompute the shingle lineage per branch
     banded.count()
     cands = candidate_pairs(banded)
-    return jaccard_verify(cands, sh, threshold)
+    if verify_prune:
+        # pairs are consumed twice on the prune path (doc list + verify
+        # join); persist so the band self-join doesn't run twice
+        cands = scratch_persist(cands)
+    return jaccard_verify(cands, sh, threshold, prune=verify_prune)
 
 
 # ---------------------------------------------------------------------------
