@@ -585,3 +585,117 @@ def test_stalled_client_dropped_others_unaffected(spark, monkeypatch):
         stalled.close()
     finally:
         srv.stop()
+
+
+def test_subscribe_load_three_clients_history_live_push_ordering(
+    spark, monkeypatch
+):
+    """Load test for the subscribe path (reference exporter.py:1026-1052,
+    1304-1349): three concurrent subscribed clients ride history (real
+    10k-row flush blocks) into the live tail; one client then stalls under
+    a fat-frame flood and is dropped by its bounded queue, while the other
+    two keep receiving every LIVE row in publish order with PUSH markers
+    correctly sequenced AFTER their batch and with increasing timestamps.
+    Memory stays bounded throughout: per-client queues are capped, and the
+    stalled client's queue/tx/subscription are reaped, not grown."""
+    import os as _os
+
+    import nntsc_spark.export.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "LIVE_QUEUE_CAP", 64)
+    monkeypatch.setattr(srv_mod, "SEND_TIMEOUT", 0.2)
+
+    n_hist = 10_500  # > HISTORY_FLUSH_ROWS: exercises the real 10k flush
+    fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(n_hist)],
+        "stream_id long, timestamp long, value double",
+    ).coalesce(4)
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        # -- subscribe 3 clients concurrently -------------------------------
+        # A and B column-filter to "value" (flood pad never reaches them);
+        # C takes raw rows and will stall.
+        socks = {}
+        for name, cols in (("A", ["value"]), ("B", ["value"]), ("C", None)):
+            s = _connect(srv)
+            body = {
+                "collection": "amp-icmp",
+                "labels": {"L": [1]},
+                "start": 1,
+                "stop": 10_000_000,
+            }
+            if cols:
+                body["columns"] = cols
+            s.sendall(pack(Msg.SUBSCRIBE, body))
+            socks[name] = s
+
+        # every client replays full history in flush blocks, then the seam
+        hist_rows = {}
+        for name, s in socks.items():
+            msgs = _drain_until(s, Msg.HISTORY_DONE, limit=50)
+            blocks = [b for t, b in msgs if t == Msg.HISTORY]
+            rows = [r for b in blocks for r in b["history"]]
+            assert len(rows) == n_hist, name
+            # real 10k flush: first block full with more=True, last closes
+            assert len(blocks[0]["history"]) == 10_000 and blocks[0]["more"]
+            assert not blocks[-1]["more"]
+            assert msgs[-1][1]["last_ts"] == 100 + n_hist - 1
+            hist_rows[name] = rows
+
+        # -- live batches with PUSH markers ---------------------------------
+        def publish_batch(ts0, n, fat=False):
+            pad = _os.urandom(60_000).hex() if fat else ""
+            for i in range(n):
+                row = {"timestamp": ts0 + i, "value": float(i)}
+                if fat:
+                    row["pad"] = pad + str(i)
+                srv.publish_live("amp-icmp", 1, [row])
+            srv.push_marker("amp-icmp", ts0 + n - 1)
+
+        publish_batch(20_000, 20)
+        # C stops reading from here on; fat flood fills its kernel buffer
+        # then its bounded queue -> dropped (reference exporter.py:1449-1460)
+        publish_batch(21_000, 400, fat=True)
+        for _ in range(200):  # reader loop reaps C's tx + subscription
+            with srv._lock:
+                if len(srv._subs) == 2 and len(srv._tx) == 2:
+                    break
+            time.sleep(0.05)
+        with srv._lock:
+            assert len(srv._subs) == 2  # C reaped, A+B intact
+            assert len(srv._tx) == 2
+            assert all(t.q.qsize() <= 64 for t in srv._tx.values())
+        publish_batch(22_000, 20)
+
+        # -- A and B saw everything, ordered --------------------------------
+        expected_live = (
+            list(range(20_000, 20_020))
+            + list(range(21_000, 21_400))
+            + list(range(22_000, 22_020))
+        )
+        for name in ("A", "B"):
+            s = socks[name]
+            seq = []  # ("live", ts) / ("push", ts) in arrival order
+            while sum(1 for k, _ in seq if k == "push") < 3:
+                mtype, body = read_message(s)
+                if mtype == Msg.LIVE:
+                    row = body["result"]
+                    assert "pad" not in row, name  # P6 live column filter
+                    seq.append(("live", row["timestamp"]))
+                elif mtype == Msg.PUSH:
+                    seq.append(("push", body["timestamp"]))
+            live_ts = [ts for k, ts in seq if k == "live"]
+            assert live_ts == expected_live, name  # publish order, no loss
+            push_ts = [ts for k, ts in seq if k == "push"]
+            assert push_ts == [20_019, 21_399, 22_019], name  # increasing
+            # each PUSH arrives after every LIVE row of its own batch
+            for marker in push_ts:
+                assert seq.index(("push", marker)) > seq.index(("live", marker)), name
+            s.close()
+        socks["C"].close()
+    finally:
+        srv.stop()
