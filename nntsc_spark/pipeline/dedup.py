@@ -499,6 +499,83 @@ def dedup_clusters(
     )
 
 
+def select_representatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware survivor election: keep the HIGHEST-quality document
+    of each near-dup cluster instead of :func:`dedup_clusters`'s min-id
+    convention (production pipelines keep the best page of a mirror set,
+    not the lowest-numbered one; ties break on doc_id for determinism).
+
+    The quality score joins in via an inner equi-join on doc_id — the
+    cluster-member table is *pairs-derived* (≪ corpus), so the join prunes
+    the quality projection to clustered docs and AQE picks the physical
+    strategy (no forced broadcast: #clustered-docs is unbounded at corpus
+    scale).  Election is one window over cluster_id; per-cluster row counts
+    are near-dup group sizes, so partitions stay small unless the corpus is
+    pathologically one giant mirror set.
+
+    Output: one row per cluster — (cluster_id, doc_id, n_members,
+    quality_score) of the elected representative.  Singletons are absent,
+    as in :func:`dedup_clusters`: they keep themselves by definition.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_features
+
+    members = dedup_clusters(docs, text_col, threshold)
+    scored = members.join(
+        quality_features(docs, text_col).select("doc_id", "quality_score"),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") == 1)
+        .select("cluster_id", "doc_id", "n_members", "quality_score")
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3 appendix-C method: flag an
+    eval document when any of its word n-grams also occurs anywhere in the
+    training corpus; Brown et al. 2020 used 13-grams on much longer
+    documents — the default 5 suits the short synthetic corpus).
+
+    Complements :func:`contamination`: LSH+Jaccard finds *mostly-similar
+    documents*, while a single verbatim n-gram hit catches a benchmark
+    answer pasted into one paragraph of an otherwise-unrelated page.
+
+    Distributed shape: the train side collapses to DISTINCT n-grams BEFORE
+    the join — map-side-combinable aggregation, and afterwards each join
+    key exists exactly once on the build side, so a stop-phrase shared by
+    a billion training docs contributes ONE row, never a fan-out (the skew
+    guard).  The probe side is the (much smaller) eval corpus's n-grams;
+    the equi-join shuffles on the n-gram string and AQE handles residual
+    key skew.  Per-doc shingles are already distinct, so the count is the
+    number of distinct leaked n-grams.
+
+    Output: (test_doc_id, n_hit_ngrams) for contaminated eval docs only.
+    """
+    train_grams = shingles(train, text_col, n).select("shingle").distinct()
+    return (
+        shingles(test, text_col, n)
+        .join(train_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+        .select(F.col("doc_id").alias("test_doc_id"), "n_hit_ngrams")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus contamination (train/eval overlap detection)
 # ---------------------------------------------------------------------------

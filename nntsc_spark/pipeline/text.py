@@ -323,3 +323,58 @@ def deterministic_sample_by(
             F.lit(int(round(float(rate) * SAMPLE_MOD))),
         ).otherwise(thr_expr)
     return docs.where(bucket < thr_expr)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Token-BUDGET quota sampling: per stratum, admit documents in a
+    deterministic hash-priority order until the running token total would
+    exceed ``budget_tokens`` — how a training mix is actually specified
+    ("50 B tokens of web, 10 B of code"), where rate-based sampling can't
+    hit a token target because document lengths vary.
+
+    The priority is the same md5-derived key as :func:`deterministic_sample`
+    (layout-independent, reproducible on any cluster; and budgets NEST: a
+    smaller budget with the same salt selects a prefix of a larger one's
+    membership).  One window per stratum computes the running total — a
+    single shuffle on the stratum key.  At 100 TB a stratum is typically a
+    source bucket (human-scale count, huge membership), so the per-stratum
+    sort is the honest cost; a grossly dominant stratum is the documented
+    skew case and splits naturally by sub-stratifying (e.g. source x
+    crawl-month), which composes with this operator unchanged.
+
+    Output: admitted rows only — (doc_id, <strata_col>, n_tokens,
+    cum_tokens), ``cum_tokens <= budget_tokens`` by construction.
+    """
+    from pyspark.sql import Window
+
+    pri = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_pri")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_pri", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(key_col), F.col(strata_col), token_count_expr(text_col).alias("n_tokens"), pri
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(key_col, strata_col, "n_tokens", "cum_tokens")
+    )

@@ -18,7 +18,9 @@ from ..pipeline.dedup import (
     dedup_clusters,
     exact_duplicates,
     minhash_near_duplicates,
+    ngram_decontaminate,
     ngram_jaccard_pairs,
+    select_representatives,
     simhash_signatures,
 )
 from ..pipeline.multimodal import documents_as_media, extract_features
@@ -35,6 +37,7 @@ from ..pipeline.text import (
     pii_scrub,
     quality_features,
     repetition_features,
+    token_budget_sample,
     token_counts,
 )
 from ..sources.tables import load_table
@@ -733,10 +736,95 @@ FROM c
 """
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return select_representatives(load_table(spark, sf_dir, "documents"))
+
+
+# quality-aware election over the minhash clusters: highest quality_score
+# (ties -> lowest doc_id) per cluster, via the same window the Spark side
+# uses.  Reuses the driver-verified clusters + quality subqueries.
+SQL_DEDUP_REPRESENTATIVES = f"""
+SELECT cluster_id, doc_id, n_members, quality_score FROM (
+  SELECT c.cluster_id, c.doc_id, c.n_members, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC)
+           AS _rank
+  FROM ({SQL_DEDUP_CLUSTERS}) c
+  JOIN ({SQL_TEXT_QUALITY}) q USING (doc_id)
+) WHERE _rank = 1
+"""
+
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    test = deterministic_sample(docs, rate=0.1, salt="contam")
+    train = docs.join(test.select("doc_id"), "doc_id", "left_anti")
+    return ngram_decontaminate(train, test, n=5)
+
+
+# same deterministic 10% test split as SQL_CONTAMINATION; word 5-grams via
+# the NULL-propagating concat idiom (a doc under 5 tokens yields nothing,
+# matching the Spark side's guarded CASE)
+SQL_CONTAMINATION_NGRAM = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         ('0x' || substring(md5('contam' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 < 1000 AS is_test
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, is_test, s.g
+  FROM split, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                   l[i+4] || ' ' || l[i+5]
+                   FOR i IN range(greatest(len(l) - 4, 1))]) AS g
+  ) s
+  WHERE s.g IS NOT NULL
+), tr AS (
+  SELECT DISTINCT g FROM grams WHERE NOT is_test
+)
+SELECT te.doc_id AS test_doc_id, count(*) AS n_hit_ngrams
+FROM grams te JOIN tr USING (g)
+WHERE te.is_test
+GROUP BY te.doc_id
+"""
+
+
+def q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget_tokens=800
+    )
+
+
+# running token total over the same md5 priority order; the window SUM is
+# cast to BIGINT (DuckDB widens SUM(int) to HUGEINT, which the driver's
+# pandas normalization can't hash)
+SQL_DOC_BUDGET_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS pri
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    # round-5 additions: quality-aware cluster election, GPT-3-style n-gram
+    # decontamination, per-source token-budget quota sampling
+    "dedup_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
+    "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION_NGRAM),
+    "doc_budget_sample": (q_doc_budget_sample, SQL_DOC_BUDGET_SAMPLE),
 }

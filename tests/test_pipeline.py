@@ -575,3 +575,85 @@ def test_deterministic_sample_by_strata_rates(spark, sf_dir):
         }
         have = {r.doc_id for r in out.where(F.col("source") == stratum).collect()}
         assert have == expect, stratum
+
+
+def test_select_representatives_quality_election(spark):
+    from nntsc_spark.pipeline.dedup import select_representatives
+
+    base = "the quick brown fox jumps over lazy dog again"  # 9 tokens
+    rows = [
+        (0, base),                 # <10 tokens -> 0.5 quality multiplier
+        (1, base + " tonight"),    # 10 tokens -> full multiplier, near-dup of 0
+        (2, "of and to in is the a word word word word word"),
+        (3, "of and to in is the a word word word word word"),  # exact dup of 2
+        (9, "completely standalone single document nothing matches this one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reps = {r.cluster_id: r for r in select_representatives(docs).collect()}
+
+    # cluster {0,1}: doc 1 outscores doc 0 (same text, token count crosses
+    # the >=10 quality gate) -> quality election beats the min-id convention
+    assert reps[0].doc_id == 1 and reps[0].n_members == 2
+    # cluster {2,3}: identical text = identical score -> doc_id tie-break
+    assert reps[2].doc_id == 2 and reps[2].n_members == 2
+    # singletons absent by contract
+    assert set(reps) == {0, 2}
+
+
+def test_ngram_decontaminate_verbatim_phrase(spark):
+    from nntsc_spark.pipeline.dedup import ngram_decontaminate
+
+    phrase = "alpha beta gamma delta epsilon"
+    train = spark.createDataFrame(
+        [
+            (0, "xx yy " + phrase + " zz"),
+            (1, "totally unrelated training content goes right here folks"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            # the phrase pasted into an otherwise-unrelated doc: Jaccard is
+            # far below any near-dup threshold, but the 5-gram leaks
+            (10, "unrelated words here totally " + phrase + " more filler text"),
+            (11, "clean evaluation document with fresh unseen words only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.test_doc_id: r.n_hit_ngrams for r in
+           ngram_decontaminate(train, test, n=5).collect()}
+    # only the 5-gram fully inside the phrase is shared (windows crossing
+    # the phrase boundary differ between the two docs)
+    assert out == {10: 1}
+
+
+def test_token_budget_sample_matches_greedy_prefix(spark, sf_dir):
+    import hashlib
+
+    from nntsc_spark.pipeline.text import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, budget_tokens=100).collect()
+    assert all(r.cum_tokens <= 100 for r in out)
+
+    # independent reimplementation: greedy prefix in md5-priority order
+    rows = docs.select("doc_id", "source", F.size(F.split("text", " "))
+                       .alias("n")).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        pri = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        by_src.setdefault(r.source, []).append((pri, r.doc_id, r.n))
+    expect = {}
+    for src, lst in by_src.items():
+        total = 0
+        for pri, doc_id, n in sorted(lst):
+            total += n
+            if total > 100:
+                break
+            expect[doc_id] = total
+    assert {r.doc_id: r.cum_tokens for r in out} == expect
+
+    # budgets NEST per salt: 50-budget membership is a prefix of 100's
+    small = {r.doc_id for r in
+             token_budget_sample(docs, budget_tokens=50).collect()}
+    assert small <= set(expect)
