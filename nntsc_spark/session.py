@@ -38,7 +38,32 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle WIDE and let AQE coalesce down: with only
+        # shuffle.partitions=cores, a 100x data step makes each shuffle
+        # partition 100x bigger and the heavy dedup/contamination
+        # aggregations spill (measured 13.7x step for 10x data at x100;
+        # 2.8x with enough partitions — tools/scaling_probe.py).  AQE
+        # merges small post-shuffle partitions at runtime, so wide
+        # defaults cost small queries nothing.  On a real cluster raise
+        # this to ~2-3x total cores or beyond; it is an upper bound, not
+        # a target.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "0"))
+                or 16 * int(cpus)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Without this, AQE is OFF inside every .persist()ed plan (cached
+        # plans pin their output partitioning by default), so the wide
+        # initial above would freeze 512 tiny partitions into small-scale
+        # caches (measured ~2x slowdown on the cached dedup pipeline at
+        # sf0.1) AND the pipeline caches could never coalesce.  Cache
+        # reuse still works; only the cached plan's partitioning becomes
+        # AQE-managed like everything else.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

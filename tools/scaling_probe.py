@@ -130,6 +130,17 @@ def main() -> None:
     reg = q.queries()
     reg["agg_bin"](spark, SF_DIR).collect()  # warm session
 
+    # per-cell result cache: a multi-factor run can take tens of minutes,
+    # so an interrupted run resumes instead of remeasuring finished cells
+    import json
+
+    state_path = f"{SCRATCH}/results.json"
+    try:
+        with open(state_path) as fh:
+            cache = {tuple(k.split(":", 1)): v for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        cache = {}
+
     results: dict[int, dict[str, float]] = {}
     for f in factors:
         sf_dir = SF_DIR if f == 1 else build_replica(spark, f)
@@ -138,16 +149,26 @@ def main() -> None:
         for name, qdir in [(n, sf_dir) for n in QUERIES] + [
             (n, pipe_dir) for n in PIPELINE_QUERIES
         ]:
-            # min-of-2 amortizes scheduling jitter; at x100 the pipeline
-            # heavies run minutes, where jitter is noise — single rep
-            reps = 1 if (f >= 100 and name in PIPELINE_QUERIES) else 2
+            if (str(f), name) in cache:
+                row[name] = cache[(str(f), name)]
+                continue
+            # min-of-2 at EVERY factor, no exceptions: the caching
+            # pipelines (dedup/contamination) serve rep 2 from the scratch
+            # persist pool, so min-of-2 measures warm steady state — one
+            # factor on a different rep policy would compare warm against
+            # cold and fabricate a super-linear ratio (that exact mistake
+            # produced a phantom 13.7x for dedup_minhash: cold single-rep
+            # x100 over warm min-of-2 x10; warm-over-warm is 2.5x).
             best = None
-            for _ in range(reps):
+            for _ in range(2):
                 t0 = time.time()
                 reg[name](spark, qdir).toPandas()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             row[name] = round(best, 2)
+            cache[(str(f), name)] = row[name]
+            with open(state_path, "w") as fh:
+                json.dump({f"{a}:{b}": v for (a, b), v in cache.items()}, fh)
             print(f"  x{f} {name}: {row[name]}", file=sys.stderr)
         results[f] = row
         print(f"x{f}: {row}", file=sys.stderr)
@@ -186,8 +207,9 @@ def main() -> None:
         "making cross-replica shingle sets disjoint — see",
         "build_pipeline_replica).  x1 runs the same tagging transform, so",
         "its constant cost cancels out of every ratio.",
-        "x100 pipeline cells are single-rep (minutes-long runs; scheduling",
-        "jitter is noise at that magnitude).",
+        "All cells are min-of-2, which for the caching pipelines means WARM",
+        "steady state (rep 2 reuses the scratch-persist pool — the",
+        "production shape, where the corpus caches serve many queries).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
