@@ -576,6 +576,67 @@ def ngram_decontaminate(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """Verbatim repeated-SPAN detection — the substring-level dedup of Lee
+    et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), which removes exact repeated passages (boilerplate, licence
+    headers, quoted chunks) that document-level dedup can't touch because
+    the surrounding documents differ.
+
+    Spark-first shape instead of the paper's suffix array: every w-token
+    window is fingerprinted, a window is *duplicated* when its exact text
+    occurs >= 2 times corpus-wide (any documents, or twice in one), and a
+    doc's overlapping/adjacent duplicated windows merge into maximal spans
+    via gaps-and-islands.  Cost stays LINEAR in corpus tokens: the
+    occurrence count is one map-side-combinable aggregation keyed on the
+    window text (a million-fold-repeated boilerplate window is ONE group —
+    hot windows make the count cheap, never a pair blow-up), the join-back
+    has a distinct build side, and the merge windows shuffle once on
+    doc_id.  No pairwise comparison anywhere.
+
+    Output: (doc_id, span_start, span_end, n_windows) — 1-based inclusive
+    token positions of each maximal repeated span, with the number of
+    duplicated windows it merged.
+    """
+    from pyspark.sql import Window
+
+    win_struct = (
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"transform(sequence(0, size(_toks) - {w}),"
+        f" i -> struct(i + 1 AS s, concat_ws(' ', slice(_toks, i + 1, {w})) AS win)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<s: INT, win: STRING>>) END"
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # same small-scan guard as shingles()
+    wins = (
+        docs.withColumn("_toks", tokens_expr(text_col))
+        .select("doc_id", F.explode(F.expr(win_struct)).alias("_w"))
+        .select("doc_id", F.col("_w.s").alias("s"), F.col("_w.win").alias("win"))
+    )
+    dup = wins.groupBy("win").count().where(F.col("count") >= 2).select("win")
+    hits = wins.join(dup, "win").select(
+        "doc_id", "s", (F.col("s") + F.lit(w - 1)).alias("e")
+    )
+    by_pos = Window.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(by_pos.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("s").cast("long").alias("span_start"),
+        F.max("e").cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_island")
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus contamination (train/eval overlap detection)
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..pipeline.dedup import (
     contamination,
     dedup_clusters,
+    duplicate_spans,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_decontaminate,
@@ -789,6 +790,44 @@ GROUP BY te.doc_id
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), w=10)
+
+
+# gaps-and-islands over duplicated 10-token windows; same 1-based inclusive
+# positions as the Spark side
+SQL_DEDUP_SPANS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), w AS (
+  SELECT doc_id, u.i + 1 AS s, u.i + 10 AS e,
+         array_to_string(l[u.i+1:u.i+10], ' ') AS win
+  FROM t, LATERAL (SELECT unnest(range(greatest(len(l) - 9, 0))) AS i) u
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+), d AS (
+  SELECT doc_id, s, e FROM w JOIN dup USING (win)
+), g AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM d
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM g
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget_tokens=800
@@ -827,4 +866,5 @@ TAIL_PIPELINE_REGISTRY = {
     "dedup_representatives": (q_dedup_representatives, SQL_DEDUP_REPRESENTATIVES),
     "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION_NGRAM),
     "doc_budget_sample": (q_doc_budget_sample, SQL_DOC_BUDGET_SAMPLE),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
 }

@@ -657,3 +657,28 @@ def test_token_budget_sample_matches_greedy_prefix(spark, sf_dir):
     small = {r.doc_id for r in
              token_budget_sample(docs, budget_tokens=50).collect()}
     assert small <= set(expect)
+
+
+def test_duplicate_spans_merging_and_positions(spark):
+    from nntsc_spark.pipeline.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(1, 13))   # 12 shared tokens
+    p = " ".join(f"p{i}" for i in range(1, 11))        # 10-token phrase
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 " + shared + " y1"),            # shared at tokens 3..14
+            (1, "z1 " + shared + " z2 z3"),            # shared at tokens 2..13
+            (2, " ".join(f"u{i}" for i in range(15))), # all unique
+            (3, p + " q1 q2 q3 " + p),                 # self-repeat with a gap
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.span_start, r.span_end): r.n_windows
+            for r in duplicate_spans(docs, w=10).collect()}
+    # three overlapping duplicated windows merge into ONE maximal span per doc
+    assert rows == {
+        (0, 3, 14): 3,
+        (1, 2, 13): 3,
+        (3, 1, 10): 1,   # within-doc repeat counts too (count >= 2 corpus-wide)
+        (3, 14, 23): 1,  # gap > 1 token -> separate island
+    }
