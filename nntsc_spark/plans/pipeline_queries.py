@@ -855,6 +855,65 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.corpus import training_corpus
+
+    return training_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# The end-to-end prep composed from the already-verified per-stage oracles:
+# same eval split as SQL_CONTAMINATION, clusters re-scoped to the train
+# side by substituting the source CTE, 5-gram leak check as in
+# SQL_CONTAMINATION_NGRAM, and the SQL_PII_SCRUB regex chain on the output.
+SQL_TRAINING_CORPUS = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0x' || substring(md5('contam' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 < 1000 AS is_test
+  FROM documents
+), train AS (
+  SELECT doc_id, text FROM split WHERE NOT is_test
+), ev AS (
+  SELECT doc_id, text FROM split WHERE is_test
+), q AS (
+  SELECT doc_id, n_tokens, quality_score FROM ({SQL_TEXT_QUALITY}) qq
+), lng AS (
+  SELECT doc_id, pred_lang FROM ({SQL_TEXT_LANGID}) ll
+), nonsurv AS (
+  SELECT doc_id FROM ({SQL_DEDUP_CLUSTERS.replace("FROM documents", "FROM train")}) cc
+  WHERE NOT is_survivor
+), tg AS (
+  SELECT DISTINCT s.g
+  FROM (SELECT string_split(text, ' ') AS l FROM ev) e, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                   l[i+4] || ' ' || l[i+5]
+                   FOR i IN range(greatest(len(l) - 4, 1))]) AS g
+  ) s
+  WHERE s.g IS NOT NULL
+), leaked AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM train) t, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+                   l[i+4] || ' ' || l[i+5]
+                   FOR i IN range(greatest(len(l) - 4, 1))]) AS g
+  ) s
+  WHERE s.g IS NOT NULL AND s.g IN (SELECT g FROM tg)
+)
+SELECT t.doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t.text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+         '[0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}[.][0-9]{{1,3}}', '<IP>', 'g'),
+         '[+]?[0-9][0-9 ()-]{{7,}}[0-9]', '<PHONE>', 'g') AS text,
+       q.n_tokens, q.quality_score
+FROM train t
+JOIN q USING (doc_id)
+JOIN lng USING (doc_id)
+WHERE q.quality_score >= 0.3 AND lng.pred_lang = 'en'
+  AND t.doc_id NOT IN (SELECT doc_id FROM nonsurv)
+  AND t.doc_id NOT IN (SELECT doc_id FROM leaked)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -867,4 +926,5 @@ TAIL_PIPELINE_REGISTRY = {
     "contamination_ngram": (q_contamination_ngram, SQL_CONTAMINATION_NGRAM),
     "doc_budget_sample": (q_doc_budget_sample, SQL_DOC_BUDGET_SAMPLE),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
+    "training_corpus": (q_training_corpus, SQL_TRAINING_CORPUS),
 }

@@ -682,3 +682,31 @@ def test_duplicate_spans_merging_and_positions(spark):
         (3, 1, 10): 1,   # within-doc repeat counts too (count >= 2 corpus-wide)
         (3, 14, 23): 1,  # gap > 1 token -> separate island
     }
+
+
+def test_training_corpus_end_to_end_stages(spark):
+    """Each prep stage drops exactly the doc planted for it: eval holdout,
+    near-dup non-survivor, verbatim eval leak, low quality, wrong language;
+    the kept docs come out PII-scrubbed.  (doc_id 3 is in the 10% eval
+    split for salt 'contam'; verified against the md5 bucket rule.)"""
+    from nntsc_spark.pipeline.corpus import training_corpus
+
+    good = "the cat sat of the mat and the dog ran to the park today"
+    phrase = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # kept (survivor)
+            (1, good + " tonight"),                      # near-dup of 0 -> dropped
+            (2, "the quick " + phrase + " of the and story goes on"),  # leaks eval 5-gram
+            (3, phrase + " unique words here"),          # eval holdout
+            (4, "no stopwords short"),                   # low quality
+            (5, "der hund und die katze und das haus und der baum sind hier"),  # de
+            (6, "contact me at bob@example.com for the offer of the day and more info now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in training_corpus(docs).collect()}
+    assert set(out) == {0, 6}
+    assert "<EMAIL>" in out[6].text and "bob@example.com" not in out[6].text
+    assert out[0].text == good  # nothing to scrub -> text unchanged
+    assert out[0].quality_score == 1.0 and out[0].n_tokens == 14
