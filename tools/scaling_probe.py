@@ -34,7 +34,8 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
 PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
-                    "similarity_ivf_topk", "text_repetition"]
+                    "similarity_ivf_topk", "text_repetition",
+                    "dedup_spans", "training_corpus"]
 
 
 def build_replica(spark, factor: int) -> str:
