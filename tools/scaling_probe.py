@@ -202,7 +202,7 @@ def main() -> None:
         "means the constant term still dominates; near 10x is scan-bound",
         "linear scaling; above ~12x would flag a super-linear operator.",
         "",
-        "The last five rows are the pipeline heavies over Nx-replicated",
+        f"The last {len(PIPELINE_QUERIES)} rows are the pipeline heavies over Nx-replicated",
         "documents/embeddings with LINEAR duplicate structure (per-replica",
         "token tagging keeps within-replica shingle structure exact while",
         "making cross-replica shingle sets disjoint — see",
