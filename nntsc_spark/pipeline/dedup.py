@@ -763,6 +763,14 @@ def ngram_jaccard_pairs(
     ``max_df=128``.  For corpora where capped recall is unacceptable, use
     MinHash banding (:func:`minhash_near_duplicates`), which replaces the
     quadratic term entirely.
+
+    Perf note (r5): the zero-shuffle array-domain shingle build is a net
+    win for the signature pipelines (minhash/contamination ~25% faster
+    warm) but costs THIS operator ~0.7 s at sf0.1 vs the old shuffled
+    build (1.3 s vs 0.6 s; still 0.8x the r1 anchor).  The self-join's
+    quadratic fan-out dominates and is partition-count-insensitive
+    (measured flat across 32/64/512 pre-join partitions), so the shared
+    build is kept — the capped (max_df) variant remains the scale path.
     """
     # consumed three times (both join sides + sizes): persist or the
     # shingle build runs three times; materialize eagerly so sibling
