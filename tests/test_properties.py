@@ -107,3 +107,87 @@ def test_binstart_matches_python_floor_division(spark, ts, binsize):
         for r in with_binstart(df, binsize).orderBy("timestamp").collect()
     ]
     assert got == [t - (t % binsize) for t in sorted(ts)]
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_duplicate_spans_matches_bruteforce(spark, corpus):
+    """duplicate_spans == an independent O(n^2) reimplementation on random
+    tiny-alphabet corpora (the 4-letter alphabet forces window collisions,
+    exercising merging, islands, and within-doc repeats)."""
+    from collections import Counter
+
+    from nntsc_spark.pipeline.dedup import duplicate_spans
+
+    w = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in duplicate_spans(df, w=w).collect()
+    }
+
+    # brute force: count every window occurrence, merge per-doc islands
+    toks = {i: t.split(" ") for i, t in docs}  # split('') -> [''] like Spark
+    counts = Counter(
+        tuple(l[i : i + w])
+        for l in toks.values()
+        for i in range(len(l) - w + 1)
+    )
+    expect = {}
+    for doc_id, l in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(l) - w + 1)
+            if counts[tuple(l[i : i + w])] >= 2
+        ]
+        cur = None  # (start, end, n)
+        for s in starts:
+            e = s + w - 1
+            if cur and s <= cur[1] + 1:
+                cur = (cur[0], max(cur[1], e), cur[2] + 1)
+            else:
+                if cur:
+                    expect[(doc_id, cur[0], cur[1])] = cur[2]
+                cur = (s, e, 1)
+        if cur:
+            expect[(doc_id, cur[0], cur[1])] = cur[2]
+    assert got == expect
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=12),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@settings(**SETTINGS)
+def test_token_budget_sample_matches_greedy(spark, sizes, budget):
+    """token_budget_sample == greedy prefix in md5-priority order for
+    arbitrary doc-length distributions and budgets (single stratum)."""
+    import hashlib
+
+    from nntsc_spark.pipeline.text import token_budget_sample
+
+    docs = [(i, " ".join(["w"] * n), "s0") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.doc_id: r.cum_tokens
+           for r in token_budget_sample(df, budget_tokens=budget).collect()}
+
+    pri = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i, n)
+        for i, n in enumerate(sizes)
+    )
+    expect, total = {}, 0
+    for _, i, n in pri:
+        total += n
+        if total > budget:
+            break
+        expect[i] = total
+    assert got == expect
