@@ -143,3 +143,39 @@ def test_nntsc_core_queries_keep_pushdown(spark, sf_dir, name):
     plan = plan_text(spark, sf_dir, name)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("ts" in p for p in pushed if p), (name, pushed)
+
+
+def _data_shuffles(plan: str) -> list[str]:
+    return [
+        ln.strip()
+        for ln in plan.split("\n")
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+
+
+def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
+    # the running-total window is the operator's only shuffle, keyed on
+    # the stratum column — a corpus-sized sort by anything else would be
+    # the 100 TB regression this guards against
+    plan = plan_text(spark, sf_dir, "doc_budget_sample")
+    shuffles = _data_shuffles(plan)
+    assert len(shuffles) == 1, shuffles
+    assert "hashpartitioning(source" in shuffles[0], shuffles
+
+
+def test_duplicate_spans_no_cartesian_no_pair_join(spark, sf_dir):
+    # linearity guard: the duplicated-window detection must be an
+    # aggregation + equi-join, never a pairwise or nested-loop comparison
+    plan = plan_text(spark, sf_dir, "dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_decontaminate_distinct_build_side(spark, sf_dir):
+    # the train corpus must collapse to DISTINCT n-grams BEFORE the join
+    # (skew guard: a hot phrase is one build-side row).  In the plan that
+    # is a HashAggregate pair keyed on the gram under the join's build
+    # side, and no cartesian anywhere.
+    plan = plan_text(spark, sf_dir, "contamination_ngram")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"HashAggregate\(keys=\[shingle", plan), "distinct-gram aggregate missing"
