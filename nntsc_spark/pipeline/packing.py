@@ -167,3 +167,47 @@ def chunk_documents(
             F.size(F.col("_chunk")).cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    salt: str = "",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic global-shuffle shard writer — the LAST prep step:
+    training wants the corpus in a randomized but REPRODUCIBLE order,
+    split into shards that data loaders stream independently.
+
+    Both the shard assignment and the within-shard order derive from the
+    md5 priority used across the sampling operators (layout-independent:
+    the same (salt, corpus) produces byte-identical shards on any cluster,
+    and a re-run after adding docs moves nothing that didn't hash there).
+    md5 uniformity balances shard sizes to sampling error.
+
+    One shuffle total: ``repartition(n_shards, shard)`` hashes each shard
+    value to exactly one task, ``sortWithinPartitions`` orders rows by
+    priority inside it, and ``partitionBy(shard)`` therefore emits ONE
+    ordered file per shard directory — the layout loaders want (seekable,
+    no cross-file merge).  At 100 TB raise ``n_shards``; everything else
+    is unchanged.
+    """
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    (
+        docs.withColumn("_pri", pri)
+        .withColumn("shard", F.pmod(F.col("_pri"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_pri", key_col)
+        .drop("_pri")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )

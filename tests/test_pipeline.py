@@ -710,3 +710,42 @@ def test_training_corpus_end_to_end_stages(spark):
     assert "<EMAIL>" in out[6].text and "bob@example.com" not in out[6].text
     assert out[0].text == good  # nothing to scrub -> text unchanged
     assert out[0].quality_score == 1.0 and out[0].n_tokens == 14
+
+
+def test_write_training_shards_deterministic_ordered(spark, sf_dir, tmp_path):
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from nntsc_spark.pipeline.packing import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = 4
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=n_shards)
+
+    def pri(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    seen = []
+    for shard in range(n_shards):
+        files = glob.glob(f"{out}/shard={shard}/*.parquet")
+        assert len(files) == 1, files  # one ordered file per shard
+        ids = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        # shard assignment and within-shard order are the md5 priority
+        expect = sorted(
+            (i for i in all_ids if pri(i) % n_shards == shard), key=pri
+        )
+        assert ids == expect, f"shard {shard}"
+        seen += ids
+    assert sorted(seen) == sorted(all_ids)  # nothing lost or duplicated
+
+    # byte-level determinism: a second write produces identical shard sets
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=n_shards)
+    for shard in range(n_shards):
+        a = pq.read_table(glob.glob(f"{out}/shard={shard}/*.parquet")[0])
+        b = pq.read_table(glob.glob(f"{out2}/shard={shard}/*.parquet")[0])
+        assert a.equals(b), shard
