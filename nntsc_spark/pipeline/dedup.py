@@ -602,8 +602,21 @@ def duplicate_spans(
     token positions of each maximal repeated span, with the number of
     duplicated windows it merged.
     """
-    from pyspark.sql import Window
+    wins = token_windows(docs, text_col, w)
+    dup = wins.groupBy("win").count().where(F.col("count") >= 2).select("win")
+    hits = wins.join(dup, "win").select(
+        "doc_id", "s", (F.col("s") + F.lit(w - 1)).alias("e")
+    )
+    return merge_spans(hits)
 
+
+def token_windows(
+    docs: DataFrame, text_col: str = "text", w: int = 10
+) -> DataFrame:
+    """Every w-token window per document with its 1-based start position:
+    (doc_id, s, win).  Same zero-shuffle array-domain build (and the same
+    small-scan repartition guard) as :func:`shingles`, but positional —
+    no per-doc distinct, because span detection needs every occurrence."""
     win_struct = (
         f"CASE WHEN size(_toks) >= {w} THEN "
         f"transform(sequence(0, size(_toks) - {w}),"
@@ -612,16 +625,20 @@ def duplicate_spans(
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)  # same small-scan guard as shingles()
-    wins = (
+        docs = docs.repartition(par)
+    return (
         docs.withColumn("_toks", tokens_expr(text_col))
         .select("doc_id", F.explode(F.expr(win_struct)).alias("_w"))
         .select("doc_id", F.col("_w.s").alias("s"), F.col("_w.win").alias("win"))
     )
-    dup = wins.groupBy("win").count().where(F.col("count") >= 2).select("win")
-    hits = wins.join(dup, "win").select(
-        "doc_id", "s", (F.col("s") + F.lit(w - 1)).alias("e")
-    )
+
+
+def merge_spans(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, s, e) hit windows into maximal
+    spans: overlapping or abutting windows coalesce; output (doc_id,
+    span_start, span_end, n_windows).  One shuffle on doc_id."""
+    from pyspark.sql import Window
+
     by_pos = Window.partitionBy("doc_id").orderBy("s")
     prev_max = F.max("e").over(by_pos.rowsBetween(Window.unboundedPreceding, -1))
     islands = hits.withColumn(

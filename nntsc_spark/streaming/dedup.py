@@ -227,3 +227,114 @@ class IncrementalDeduper:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalSpanIndex:
+    """Incremental repeated-SPAN detection over a document stream — the
+    streaming parity of :func:`pipeline.dedup.duplicate_spans`.
+
+    Each micro-batch's spans are detected against everything already
+    indexed plus the batch itself: a w-token window is *duplicated* when
+    its fingerprint exists in the persistent index (seen in any prior
+    batch) or occurs >= 2 times within the batch.  Per-doc hits then merge
+    into maximal spans with the same gaps-and-islands as the batch
+    operator, so batch and streaming agree on span geometry by
+    construction (shared ``token_windows`` / ``merge_spans``).
+
+    State is the DISTINCT window-fingerprint set as 60-bit md5 longs —
+    token-scale, the honest cost of exact substring dedup (this is the
+    suffix-array analogue; the minhash band index cannot answer verbatim
+    window membership).  Stored 8 bytes a row, only NEW fingerprints per
+    batch (anti-join against the prior index), bucketable by hash at
+    cluster scale.  Crash safety mirrors :class:`IncrementalDeduper`:
+    every write OVERWRITES this batch's own partition with deterministic
+    content, and index reads exclude the current batch, so retries
+    re-produce identical directories and a batch can never collide with
+    its own partial writes.
+
+    Detection is FORWARD-ONLY, the streaming-inherent asymmetry: the
+    first occurrence of a passage is not retro-flagged when its duplicate
+    arrives in a later batch (that batch's copy is).  For windows of the
+    CURRENT batch's docs, prior-index + in-batch membership equals global
+    occurrence >= 2, so per-batch results match the batch operator
+    restricted to that batch's documents.
+    """
+
+    def __init__(
+        self, spark: SparkSession, index_path: str, out_path: str, w: int = 10
+    ) -> None:
+        self.spark = spark
+        self.index_path = index_path
+        self.out_path = out_path
+        self.w = w
+
+    _WIN_SCHEMA = "win_hash long"
+
+    def _prior_wins(self, batch_id: int) -> DataFrame:
+        """Fingerprints from batches BEFORE this one (empty if absent);
+        explicit schema + PATH_NOT_FOUND-only mapping as in
+        IncrementalDeduper._read_prior (crash-residue semantics)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = self.spark.read.schema(self._WIN_SCHEMA + ", batch int").parquet(
+                f"{self.index_path}/wins"
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return self.spark.createDataFrame([], self._WIN_SCHEMA)
+        return df.where(F.col("batch") < int(batch_id)).select("win_hash")
+
+    def process_batch(
+        self, docs: DataFrame, batch_id: int = 0, text_col: str = "text"
+    ) -> DataFrame:
+        """Detect spans for one micro-batch and grow the index; returns
+        (doc_id, span_start, span_end, n_windows) for the batch's docs."""
+        from ..pipeline.dedup import md5_long, merge_spans, token_windows
+
+        wins = (
+            token_windows(docs, text_col, self.w)
+            .withColumn("win_hash", md5_long(F.col("win")))
+            .drop("win")
+            .localCheckpoint()  # feeds dup-detection, hits, and the index write
+        )
+        prior = self._prior_wins(batch_id)
+        in_batch = (
+            wins.groupBy("win_hash").count()
+            .where(F.col("count") >= 2)
+            .select("win_hash")
+        )
+        vs_index = (
+            wins.select("win_hash").dropDuplicates()
+            .join(prior, "win_hash", "left_semi")
+        )
+        dup_hashes = in_batch.unionByName(vs_index).dropDuplicates()
+        hits = wins.join(dup_hashes, "win_hash").select(
+            "doc_id", "s", (F.col("s") + F.lit(self.w - 1)).alias("e")
+        )
+        spans = merge_spans(hits).localCheckpoint()
+
+        spans.write.mode("overwrite").parquet(
+            f"{self.out_path}/batch={int(batch_id)}"
+        )
+        (
+            wins.select("win_hash").dropDuplicates()
+            .join(prior, "win_hash", "left_anti")
+            .write.mode("overwrite")
+            .parquet(f"{self.index_path}/wins/batch={int(batch_id)}")
+        )
+        return spans
+
+    def spans(self) -> DataFrame:
+        """All detected spans across batches."""
+        return self.spark.read.parquet(self.out_path).drop("batch")
+
+    def start_stream(self, doc_stream: DataFrame, checkpoint: str):
+        return (
+            doc_stream.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.process_batch(df, bid) and None)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -625,3 +625,63 @@ def test_text_operators_compose_with_streams(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].scrubbed_text
     assert rows[2].n_email == 0 and rows[2].n_tokens == 5
+
+
+def test_incremental_spans_across_batches(spark, tmp_path):
+    """Streaming repeated-span detection: a later batch's verbatim reuse of
+    an earlier passage is flagged against the persistent fingerprint index,
+    within-batch repeats are flagged immediately, per-batch results match
+    the batch operator restricted to the batch's docs, and a retried batch
+    is idempotent."""
+    from nntsc_spark.pipeline.dedup import duplicate_spans
+    from nntsc_spark.streaming.dedup import IncrementalSpanIndex
+
+    idx = IncrementalSpanIndex(
+        spark, str(tmp_path / "span_index"), str(tmp_path / "spans"), w=5
+    )
+    schema = "doc_id long, text string"
+    phrase = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    q_phrase = "one two three four five"                    # 5 tokens
+
+    b0 = spark.createDataFrame(
+        [
+            (0, "intro words here " + phrase + " closing remark"),
+            (1, "nothing shared with anything else in this corpus at all"),
+        ],
+        schema,
+    )
+    s0 = idx.process_batch(b0, 0).collect()
+    assert s0 == []  # first occurrence: nothing to flag yet (forward-only)
+
+    b1 = spark.createDataFrame(
+        [
+            (2, "reused content follows " + phrase + " and then fresh tail"),
+            (3, "unique text with no repeats of any earlier passage okay"),
+            (4, "padding start " + q_phrase + " padding end"),
+            (5, "other padding " + q_phrase + " trailing bits"),  # in-batch dup
+        ],
+        schema,
+    )
+    s1 = {(r.doc_id, r.span_start, r.span_end): r.n_windows
+          for r in idx.process_batch(b1, 1).collect()}
+    # doc 2: phrase occupies tokens 4..9 -> two 5-windows (starts 4,5) merge
+    assert s1[(2, 4, 9)] == 2
+    # docs 4/5: q_phrase at tokens 3..7 exactly one 5-window each
+    assert s1[(4, 3, 7)] == 1 and s1[(5, 3, 7)] == 1
+    assert set(s1) == {(2, 4, 9), (4, 3, 7), (5, 3, 7)}
+
+    # parity: batch operator over the union, restricted to batch-1 docs
+    batch_all = {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in duplicate_spans(b0.unionByName(b1), w=5).collect()
+        if r.doc_id >= 2
+    }
+    assert batch_all == s1
+
+    # crash-retry idempotence: reprocessing batch 1 yields identical spans
+    # and does not double-insert fingerprints
+    n_index = spark.read.parquet(str(tmp_path / "span_index/wins")).count()
+    s1_retry = {(r.doc_id, r.span_start, r.span_end): r.n_windows
+                for r in idx.process_batch(b1, 1).collect()}
+    assert s1_retry == s1
+    assert spark.read.parquet(str(tmp_path / "span_index/wins")).count() == n_index
