@@ -633,6 +633,49 @@ def token_windows(
     )
 
 
+def remove_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cut span positions out of document text — the transform half of
+    substring dedup (:func:`duplicate_spans` detects, this removes).
+
+    Removes EVERY listed span: the keep-one-copy policy of Lee et al. is
+    a *selection over spans*, not a different cut — compose it by
+    filtering the spans table first (e.g. anti-join span doc_ids against
+    your canonical keep-list) and passing the survivors here.  Keeping
+    policy out of the cut keeps both operators deterministic and simple.
+
+    Distributed shape: spans aggregate to one per-doc array (pairs-scale
+    table, AQE-broadcastable), the cut is a single JVM-side
+    filter-transform over the token array (no UDF, no extra shuffle), and
+    docs without spans pass through untouched via the left join.
+
+    Output: (doc_id, text [cut], n_removed_tokens).
+    """
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    # Spark lambda index i is 0-based; span positions are 1-based inclusive
+    kept_expr = (
+        "CASE WHEN _sp IS NULL THEN _toks ELSE "
+        "filter(transform(_toks, (t, i) -> "
+        "IF(exists(_sp, p -> i + 1 >= p.span_start AND i + 1 <= p.span_end), "
+        "CAST(NULL AS STRING), t)), x -> x IS NOT NULL) END"
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .withColumn("_toks", tokens_expr(text_col))
+        .withColumn("_kept", F.expr(kept_expr))
+        .select(
+            "doc_id",
+            F.array_join("_kept", " ").alias("text"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
 def merge_spans(hits: DataFrame) -> DataFrame:
     """Gaps-and-islands merge of (doc_id, s, e) hit windows into maximal
     spans: overlapping or abutting windows coalesce; output (doc_id,

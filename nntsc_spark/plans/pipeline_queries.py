@@ -17,6 +17,7 @@ from ..pipeline.dedup import (
     contamination,
     dedup_clusters,
     duplicate_spans,
+    remove_spans,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_decontaminate,
@@ -828,6 +829,36 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def q_doc_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_spans(docs, duplicate_spans(docs, w=10))
+
+
+# detection CTE is the verified SQL_DEDUP_SPANS; the cut filters each
+# doc's token list by 1-based position containment (DuckDB list lambdas
+# are 1-indexed, matching the span convention directly)
+SQL_DOC_DESPAN = f"""
+WITH spans AS ({SQL_DEDUP_SPANS}), sp AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS spl
+  FROM spans GROUP BY doc_id
+), t AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS l, sp.spl
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+), k AS (
+  SELECT doc_id, l,
+         CASE WHEN spl IS NULL THEN l ELSE
+           list_filter(l, (x, i) ->
+             len(list_filter(spl, p -> i >= p.s AND i <= p.e)) = 0)
+         END AS kept
+  FROM t
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+       CAST(len(l) - len(kept) AS BIGINT) AS n_removed_tokens
+FROM k
+"""
+
+
 def q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget_tokens=800
@@ -927,4 +958,5 @@ TAIL_PIPELINE_REGISTRY = {
     "doc_budget_sample": (q_doc_budget_sample, SQL_DOC_BUDGET_SAMPLE),
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "training_corpus": (q_training_corpus, SQL_TRAINING_CORPUS),
+    "doc_despan": (q_doc_despan, SQL_DOC_DESPAN),
 }

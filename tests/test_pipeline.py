@@ -749,3 +749,30 @@ def test_write_training_shards_deterministic_ordered(spark, sf_dir, tmp_path):
         a = pq.read_table(glob.glob(f"{out}/shard={shard}/*.parquet")[0])
         b = pq.read_table(glob.glob(f"{out2}/shard={shard}/*.parquet")[0])
         assert a.equals(b), shard
+
+
+def test_remove_spans_cut_and_policy_composition(spark):
+    from nntsc_spark.pipeline.dedup import duplicate_spans, remove_spans
+
+    phrase = " ".join(f"s{i}" for i in range(1, 6))  # 5 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "keep these " + phrase + " tail words"),
+            (1, "other intro " + phrase + " different ending here"),
+            (2, "untouched document with fully unique token content"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, w=5)
+
+    cut = {r.doc_id: r for r in remove_spans(docs, spans).collect()}
+    assert cut[0].text == "keep these tail words" and cut[0].n_removed_tokens == 5
+    assert cut[1].text == "other intro different ending here"
+    assert cut[2].text.startswith("untouched") and cut[2].n_removed_tokens == 0
+
+    # keep-one-copy = a selection over spans, composed by the caller:
+    # protect doc 0's copy by filtering its spans out before the cut
+    survivors = remove_spans(docs, spans.where(F.col("doc_id") != 0))
+    kept = {r.doc_id: r.text for r in survivors.collect()}
+    assert kept[0] == "keep these " + phrase + " tail words"  # canonical intact
+    assert kept[1] == "other intro different ending here"
