@@ -67,9 +67,15 @@ def training_corpus(
         .where(~F.col("is_survivor"))
         .select("doc_id")
     )
-    leaked = ngram_decontaminate(evalset, train, text_col, ngram_n).select(
-        F.col("test_doc_id").alias("doc_id")
-    )
+    # NOTE the deliberate role reversal, spelled out as keywords: the
+    # operator flags ITS `test` side, and here the docs being screened are
+    # the TRAIN corpus (flag train docs carrying eval n-grams).  Swapping
+    # these "back" would anti-join train against eval-split ids — a no-op
+    # that silently disables decontamination (guarded by
+    # test_training_corpus_end_to_end_stages).
+    leaked = ngram_decontaminate(
+        train=evalset, test=train, text_col=text_col, n=ngram_n
+    ).select(F.col("test_doc_id").alias("doc_id"))
 
     kept = (
         train.join(qf, "doc_id")

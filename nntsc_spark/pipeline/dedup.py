@@ -141,14 +141,36 @@ def shingles(
         f" i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _ensure_parallel(docs)
     return docs.withColumn("_toks", tokens_expr(text_col)).select(
         "doc_id",
         *carry,
         F.explode(F.array_distinct(F.expr(sg))).alias("shingle"),
     )
+
+
+def _ensure_parallel(docs: DataFrame) -> DataFrame:
+    """Small-scan parallelism guard that never EXECUTES the input plan.
+
+    The earlier form asked ``docs.rdd.getNumPartitions()`` — with AQE on,
+    converting a derived DataFrame (e.g. training_corpus's anti-joined
+    train side) to an RDD materializes its shuffle stages right there, a
+    full extra pass over the corpus per builder call (r5 review finding).
+    ``inputFiles()`` is metadata-only: fewer source files than the default
+    parallelism means the scan (or anything derived from it) can arrive
+    under-partitioned, so the compact doc rows are repartitioned; at
+    cluster scale file counts exceed parallelism and this is a no-op.
+    Non-file-backed frames (in-memory test data) report zero files and are
+    left alone — parallelism of tiny local relations is immaterial.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        return docs
+    if 0 < n_files < par:
+        return docs.repartition(par)
+    return docs
 
 
 def minhash_signatures(
@@ -319,8 +341,12 @@ def minhash_near_duplicates(
     cands = candidate_pairs(banded)
     if verify_prune:
         # pairs are consumed twice on the prune path (doc list + verify
-        # join); persist so the band self-join doesn't run twice
+        # join); persist AND materialize — left lazy, AQE runs the two
+        # consumer stages concurrently, both find the cache cold, and the
+        # band self-join executes twice (same race the sh/banded eager
+        # count()s prevent elsewhere in this module)
         cands = scratch_persist(cands)
+        cands.count()
     return jaccard_verify(cands, sh, threshold, prune=verify_prune)
 
 
@@ -623,9 +649,7 @@ def token_windows(
         f" i -> struct(i + 1 AS s, concat_ws(' ', slice(_toks, i + 1, {w})) AS win)) "
         f"ELSE CAST(array() AS ARRAY<STRUCT<s: INT, win: STRING>>) END"
     )
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _ensure_parallel(docs)
     return (
         docs.withColumn("_toks", tokens_expr(text_col))
         .select("doc_id", F.explode(F.expr(win_struct)).alias("_w"))

@@ -254,6 +254,9 @@ def _min_d2_sql(vec_col: str, centers: list[list[float]]) -> str:
     """
     terms = []
     for c in centers:
+        # float() coercion: numpy >= 2 reprs np.float64 as 'np.float64(x)',
+        # which is unparseable SQL — centers often arrive as numpy rows
+        c = [float(x) for x in c]
         arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
         dot = (
             f"aggregate(zip_with(`{vec_col}`, {arr}, "
@@ -423,6 +426,7 @@ def _argmin_cells_sql(vec_col: str, centers: list[list[float]]) -> str:
     """SQL text: 0-based index of the nearest center (ties -> lowest id)."""
     terms = []
     for c in centers:
+        c = [float(x) for x in c]  # numpy-2 repr guard, as in _min_d2_sql
         arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
         dot = (
             f"aggregate(zip_with(`{vec_col}`, {arr}, "

@@ -21,6 +21,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _env_int(name: str) -> int:
+    """Integer env override, or 0 when unset/blank/garbage — a malformed
+    value must not make every get_spark() raise a bare ValueError."""
+    raw = (os.environ.get(name) or "").strip()
+    try:
+        return int(raw) if raw else 0
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"ignoring non-integer {name}={raw!r}")
+        return 0
+
+
 def get_spark(
     app_name: str = "sparktsc",
     master: str | None = None,
@@ -49,8 +62,7 @@ def get_spark(
         # a target.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(int(os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "0"))
-                or 16 * int(cpus)),
+            str(_env_int("SPARK_GRAFT_INITIAL_PARTITIONS") or 16 * int(cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Without this, AQE is OFF inside every .persist()ed plan (cached

@@ -241,7 +241,11 @@ class IncrementalSpanIndex:
     operator, so batch and streaming agree on span geometry by
     construction (shared ``token_windows`` / ``merge_spans``).
 
-    State is the DISTINCT window-fingerprint set as 60-bit md5 longs —
+    State is the DISTINCT window-fingerprint set as two 60-bit md5
+    halves (120 bits total: at a 100 TB corpus' ~2^40+ distinct windows
+    the birthday bound on a single 60-bit key is ~2^30 — real collisions
+    that would flag never-repeated text as duplicated; at 120 bits the
+    collision odds are negligible) —
     token-scale, the honest cost of exact substring dedup (this is the
     suffix-array analogue; the minhash band index cannot answer verbatim
     window membership).  Stored 8 bytes a row, only NEW fingerprints per
@@ -268,7 +272,8 @@ class IncrementalSpanIndex:
         self.out_path = out_path
         self.w = w
 
-    _WIN_SCHEMA = "win_hash long"
+    _WIN_SCHEMA = "win_hash long, win_hash2 long"
+    _KEYS = ["win_hash", "win_hash2"]
 
     def _prior_wins(self, batch_id: int) -> DataFrame:
         """Fingerprints from batches BEFORE this one (empty if absent);
@@ -284,33 +289,42 @@ class IncrementalSpanIndex:
             if "PATH_NOT_FOUND" not in str(exc):
                 raise
             return self.spark.createDataFrame([], self._WIN_SCHEMA)
-        return df.where(F.col("batch") < int(batch_id)).select("win_hash")
+        return df.where(F.col("batch") < int(batch_id)).select(*self._KEYS)
 
     def process_batch(
         self, docs: DataFrame, batch_id: int = 0, text_col: str = "text"
     ) -> DataFrame:
         """Detect spans for one micro-batch and grow the index; returns
         (doc_id, span_start, span_end, n_windows) for the batch's docs."""
-        from ..pipeline.dedup import md5_long, merge_spans, token_windows
+        from ..pipeline.dedup import merge_spans, token_windows
 
+        # both 60-bit halves of one md5: one hash computation, 120-bit key
         wins = (
             token_windows(docs, text_col, self.w)
-            .withColumn("win_hash", md5_long(F.col("win")))
-            .drop("win")
+            .withColumn("_md5", F.md5(F.col("win")))
+            .withColumn(
+                "win_hash",
+                F.conv(F.substring("_md5", 1, 15), 16, 10).cast("long"),
+            )
+            .withColumn(
+                "win_hash2",
+                F.conv(F.substring("_md5", 17, 15), 16, 10).cast("long"),
+            )
+            .drop("win", "_md5")
             .localCheckpoint()  # feeds dup-detection, hits, and the index write
         )
         prior = self._prior_wins(batch_id)
         in_batch = (
-            wins.groupBy("win_hash").count()
+            wins.groupBy(*self._KEYS).count()
             .where(F.col("count") >= 2)
-            .select("win_hash")
+            .select(*self._KEYS)
         )
         vs_index = (
-            wins.select("win_hash").dropDuplicates()
-            .join(prior, "win_hash", "left_semi")
+            wins.select(*self._KEYS).dropDuplicates()
+            .join(prior, self._KEYS, "left_semi")
         )
         dup_hashes = in_batch.unionByName(vs_index).dropDuplicates()
-        hits = wins.join(dup_hashes, "win_hash").select(
+        hits = wins.join(dup_hashes, self._KEYS).select(
             "doc_id", "s", (F.col("s") + F.lit(self.w - 1)).alias("e")
         )
         spans = merge_spans(hits).localCheckpoint()
@@ -319,8 +333,8 @@ class IncrementalSpanIndex:
             f"{self.out_path}/batch={int(batch_id)}"
         )
         (
-            wins.select("win_hash").dropDuplicates()
-            .join(prior, "win_hash", "left_anti")
+            wins.select(*self._KEYS).dropDuplicates()
+            .join(prior, self._KEYS, "left_anti")
             .write.mode("overwrite")
             .parquet(f"{self.index_path}/wins/batch={int(batch_id)}")
         )

@@ -72,18 +72,28 @@ class RollupMaintainer:
         and the refresh predicate never exceeds the cap (wide batches use
         the [min_bin, max_bin] range instead).
         """
-        tb = self.touched_bins(batch)
-        stats = tb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(BINSTART_COL).alias("lo"),
-            F.max(BINSTART_COL).alias("hi"),
-        ).collect()[0]
-        if not stats["n"]:
-            return
-        lo_bin, hi_bin = stats["lo"], stats["hi"]
+        # persist: the stats aggregate and the capped bin-list collect are
+        # two actions over the same distinct — uncached, each would rescan
+        # and re-deduplicate the whole micro-batch (r5 review finding)
+        tb = self.touched_bins(batch).persist()
+        try:
+            stats = tb.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(BINSTART_COL).alias("lo"),
+                F.max(BINSTART_COL).alias("hi"),
+            ).collect()[0]
+            if not stats["n"]:
+                return
+            lo_bin, hi_bin = stats["lo"], stats["hi"]
+            bins = (
+                [r[0] for r in tb.collect()]
+                if stats["n"] <= self.max_inlist_bins
+                else None
+            )
+        finally:
+            tb.unpersist()
         lo, hi = lo_bin, hi_bin + self.binsize - 1
-        if stats["n"] <= self.max_inlist_bins:
-            bins = [r[0] for r in tb.collect()]
+        if bins is not None:
             # range guard first (partition/zone pruning), exact isin second
             refresh_pred = (
                 (F.col(BINSTART_COL) >= lo_bin)

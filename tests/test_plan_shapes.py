@@ -150,6 +150,7 @@ def _data_shuffles(plan: str) -> list[str]:
         ln.strip()
         for ln in plan.split("\n")
         if "Exchange" in ln and "BroadcastExchange" not in ln
+        and "ReusedExchange" not in ln  # a reuse executes nothing
     ]
 
 

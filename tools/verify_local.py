@@ -112,26 +112,42 @@ def main() -> int:
         spark_t = time.time() - t0
         status_parts = [f"{name}: spark {len(srows)} rows {spark_t:.1f}s"]
         if name not in oracles:
+            # "rows-only" means exactly: the query RAN (any error was
+            # caught above) — record literal True, not a vacuous
+            # comparison that implies a value check happened
             results[name] = {
-                "rows_match": len(srows) >= 0, "schema_match": None,
+                "rows_match": True, "schema_match": None,
                 "hash_match": None, "err": None, "mode": "rows-only",
             }
             print(status_parts[0] + "  (no oracle — rows-only)")
             continue
-        rel = con.sql(oracles[name])
-        # The driver normalizes through pandas: DuckDB HUGEINT/DECIMAL
-        # columns come out as float64/object there and hash-mismatch even
-        # when values are numerically identical.  Flag the known-bad types
-        # explicitly (not an allowlist — benign widths like SMALLINT or
-        # INTEGER[] compare fine and shouldn't hard-fail).
-        _BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
-        bad_types = [
-            (c, str(t))
-            for c, t in zip(rel.columns, rel.types)
-            if any(b in str(t) for b in _BAD)
-        ]
-        ocols = rel.columns
-        orows = rel.fetchall()
+        # oracle side gets the same record-and-continue treatment as the
+        # Spark side: one bad oracle (e.g. a DuckDB upgrade changing
+        # comprehension syntax) must not abort the run and lose the
+        # committed artifact for every later query
+        try:
+            rel = con.sql(oracles[name])
+            # The driver normalizes through pandas: DuckDB HUGEINT/DECIMAL
+            # columns come out as float64/object there and hash-mismatch
+            # even when values are numerically identical.  Flag the
+            # known-bad types explicitly (not an allowlist — benign widths
+            # like SMALLINT or INTEGER[] compare fine, shouldn't hard-fail).
+            _BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
+            bad_types = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if any(b in str(t) for b in _BAD)
+            ]
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as exc:
+            failures.append((name, f"oracle error: {exc}"))
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "err": f"oracle: {str(exc)[:500]}",
+            }
+            print(status_parts[0] + "  oracle ERROR  FAIL")
+            continue
         ok = True
         rows_ok = schema_ok = hash_ok = True
         if bad_types:
