@@ -13,6 +13,7 @@ HISTORY_DONE, LIVE, PUSH, ERROR.
 
 from __future__ import annotations
 
+import io
 import pickle
 import socket
 import struct
@@ -54,6 +55,35 @@ def pack(msgtype: Msg, body: object) -> bytes:
     return struct.pack(HDR_FMT, int(msgtype), len(payload)) + payload
 
 
+#: the ONLY globals a protocol body may reference: its own two enums.
+#: Everything else is plain data (dicts/lists/tuples/str/int/float/bytes).
+_ALLOWED_GLOBALS = {(__name__, "Msg"), (__name__, "Req")}
+
+
+class _SafeUnpickler(pickle.Unpickler):
+    """Unpickler with the class-lookup door welded shut.
+
+    Raw ``pickle.loads`` on socket data hands any client that can reach
+    the port arbitrary code execution (a crafted ``__reduce__`` calling
+    ``os.system``).  The reference shares the scheme wholesale
+    (exporter.py:525-546); here the trust boundary is enforced:
+    ``find_class`` admits only this module's two message enums, so a
+    malicious GLOBAL opcode raises ``UnpicklingError`` instead of
+    importing attacker-chosen callables.
+    """
+
+    def find_class(self, module, name):  # noqa: D102 - see class doc
+        if (module, name) in _ALLOWED_GLOBALS:
+            return {"Msg": Msg, "Req": Req}[name]
+        raise pickle.UnpicklingError(
+            f"protocol forbids global {module}.{name}"
+        )
+
+
+def safe_loads(data: bytes) -> object:
+    return _SafeUnpickler(io.BytesIO(data)).load()
+
+
 def read_message(sock: socket.socket) -> tuple[Msg, object] | None:
     """Blocking read of one framed message; None on clean EOF."""
     hdr = _read_exact(sock, HDR_LEN)
@@ -63,7 +93,7 @@ def read_message(sock: socket.socket) -> tuple[Msg, object] | None:
     payload = _read_exact(sock, length)
     if payload is None:
         return None
-    return Msg(msgtype), pickle.loads(zlib.decompress(payload))
+    return Msg(msgtype), safe_loads(zlib.decompress(payload))
 
 
 def _read_exact(sock: socket.socket, n: int) -> bytes | None:

@@ -143,7 +143,10 @@ class Subscription:
     end: int | None
     waiting: bool = True  # history replay in progress
     buffered: list[tuple[int, int, dict]] = field(default_factory=list)
-    last_history_ts: int = 0
+    #: seam dedup is PER STREAM (reference exporter.py:1026-1052): a global
+    #: max-across-labels would drop live rows for any stream whose history
+    #: ends earlier than another's (r5 review finding)
+    last_by_stream: dict[int, int] = field(default_factory=dict)
 
 
 class ExportServer:
@@ -388,14 +391,22 @@ class ExportServer:
                 },
             )
 
+        seen: set[str] = set()
         for row in df.toLocalIterator():
             d = row.asDict()
             label = d["nntsclabel"]
+            seen.add(label)
             pending.setdefault(label, []).append(d)
             last_ts[label] = max(last_ts.get(label, 0), d["timestamp"] or 0)
             if len(pending[label]) >= HISTORY_FLUSH_ROWS:
                 flush(label, more=True)
-        for label in list(pending):
+        # terminate EVERY label that shipped anything, not just those with
+        # a partial block pending: a label whose row count is an exact
+        # multiple of the flush size left pending empty after its
+        # more=True flush, and clients looping "read until more == False"
+        # would hang on the missing terminator (reference always closes
+        # with more=False, exporter.py:434-445; r5 review finding)
+        for label in seen:
             flush(label, more=False)
         return last_ts
 
@@ -555,48 +566,75 @@ class ExportServer:
                 body.get("start"),
                 body.get("stop"),
             )
+        timed_out = False
         try:
             with self._query_guard():
                 last = self._ship_history(sock, colname, out, 0)
         except QueryTimeout:
+            # _cancel_history already sends HISTORY_DONE per label — the
+            # loop below must not run again or every label gets a
+            # duplicate terminator and the client's frame accounting
+            # desyncs (r5 review finding)
             self._cancel_history(
                 sock, colname, labels, body.get("start"), body.get("stop")
             )
             last = {}
-        sub.last_history_ts = max(last.values(), default=0)
-        for label in labels:
-            self._send(
-                sock,
-                Msg.HISTORY_DONE,
-                {"collection": colname, "label": label,
-                 "last_ts": last.get(label, 0)},
-            )
+            timed_out = True
+        # per-stream seam bounds: each stream inherits ITS label's history
+        # end, so a lagging stream's live rows are never dropped against
+        # another label's newer history (reference exporter.py:1026-1052)
+        for label, sids in labels.items():
+            for sid in sids:
+                sub.last_by_stream[int(sid)] = max(
+                    sub.last_by_stream.get(int(sid), 0), last.get(label, 0)
+                )  # a stream in several labels keeps its newest bound
+        if not timed_out:
+            for label in labels:
+                self._send(
+                    sock,
+                    Msg.HISTORY_DONE,
+                    {"collection": colname, "label": label,
+                     "last_ts": last.get(label, 0)},
+                )
         # release buffered live rows past the seam (exporter.py:907-971)
         with self._lock:
             buffered, sub.buffered, sub.waiting = sub.buffered, [], False
         for colid, sid, row in buffered:
-            if (row.get("timestamp") or 0) > sub.last_history_ts:
+            if (row.get("timestamp") or 0) > sub.last_by_stream.get(sid, 0):
                 self._send_live(sub, sid, row)
 
     # -- live path (called by ingest) ---------------------------------------
 
     def publish_live(self, colname: str, stream_id: int, rows: list[dict]) -> None:
-        """Fan out freshly ingested rows to matching subscriptions (S9)."""
+        """Fan out freshly ingested rows to matching subscriptions (S9).
+
+        The waiting-check + buffer-append happens UNDER the lock: unlocked,
+        it races _handle_subscribe's locked buffered/waiting swap — a row
+        appended to the fresh list after the swap belongs to a sub that is
+        no longer waiting and would never be drained (r5 review finding).
+        Actual sends happen outside the lock (_ClientTx.send can block up
+        to SEND_TIMEOUT on a full queue; holding the lock there would stall
+        every publisher and subscriber on one slow client).
+        """
         with self._lock:
             subs = list(self._subs)
         for sub in subs:
             if sub.colname != colname or stream_id not in sub.stream_ids:
                 continue
-            for row in rows:
-                ts = row.get("timestamp") or 0
-                if sub.start is not None and ts < sub.start:
-                    continue  # P7 lower bound
-                if sub.end and ts > sub.end:
-                    continue
-                if sub.waiting:
-                    sub.buffered.append((0, stream_id, row))
-                else:
-                    self._send_live(sub, stream_id, row)
+            to_send = []
+            with self._lock:
+                for row in rows:
+                    ts = row.get("timestamp") or 0
+                    if sub.start is not None and ts < sub.start:
+                        continue  # P7 lower bound
+                    if sub.end and ts > sub.end:
+                        continue
+                    if sub.waiting:
+                        sub.buffered.append((0, stream_id, row))
+                    else:
+                        to_send.append(row)
+            for row in to_send:
+                self._send_live(sub, stream_id, row)
 
     def _send_live(self, sub: Subscription, stream_id: int, row: dict) -> None:
         if sub.columns:

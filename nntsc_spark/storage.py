@@ -59,10 +59,37 @@ DATE_COL = "date"
 # ---------------------------------------------------------------------------
 
 
+#: per-micro-batch partition column for idempotent streaming appends
+BATCH_COL = "ingest_batch"
+
+
 def with_date(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Derive the partition day from the epoch by INTEGER ARITHMETIC, not
+    timestamp rendering: ``date_format(cast(ts as timestamp))`` renders in
+    the session timezone, while retention computes its cutoff day in UTC —
+    on a non-UTC session the two disagree and retention deletes rows up to
+    a day early (r5 review finding).  Epoch//86400 is the UTC day on any
+    session configuration."""
     return df.withColumn(
-        DATE_COL, F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+        DATE_COL,
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                F.floor(F.col(ts_col) / 86400).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ),
     )
+
+
+def epoch_day(epoch: int) -> str:
+    """The UTC partition-day string for an epoch second — the single
+    rendering shared by with_date, retention, and time_slice."""
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(
+        int(epoch), tz=dt.timezone.utc
+    ).strftime("%Y-%m-%d")
 
 
 def write_fact(
@@ -70,18 +97,64 @@ def write_fact(
     path: str,
     mode: str = "append",
     sort_within: bool = True,
+    batch_id: int | None = None,
 ) -> None:
-    """Append fact rows date-partitioned, sorted for row-group pruning."""
+    """Append fact rows date-partitioned, sorted for row-group pruning.
+
+    With ``batch_id`` (the streaming path) rows additionally partition by
+    ``ingest_batch`` and the write is a DYNAMIC partition overwrite of
+    exactly this batch's own (date, batch) partitions: a foreachBatch
+    retry after a crash between the fact append and the checkpoint commit
+    rewrites the same directories with the same deterministic content
+    instead of appending the whole batch a second time (r5 review
+    finding — a plain append made every retry double the batch forever).
+    """
     out = with_date(df)
     if sort_within:
         out = out.sortWithinPartitions("stream_id", "timestamp")
-    out.write.partitionBy(DATE_COL).mode(mode).parquet(path)
+    if batch_id is None:
+        out.write.partitionBy(DATE_COL).mode(mode).parquet(path)
+        return
+    (
+        out.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        .write.partitionBy(DATE_COL, BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
-def read_fact(spark: SparkSession, path: str) -> DataFrame:
-    """Single scan; Catalyst prunes date partitions from timestamp-derived
-    predicates pushed by the query layer."""
-    return spark.read.parquet(path).drop(DATE_COL)
+def time_slice(df: DataFrame, lo: int, hi: int, ts_col: str = "timestamp") -> DataFrame:
+    """Inclusive timestamp-range filter that ALSO prunes date partitions.
+
+    Catalyst cannot infer ``date BETWEEN ...`` from a timestamp predicate,
+    so without the explicit bounds every time-range query lists and reads
+    footers of EVERY date partition of the table (r5 review finding — the
+    layout's advertised directory pruning never actually happened).  The
+    day bounds use the same UTC rendering as ``with_date``, and partition
+    values compare lexicographically as dates do.
+    """
+    pred = (F.col(ts_col) >= lo) & (F.col(ts_col) <= hi)
+    if DATE_COL in df.columns:
+        pred &= (F.col(DATE_COL) >= epoch_day(lo)) & (
+            F.col(DATE_COL) <= epoch_day(hi)
+        )
+    return df.where(pred)
+
+
+def read_fact(
+    spark: SparkSession,
+    path: str,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> DataFrame:
+    """Single scan; pass ``lo``/``hi`` epoch bounds to prune date
+    partitions at the directory level (see time_slice) — the bounds are
+    applied BEFORE the partition columns are dropped."""
+    df = spark.read.parquet(path)
+    if lo is not None and hi is not None:
+        df = time_slice(df, lo, hi)
+    return df.drop(DATE_COL, BATCH_COL)
 
 
 def _dim_versions(path: str) -> list[Path]:
@@ -139,11 +212,7 @@ def apply_retention(path: str, keep_seconds: int, now: int) -> list[str]:
     granularity — a partition is dropped only when its entire day is past
     the cutoff, so the boundary day survives until fully expired.
     """
-    import datetime as dt
-
-    cutoff_day = dt.datetime.fromtimestamp(
-        now - keep_seconds, tz=dt.timezone.utc
-    ).strftime("%Y-%m-%d")
+    cutoff_day = epoch_day(now - keep_seconds)
     dropped = []
     root = Path(path)
     if not root.exists():
@@ -223,6 +292,8 @@ def write_fact_zorder(
     bounds = df.agg(
         F.min("stream_id"), F.max("stream_id"), F.min("timestamp"), F.max("timestamp")
     ).first()
+    if bounds[0] is None:
+        return  # empty batch: nothing to write (min/max are NULL)
     key = zorder_key(
         stream_range=(bounds[0], bounds[1]), ts_range=(bounds[2], bounds[3])
     )

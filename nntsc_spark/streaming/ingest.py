@@ -19,8 +19,10 @@ construction — one code path), with per-batch:
 5. stream-stats incremental update (T8).
 
 foreachBatch + deterministic transforms give the reference's batch-commit
-atomicity (T4): a failed batch is retried whole; appends are idempotent per
-epoch when the sink dedups on (stream_id, timestamp).
+atomicity (T4): a failed batch is retried whole, and the fact write is a
+dynamic overwrite of the batch's own (date, ingest_batch) partitions, so a
+retry rewrites the same directories with the same deterministic rows —
+never a second append (see storage.write_fact).
 """
 
 from __future__ import annotations
@@ -64,18 +66,36 @@ class CollectionIngestor:
     def _load_streams(self) -> DataFrame | None:
         return read_dimension(self.spark, self.streams_path)
 
-    def process_batch(self, raw: DataFrame, batch_id: int = 0) -> DataFrame:
-        """The foreachBatch body; also the batch-ingest entry point."""
+    def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> DataFrame:
+        """The foreachBatch body; also the batch-ingest entry point.
+
+        Streaming (``batch_id`` set, passed through by start_stream) makes
+        the fact write a dynamic overwrite of this batch's own
+        (date, ingest_batch) partitions — a foreachBatch RETRY after a
+        crash between the fact append and the checkpoint commit rewrites
+        the same directories instead of double-appending the batch (T4/T5;
+        r5 review finding).  Without a batch id (ad-hoc batch ingest) the
+        write is a plain append.
+        """
         data = self.parser(raw)
         streams = upsert_streams(
             self._load_streams(), data.select(*self.unique_cols), self.unique_cols
         )
         # cache the (tiny) dimension before two downstream uses
         streams = streams.cache()
-        fact = attach_stream_ids(data, streams, self.unique_cols).dropDuplicates(
-            ["stream_id", "timestamp"]
+        # materialize ONCE: fact feeds the write, the stats merge, and the
+        # live export — uncached, each action would recompute the
+        # parser+join+dropDuplicates lineage, and dropDuplicates'
+        # nondeterministic survivor choice could make live/stats rows
+        # disagree with the stored facts (r5 review finding)
+        fact = (
+            attach_stream_ids(data, streams, self.unique_cols)
+            .dropDuplicates(["stream_id", "timestamp"])
+            .localCheckpoint()
         )
-        write_fact(fact.drop(*self.unique_cols), self.fact_path)
+        write_fact(
+            fact.drop(*self.unique_cols), self.fact_path, batch_id=batch_id
+        )
         write_dimension(streams, self.streams_path)
         if self.stats_path:
             self._update_stats(fact)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregate import BINSTART_COL
 from ..operators.rollup import build_rollup
-from ..storage import read_dimension, write_dimension
+from ..storage import BATCH_COL, DATE_COL, read_dimension, time_slice, write_dimension
 
 
 class RollupMaintainer:
@@ -104,10 +104,12 @@ class RollupMaintainer:
             refresh_pred = (F.col(BINSTART_COL) >= lo_bin) & (
                 F.col(BINSTART_COL) <= hi_bin
             )
+        # time_slice adds date-partition bounds alongside the timestamp
+        # predicate: per-micro-batch refreshes touch a handful of days, and
+        # without the explicit date filter every refresh would list/footer-
+        # read EVERY partition of the fact table (r5 review finding)
         fact = self.spark.read.parquet(self.fact_path)
-        slice_df = fact.where(
-            (F.col("timestamp") >= lo) & (F.col("timestamp") <= hi)
-        )
+        slice_df = time_slice(fact, lo, hi).drop(DATE_COL, BATCH_COL)
         fresh = build_rollup(slice_df, self.binsize, self.value_cols).where(
             refresh_pred
         )

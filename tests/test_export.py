@@ -699,3 +699,183 @@ def test_subscribe_load_three_clients_history_live_push_ordering(
         socks["C"].close()
     finally:
         srv.stop()
+
+
+def test_malicious_pickle_rejected():
+    """The protocol unpickler must refuse GLOBAL lookups — raw pickle gives
+    any client RCE via __reduce__ (r5 review finding)."""
+    import pickle
+    import zlib
+
+    import pytest as _pytest
+
+    from nntsc_spark.export.protocol import safe_loads
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.getcwd, ())  # benign stand-in for os.system
+
+    with _pytest.raises(pickle.UnpicklingError, match="forbids global"):
+        safe_loads(pickle.dumps(Evil()))
+    # plain data and the protocol enums still round-trip
+    body = {"request": Req.COLLECTIONS, "n": 3, "xs": [1, "a", (2.5, b"b")]}
+    assert safe_loads(zlib.decompress(pack(Msg.REQUEST, body)[6:]))["n"] == 3
+
+
+def test_history_exact_flush_multiple_terminates(spark, monkeypatch):
+    """A label with row count an exact multiple of the flush size must
+    still get a final more=False block (r5 review finding: clients
+    looping 'read until more == False' hung on the missing terminator)."""
+    import nntsc_spark.export.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "HISTORY_FLUSH_ROWS", 10)
+    fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(20)],  # exactly 2 flushes
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"L": [1]},
+                 "start": 1, "stop": 10_000},
+            )
+        )
+        msgs = _drain_until(s, Msg.HISTORY_DONE, limit=20)
+        blocks = [b for t, b in msgs if t == Msg.HISTORY]
+        assert [len(b["history"]) for b in blocks] == [10, 10, 0]
+        assert [b["more"] for b in blocks] == [True, True, False]
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_subscribe_seam_dedup_is_per_stream(spark):
+    """Per-stream seam bounds (reference exporter.py:1026-1052): a live row
+    for a LAGGING stream arriving during history replay must be released,
+    even when another label's history extends past its timestamp (the old
+    global max-across-labels dropped it; r5 review finding)."""
+    import threading as _threading
+
+    import nntsc_spark.export.server as srv_mod
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import DoubleType
+
+    @_F.udf(DoubleType())
+    def slowv(v):
+        time.sleep(0.15)
+        return v
+
+    # stream 1 history ends at ts=100; stream 2's at ts=2000. The slow UDF
+    # keeps the replay busy long enough to buffer a live row mid-replay.
+    fact = (
+        spark.createDataFrame(
+            [(1, 100, 1.0)] + [(2, 2000 - i, 2.0) for i in range(8)],
+            "stream_id long, timestamp long, value double",
+        )
+        .repartition(1)
+        .withColumn("value", slowv("value"))
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1"), (2, "src", "d2")],
+        "stream_id long, source string, destination string",
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"A": [1], "B": [2]},
+                 "start": 1, "stop": 10_000},
+            )
+        )
+        # wait for the subscription to register, then publish a live row
+        # for stream 1 at ts=150: after stream 1's history (100) but far
+        # below stream 2's (2000)
+        for _ in range(100):
+            with srv._lock:
+                if srv._subs:
+                    break
+            time.sleep(0.02)
+        srv.publish_live("amp-icmp", 1, [{"timestamp": 150, "value": 9.0}])
+        done = 0
+        live = []
+        while done < 2:
+            mtype, body = read_message(s)
+            if mtype == Msg.HISTORY_DONE:
+                done += 1
+            elif mtype == Msg.LIVE:
+                live.append(body["result"]["timestamp"])
+        # the buffered row must be released at the seam
+        for _ in range(50):
+            if live:
+                break
+            s.settimeout(0.2)
+            try:
+                mtype, body = read_message(s)
+            except (TimeoutError, OSError):
+                break
+            if mtype == Msg.LIVE:
+                live.append(body["result"]["timestamp"])
+        assert live == [150]
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_subscribe_timeout_single_history_done_per_label(spark):
+    """After a subscribe-history QueryTimeout, _cancel_history's
+    HISTORY_DONE must be the ONLY terminator per label (the old fall-
+    through sent a duplicate set; r5 review finding).  The timeout is
+    raised synthetically: whether a real job-group cancel surfaces as an
+    iterator error is a UDF-batching race (sometimes the killed job just
+    ends and history completes), and this test pins the HANDLER's framing
+    on the timeout path, not Spark's cancellation latency."""
+    from nntsc_spark.export.server import QueryTimeout
+
+    fact = spark.createDataFrame(
+        [(1, 100, 1.0)], "stream_id long, timestamp long, value double"
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(
+        spark, {"amp-icmp": {"fact": fact, "streams": streams}},
+        query_timeout=1,
+    )
+
+    def raise_timeout(sock, colname, df, binsize):
+        raise QueryTimeout("synthetic")
+
+    srv._ship_history = raise_timeout
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"L": [1]},
+                 "start": 1, "stop": 10_000},
+            )
+        )
+        _drain_until(s, Msg.QUERY_CANCELLED, limit=20)
+        mtype, body = read_message(s)
+        assert mtype == Msg.HISTORY_DONE and body["label"] == "L"
+        # no second HISTORY_DONE: the next frame (if any) must be LIVE for
+        # a fresh row, proving the subscription went live cleanly
+        srv.publish_live("amp-icmp", 1, [{"timestamp": 5000, "value": 1.0}])
+        mtype, body = read_message(s)
+        assert mtype == Msg.LIVE and body["result"]["timestamp"] == 5000
+        s.close()
+    finally:
+        srv.stop()

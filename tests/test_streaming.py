@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -685,3 +686,76 @@ def test_incremental_spans_across_batches(spark, tmp_path):
                 for r in idx.process_batch(b1, 1).collect()}
     assert s1_retry == s1
     assert spark.read.parquet(str(tmp_path / "span_index/wins")).count() == n_index
+
+
+def test_streaming_fact_write_retry_is_idempotent(spark, tmp_path):
+    """T4 under retry: reprocessing the SAME batch id overwrites the
+    batch's own (date, ingest_batch) partitions instead of appending the
+    rows a second time — the foreachBatch crash-between-append-and-commit
+    case that a plain append would double forever."""
+    path = str(tmp_path / "fact")
+    ing = CollectionIngestor(
+        spark,
+        parser=lambda df: df,
+        unique_cols=["source", "target"],
+        fact_path=path,
+        streams_path=str(tmp_path / "streams"),
+    )
+    raw = spark.createDataFrame(
+        [("amp", "d1", 100 + i, float(i)) for i in range(6)],
+        "source string, target string, timestamp long, value double",
+    )
+    ing.process_batch(raw, batch_id=7)
+    ing.process_batch(raw, batch_id=7)  # retry of the same epoch
+    assert read_fact(spark, path).count() == 6
+    # a DIFFERENT batch appends (its own partitions)
+    raw2 = spark.createDataFrame(
+        [("amp", "d1", 90000 + i, float(i)) for i in range(4)],
+        "source string, target string, timestamp long, value double",
+    )
+    ing.process_batch(raw2, batch_id=8)
+    back = read_fact(spark, path)
+    assert back.count() == 10 and "ingest_batch" not in back.columns
+
+
+def test_time_slice_prunes_date_partitions(spark, tmp_path):
+    from nntsc_spark.storage import time_slice
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, 100 + d * DAY + i, float(i)) for d in range(4) for i in range(5)],
+        "stream_id long, timestamp long, value double",
+    )
+    write_fact(df, path)
+    sliced = time_slice(
+        spark.read.parquet(path), 100 + DAY, 100 + DAY + 4
+    )
+    assert sliced.count() == 5
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    # the date bounds must reach the scan's PARTITION filters (directory
+    # pruning), not just the row-level data filters
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1970-01-02" in m.group(1), plan[:800]
+
+
+def test_with_date_matches_retention_day_rendering(spark):
+    """with_date and apply_retention/epoch_day must agree on the partition
+    day for any epoch, or retention deletes live data (tz-skew bug)."""
+    from nntsc_spark.storage import epoch_day, with_date
+
+    epochs = [0, DAY - 1, DAY, 1786699974, 2 * DAY + 86399]
+    df = with_date(
+        spark.createDataFrame([(e,) for e in epochs], "timestamp long")
+    )
+    got = {r.timestamp: r.date for r in df.collect()}
+    assert got == {e: epoch_day(e) for e in epochs}
+
+
+def test_write_fact_zorder_empty_batch_is_noop(spark, tmp_path):
+    from nntsc_spark.storage import write_fact_zorder
+
+    empty = spark.createDataFrame(
+        [], "stream_id long, timestamp long, value double"
+    )
+    write_fact_zorder(empty, str(tmp_path / "zfact"))  # must not raise
+    assert not (tmp_path / "zfact").exists()
