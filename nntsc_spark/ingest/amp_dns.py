@@ -67,7 +67,17 @@ def process_dns(raw: DataFrame) -> DataFrame:
         .when(sent & ~answered, F.lit(1.0))
         .otherwise(F.lit(None).cast("double"))
         .alias("lossrate"),
-        F.monotonically_increasing_id().alias("_order"),
+        # "first result" order: the source's message-order column when it
+        # provides one (e.g. a kafka offset threaded through as
+        # _msg_order), else a CONTENT-based total order.  The previous
+        # monotonically_increasing_id encoded (partition, row) — not input
+        # order, and a task retry could elect a different winner than the
+        # first attempt (r5 review finding).
+        (
+            F.col("_msg_order")
+            if "_msg_order" in raw.columns
+            else F.struct(*[F.col(c) for c in DATA_COLS if c in raw.columns])
+        ).alias("_order"),
     )
     # first result per (stream, timestamp) wins (amp_dns.py:126-129)
     w = Window.partitionBy(*UNIQUE_COLS, "timestamp").orderBy("_order")

@@ -126,7 +126,17 @@ def process_astraceroute(
     sequence column.
     """
     _, as_results = split_ip_as(raw)
-    as_results = as_results.withColumn("_order", F.monotonically_increasing_id())
+    # count ties broken deterministically: the source's message order when
+    # provided (_msg_order), else the lexicographically-smallest AS path —
+    # a reproducible surrogate for the reference's insertion order
+    # (monotonically_increasing_id was partition-layout- and
+    # retry-dependent; r5 review finding)
+    as_results = as_results.withColumn(
+        "_order",
+        F.col("_msg_order")
+        if "_msg_order" in as_results.columns
+        else F.col("aspath"),
+    )
     # Parsed batch fans out to the dictionary upsert (broadcast side) and
     # two aggregations — persist so the hop decomposition runs once.
     as_results = as_results.persist()

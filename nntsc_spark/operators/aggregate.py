@@ -126,7 +126,12 @@ def select_aggregated_data(
             part = most_array_agg(grp, grp_keys, col, name)
         else:  # most / mode
             part = mode_agg(grp, grp_keys, col, name)
-        out = out.join(part, grp_keys, "left")
+        # null-SAFE key equality: a NULL groupcol value forms a real group
+        # in both sides, but a name-list join's NULL = NULL is false and
+        # silently dropped that group's complex-agg result (r5 review
+        # finding); <=> matches the simple aggregates' groupBy semantics
+        cond = [out[k].eqNullSafe(part[k]) for k in grp_keys]
+        out = out.join(part, cond, "left").drop(*[part[k] for k in grp_keys])
     if order:
         out = out.orderBy(LABEL_COL, BINSTART_COL)
     return out

@@ -49,4 +49,9 @@ def chunked_union(
     result must equal the unchunked query when chunk ends are bin-aligned
     (the equivalence the reference relies on implicitly)."""
     parts = [query_fn(s, e) for s, e in chunk_ranges(start, stop, binsize)]
+    if not parts:
+        # inverted window (start > stop): chunk_ranges yields nothing and
+        # a bare reduce would raise on the empty iterable — run the query
+        # on the inverted range itself: schema intact, zero rows
+        return query_fn(start, stop)
     return reduce(lambda a, b: a.unionByName(b), parts)

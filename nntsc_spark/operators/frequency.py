@@ -64,4 +64,14 @@ def estimate_frequency(fact: DataFrame, key: str = "stream_id") -> DataFrame:
             .alias("frequency"),
         )
     )
-    return out
+    # keys with <2 rows have no diffs and vanished from `out` entirely;
+    # the reference returns the 300 s default for them (exporter.py:793-796)
+    # — left-join the full key set back and fill (r5 review finding:
+    # DEFAULT_FREQUENCY was defined but never applied)
+    all_keys = fact.select(key).dropDuplicates()
+    return all_keys.join(out, key, "left").select(
+        key,
+        F.coalesce(F.col("frequency"), F.lit(DEFAULT_FREQUENCY))
+        .cast("long")
+        .alias("frequency"),
+    )

@@ -15,8 +15,6 @@ At 100 TB the broadcast join adds no shuffle on the fact side and the
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,9 +64,14 @@ def label_case_column(labels: dict[str, list[int]]):
 
 
 def labels_where_sql(labels: dict[str, list[int]]) -> str:
-    """Oracle-SQL helpers: CASE expression + membership predicate."""
+    """Oracle-SQL helpers: CASE expression + membership predicate.
+
+    Label names are client-provided strings interpolated into SQL string
+    literals — single quotes are doubled (the SQL escape) so a label like
+    "bob's link" stays a literal instead of breaking the statement."""
     whens = " ".join(
-        f"WHEN stream_id IN ({', '.join(str(int(s)) for s in sids)}) THEN '{label}'"
+        f"WHEN stream_id IN ({', '.join(str(int(s)) for s in sids)})"
+        f" THEN '{label.replace(chr(39), chr(39) * 2)}'"
         for label, sids in labels.items()
     )
     return f"CASE {whens} END"

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 from .rollup import build_rollup, merge_rollup, snap_down
+from .select import time_filter
 
 HOUR = 3600
 MINUTE = 60
@@ -45,7 +46,16 @@ def select_matrix_data(
     """
     binsize = choose_rollup_binsize(start, stop)
     snapped = snap_down(start, binsize)
-    rollup = build_rollup(fact, binsize, value_cols)
+    # pre-filter the RAW scan to exactly the participating bins' rows:
+    # merge_rollup's binstart predicate is derived arithmetic that parquet
+    # row-group pruning can't use, so without this plain timestamp range
+    # a 24 h dashboard query would aggregate the table's entire history
+    # (r5 review finding).  The upper bound extends to the END of stop's
+    # bin — merge keeps whole bins, so results are bit-identical.
+    hi = snap_down(stop, binsize) + binsize - 1
+    rollup = build_rollup(
+        time_filter(fact, snapped, hi), binsize, value_cols
+    )
     return merge_rollup(rollup, label_map, value_cols, snapped, stop)
 
 

@@ -348,14 +348,20 @@ counted AS (
   SELECT c.stream_id, min(c.diff) AS small20
   FROM counted c JOIN per_key p ON c.stream_id = p.stream_id
   WHERE c.cnt * 5 >= p.total GROUP BY c.stream_id
+), est AS (
+  SELECT p.stream_id,
+         CASE WHEN p.mode_cnt * 2 >= p.total THEN m.mode_diff
+              WHEN s.small20 IS NOT NULL THEN s.small20
+              ELSE CAST(round(p.wsum / p.total) AS BIGINT) END AS frequency
+  FROM per_key p
+  JOIN mode_pick m ON p.stream_id = m.stream_id
+  LEFT JOIN small20 s ON p.stream_id = s.stream_id
 )
-SELECT p.stream_id,
-       CASE WHEN p.mode_cnt * 2 >= p.total THEN m.mode_diff
-            WHEN s.small20 IS NOT NULL THEN s.small20
-            ELSE CAST(round(p.wsum / p.total) AS BIGINT) END AS frequency
-FROM per_key p
-JOIN mode_pick m ON p.stream_id = m.stream_id
-LEFT JOIN small20 s ON p.stream_id = s.stream_id
+-- keys with <2 rows have no diffs: reference default 300 (exporter.py:793)
+SELECT k.stream_id,
+       CAST(coalesce(e.frequency, 300) AS BIGINT) AS frequency
+FROM (SELECT DISTINCT stream_id FROM fact) k
+LEFT JOIN est e ON k.stream_id = e.stream_id
 """
 
 

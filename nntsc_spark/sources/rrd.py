@@ -59,19 +59,23 @@ class RRDStream:
 
 @dataclass
 class RRDPoller:
+    """Two-cursor state, exactly the reference's (rrd.py:136, 233-238):
+    ``last_ts`` is the TENTATIVE read cursor — poll() advances it so
+    consecutive successful polls never re-read — and ``last_commit`` is
+    the durable one, advanced only by :meth:`commit` after the caller's
+    downstream write succeeds.  On a failed write the caller calls
+    :meth:`revert` (last_ts := last_commit) and re-polls: the same rows
+    come back.  (The r5 review found poll() committing immediately, which
+    silently dropped a failed batch's measurements forever.)"""
+
     spark: SparkSession
     streams: list[RRDStream]
     fetch: Callable[[str], list[dict]] = field(default=read_rrd_export)
     last_ts: dict[str, int] = field(default_factory=dict)
+    last_commit: dict[str, int] = field(default_factory=dict)
 
     def poll(self) -> DataFrame | None:
-        """One poll cycle: new rows (ts > lasttimestamp) across all files.
-
-        State advances only on successful DataFrame construction — a caller
-        whose downstream commit fails simply re-polls and sees the same
-        rows again (the reference's revert-to-lastcommit semantics,
-        rrd.py:233-238).
-        """
+        """One poll cycle: new rows (ts > lasttimestamp) across all files."""
         out = []
         advanced: dict[str, int] = {}
         for s in self.streams:
@@ -108,8 +112,14 @@ class RRDPoller:
         if not out:
             return None
         df = self.spark.createDataFrame(out, RAW_SCHEMA)
-        self.commit(advanced)
+        self.last_ts.update(advanced)  # tentative; durable only on commit()
         return df
 
-    def commit(self, advanced: dict[str, int]) -> None:
-        self.last_ts.update(advanced)
+    def commit(self) -> None:
+        """Downstream write succeeded: make the read cursor durable."""
+        self.last_commit = dict(self.last_ts)
+
+    def revert(self) -> None:
+        """Downstream write failed: rewind to the last committed position
+        so the next poll re-reads the failed batch (rrd.py:233-238)."""
+        self.last_ts = dict(self.last_commit)

@@ -120,3 +120,30 @@ def test_events_fact_adapts_to_both_ts_layouts(spark, tmp_path):
     assert max(r[1] for r in micros) == base + 10 * 3600
     for sub in ("nanos", "long_s", "long_us", "long_ns"):
         assert facts(sub) == micros, sub
+
+
+def test_rrd_poller_revert_replays_failed_batch(spark, tmp_path):
+    """Reference revert-to-lastcommit (rrd.py:233-238): a failed downstream
+    write must not lose measurements — revert() rewinds the tentative read
+    cursor and the next poll returns the same rows; commit() makes them
+    durable so a later revert doesn't resurrect them."""
+    f1 = tmp_path / "a.rrd"
+    _write_export(
+        f1,
+        [
+            {"timestamp": 100, "loss": 0.0, "median": 10.0, "pings": [10.0]},
+            {"timestamp": 200, "loss": 0.0, "median": 11.0, "pings": [11.0]},
+        ],
+    )
+    poller = RRDPoller(spark, [RRDStream(str(f1), "src", "h")])
+
+    first = {r.timestamp for r in poller.poll().collect()}
+    assert first == {100, 200}
+    poller.revert()  # downstream write failed
+    again = {r.timestamp for r in poller.poll().collect()}
+    assert again == first  # same batch replayed, nothing lost
+
+    poller.commit()  # this time the write succeeded
+    assert poller.poll() is None  # nothing new
+    poller.revert()  # a later failure must NOT rewind past the commit
+    assert poller.poll() is None
