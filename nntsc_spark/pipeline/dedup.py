@@ -57,8 +57,14 @@ def scratch_persist(df: DataFrame, level=None) -> DataFrame:
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # plan not hashable -> cap doesn't apply, still cached
-        return df
+    except Exception:
+        # plan not hashable (e.g. Spark Connect: no _jdf) — register under
+        # a unique key so the LRU cap still bounds the cache footprint;
+        # only semantic-equality REUSE is lost, not the eviction guarantee
+        # (the early-return form leaked every intermediate on that path)
+        import uuid as _uuid
+
+        h = ("nohash", _uuid.uuid4().hex)
     _CACHE_POOL[h] = df
     _CACHE_POOL.move_to_end(h)
     while len(_CACHE_POOL) > _CACHE_POOL_CAP:

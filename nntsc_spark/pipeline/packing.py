@@ -194,13 +194,9 @@ def write_training_shards(
     no cross-file merge).  At 100 TB raise ``n_shards``; everything else
     is unchanged.
     """
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from .text import hash_priority_expr
+
+    pri = hash_priority_expr(key_col, salt)
     (
         docs.withColumn("_pri", pri)
         .withColumn("shard", F.pmod(F.col("_pri"), F.lit(n_shards)).cast("int"))

@@ -143,6 +143,29 @@ def fingerprint(docs: DataFrame, text_col: str = "text", ngram: int = 4) -> Data
 SAMPLE_MOD = 10_000
 
 
+def hash_priority_expr(key_col: str, salt: str) -> Column:
+    """THE md5 priority: conv(substring(md5(salt || key), 1, 15), 16, 10).
+
+    Single source of truth for every deterministic sampler and the shard
+    writer — the samplers' nesting/composition guarantees hold only while
+    they share this exact expression, and each DuckDB oracle reproduces it
+    byte-for-byte as ('0x' || substring(md5(...), 1, 15))::BIGINT (four
+    hand-maintained copies predated this helper; r5 review finding).
+    """
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
 def deterministic_sample(
     docs: DataFrame,
     rate: float,
@@ -160,14 +183,7 @@ def deterministic_sample(
     That's what makes train/val splits and ablation subsets reproducible.
     Pure projection+filter — no shuffle, stays in codegen.
     """
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % SAMPLE_MOD
-    )
+    bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
     # round, don't truncate: 0.0003 * 10000 is 2.9999999999999996 in
     # float64 and int() would select one bucket too few
     return docs.where(bucket < int(round(rate * SAMPLE_MOD)))
@@ -303,16 +319,7 @@ def deterministic_sample_by(
     + filter — ``df.sampleBy`` offers none of the determinism and builds
     the same plan shape anyway.  Unlisted strata get ``default_rate``.
     """
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % SAMPLE_MOD
-    )
+    bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
     # thresholds precomputed as INTEGERS driver-side (round, don't
     # truncate — see deterministic_sample) so the comparison literal is
     # exact on both the Spark and oracle sides
@@ -354,17 +361,7 @@ def token_budget_sample(
     """
     from pyspark.sql import Window
 
-    pri = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("_pri")
-    )
+    pri = hash_priority_expr(key_col, salt).alias("_pri")
     w = (
         Window.partitionBy(strata_col)
         .orderBy("_pri", key_col)

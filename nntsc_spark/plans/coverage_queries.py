@@ -15,11 +15,12 @@ from ..operators.aggregate import select_aggregated_data, with_binstart
 from ..operators.chunking import chunked_union
 from ..operators.labels import apply_labels
 from ..operators.select import select_data, time_filter
-from ..sources.tables import EVENTS_FACT_SQL, events_fact, load_table
+from ..sources.tables import events_fact, load_table
 from .queries import DAY, HOUR, LABELS, START, STOP, T0, _label_map
 
-_FACT_CTE = f"fact AS ({EVENTS_FACT_SQL})"
-from .queries import _LABELED_CTE  # noqa: E402
+# single source of truth for the oracle CTE text (a local rebuild from
+# EVENTS_FACT_SQL could silently drift from queries.py's form)
+from .queries import _FACT_CTE, _LABELED_CTE  # noqa: E402
 
 
 def q_smoke_array(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,9 +139,8 @@ def q_ingest_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("packets"),
         F.lit(131072).cast("long").alias("write_size"),
         F.lit(False).alias("tcpreused"),
-        F.col("event_id"),
     )
-    out = process_throughput(raw.drop("event_id"))
+    out = process_throughput(raw)
     return out.select(
         "destination",
         "direction",

@@ -207,7 +207,10 @@ SELECT i.d1, i.d2,
 FROM inter i
 JOIN sizes z1 ON z1.doc_id = i.d1
 JOIN sizes z2 ON z2.doc_id = i.d2
-WHERE i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE) >= 0.5
+-- rounded-THEN-thresholded, matching the Spark side exactly (it
+-- filters on the 4-decimal value; unrounded disagrees at the
+-- boundary, e.g. 0.499975 rounds IN)
+WHERE round(i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE), 4) >= 0.5
 """
 
 
@@ -278,7 +281,10 @@ SELECT i.d1, i.d2,
 FROM inter i
 JOIN sizes z1 ON z1.doc_id = i.d1
 JOIN sizes z2 ON z2.doc_id = i.d2
-WHERE i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE) >= 0.5
+-- rounded-THEN-thresholded, matching the Spark side exactly (it
+-- filters on the 4-decimal value; unrounded disagrees at the
+-- boundary, e.g. 0.499975 rounds IN)
+WHERE round(i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE), 4) >= 0.5
 """
 
 

@@ -215,15 +215,33 @@ class IncrementalDeduper:
         return accepted
 
     def corpus(self) -> DataFrame:
-        """All accepted documents across batches."""
-        return self.spark.read.parquet(self.out_path).drop("batch")
+        """All accepted documents across batches.
 
-    def start_stream(self, doc_stream: DataFrame, checkpoint: str):
+        Raises FileNotFoundError (with a clear message) before the first
+        batch commits — the accepted-docs schema equals the INPUT schema,
+        which the index doesn't know, so an empty frame can't be built.
+        """
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.out_path).drop("batch")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            raise FileNotFoundError(
+                f"no batches committed yet under {self.out_path}"
+            ) from exc
+
+    def start_stream(
+        self, doc_stream: DataFrame, checkpoint: str, text_col: str = "text"
+    ):
         """Wire a streaming document source into the incremental filter."""
         return (
             doc_stream.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(lambda df, bid: self.process_batch(df, bid) and None)
+            .foreachBatch(
+                lambda df, bid: self.process_batch(df, bid, text_col) and None
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -340,15 +358,32 @@ class IncrementalSpanIndex:
         )
         return spans
 
-    def spans(self) -> DataFrame:
-        """All detected spans across batches."""
-        return self.spark.read.parquet(self.out_path).drop("batch")
+    _SPANS_SCHEMA = (
+        "doc_id long, span_start long, span_end long, n_windows long"
+    )
 
-    def start_stream(self, doc_stream: DataFrame, checkpoint: str):
+    def spans(self) -> DataFrame:
+        """All detected spans across batches (empty frame with the right
+        schema before any batch has committed, matching the class's
+        missing-subdirectory-reads-as-zero-rows contract)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.out_path).drop("batch")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return self.spark.createDataFrame([], self._SPANS_SCHEMA)
+
+    def start_stream(
+        self, doc_stream: DataFrame, checkpoint: str, text_col: str = "text"
+    ):
         return (
             doc_stream.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint)
-            .foreachBatch(lambda df, bid: self.process_batch(df, bid) and None)
+            .foreachBatch(
+                lambda df, bid: self.process_batch(df, bid, text_col) and None
+            )
             .trigger(availableNow=True)
             .start()
         )
