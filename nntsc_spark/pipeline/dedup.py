@@ -249,6 +249,34 @@ def candidate_pairs(banded: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_from_sizes(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of both exact-Jaccard operators: join per-doc set sizes
+    onto (d1, d2, n_inter), compute |A∩B| / (|A|+|B|-|A∩B|) rounded to 4,
+    and threshold ON THE ROUNDED value (the convention every paired DuckDB
+    oracle mirrors; jaccard_verify and ngram_jaccard_pairs previously
+    carried two hand-maintained copies of this block)."""
+    jac = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sh: DataFrame,
@@ -292,20 +320,7 @@ def jaccard_verify(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sizes = src.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.where(F.col("jaccard") >= threshold)
+    return _jaccard_from_sizes(inter, sizes, threshold)
 
 
 def minhash_near_duplicates(
@@ -891,21 +906,4 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    jac = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1"
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2"
-        )
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
-    return jac.where(F.col("jaccard") >= threshold)
+    return _jaccard_from_sizes(inter, sizes, threshold)
