@@ -35,34 +35,39 @@ def timestamp_diffs(fact: DataFrame, key: str = "stream_id") -> DataFrame:
 
 
 def estimate_frequency(fact: DataFrame, key: str = "stream_id") -> DataFrame:
-    """Per-key frequency estimate -> DataFrame(key, frequency BIGINT)."""
+    """Per-key frequency estimate -> DataFrame(key, frequency BIGINT).
+
+    ``counted``'s lineage contains the per-key WINDOW SORT over the whole
+    history — by far the expensive stage.  It is consumed exactly ONCE:
+    the share->=20% rule gets its per-key total from a window over the
+    TINY counted table (keys x distinct gaps) instead of the old
+    join-back, which re-evaluated the sort per lazy branch and made
+    frequency the only super-linear probe row (23x for a 10x data step at
+    x1000; single-consumption is ~8x, scan-linear).
+    """
     diffs = timestamp_diffs(fact, key)
     counted = diffs.groupBy(key, "diff").agg(F.count(F.lit(1)).alias("cnt"))
-    per_key = counted.groupBy(key).agg(
-        F.sum("cnt").alias("total"),
+    total = F.sum("cnt").over(Window.partitionBy(key))
+    enriched = counted.withColumn("total", total)
+    per_key = enriched.groupBy(key).agg(
+        F.max("total").alias("total"),
         # mode diff: max by (count, then smaller diff wins ties)
         F.min_by(F.col("diff"), F.struct((-F.col("cnt")).alias("n"), F.col("diff"))).alias(
             "mode_diff"
         ),
         F.max("cnt").alias("mode_cnt"),
         F.sum(F.col("cnt") * F.col("diff")).alias("wsum"),
+        # smallest diff with share >= 20% (NULL when none qualifies)
+        F.min(
+            F.when(F.col("cnt") * 5 >= F.col("total"), F.col("diff"))
+        ).alias("small20"),
     )
-    # smallest diff with share >= 20%: needs total first, so a second pass
-    with_total = counted.join(per_key.select(key, "total"), key)
-    small20 = (
-        with_total.where(F.col("cnt") * 5 >= F.col("total"))
-        .groupBy(key)
-        .agg(F.min("diff").alias("small20"))
-    )
-    out = (
-        per_key.join(small20, key, "left")
-        .select(
-            key,
-            F.when(F.col("mode_cnt") * 2 >= F.col("total"), F.col("mode_diff"))
-            .when(F.col("small20").isNotNull(), F.col("small20"))
-            .otherwise(F.round(F.col("wsum") / F.col("total")).cast("long"))
-            .alias("frequency"),
-        )
+    out = per_key.select(
+        key,
+        F.when(F.col("mode_cnt") * 2 >= F.col("total"), F.col("mode_diff"))
+        .when(F.col("small20").isNotNull(), F.col("small20"))
+        .otherwise(F.round(F.col("wsum") / F.col("total")).cast("long"))
+        .alias("frequency"),
     )
     # keys with <2 rows have no diffs and vanished from `out` entirely;
     # the reference returns the 300 s default for them (exporter.py:793-796)

@@ -36,6 +36,11 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
 PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "similarity_ivf_topk", "text_repetition",
                     "dedup_spans", "training_corpus"]
+#: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
+#: tables run to billions of rows — hours per cell on this box); the
+#: event-table queries keep going and their cells render "—" beyond this
+#: for the pipeline rows
+MAX_PIPELINE_FACTOR = 100
 
 
 def build_replica(spark, factor: int) -> str:
@@ -145,11 +150,12 @@ def main() -> None:
     results: dict[int, dict[str, float]] = {}
     for f in factors:
         sf_dir = SF_DIR if f == 1 else build_replica(spark, f)
-        pipe_dir = build_pipeline_replica(spark, f)
+        todo = [(n, sf_dir) for n in QUERIES]
+        if f <= MAX_PIPELINE_FACTOR:
+            pipe_dir = build_pipeline_replica(spark, f)
+            todo += [(n, pipe_dir) for n in PIPELINE_QUERIES]
         row: dict[str, float] = {}
-        for name, qdir in [(n, sf_dir) for n in QUERIES] + [
-            (n, pipe_dir) for n in PIPELINE_QUERIES
-        ]:
+        for name, qdir in todo:
             if (str(f), name) in cache:
                 row[name] = cache[(str(f), name)]
                 continue
@@ -184,13 +190,17 @@ def main() -> None:
         "compile + job scheduling) is amortized.",
         "",
         "| query | " + " | ".join(f"x{f} (s)" for f in factors) +
-        " | x%d/x%d ratio |" % (factors[-1], factors[-2] if len(factors) > 1 else factors[-1]),
+        " | last-step ratio |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
     for name in QUERIES + PIPELINE_QUERIES:
-        cells = [f"{results[f][name]:.2f}" for f in factors]
-        if len(factors) > 1:
-            a, b = results[factors[-2]][name], results[factors[-1]][name]
+        cells = [
+            f"{results[f][name]:.2f}" if name in results[f] else "—"
+            for f in factors
+        ]
+        have = [f for f in factors if name in results[f]]
+        if len(have) > 1:
+            a, b = results[have[-2]][name], results[have[-1]][name]
             ratio = f"{b / a:.1f}x" if a else "—"
         else:
             ratio = "—"
@@ -201,6 +211,11 @@ def main() -> None:
         "A ratio well under the 10x data growth between the last two columns",
         "means the constant term still dominates; near 10x is scan-bound",
         "linear scaling; above ~12x would flag a super-linear operator.",
+        "frequency is the one SORT-bound row (per-stream lag window over",
+        "the full history): its step runs n*log(n) plus external-sort",
+        "spill, so ~12-13x per decade is its expected near-linear shape —",
+        "production estimates bound the window to recent history anyway",
+        "(the export server estimates over delivered rows).",
         "",
         f"The last {len(PIPELINE_QUERIES)} rows are the pipeline heavies over Nx-replicated",
         "documents/embeddings with LINEAR duplicate structure (per-replica",
