@@ -23,6 +23,20 @@ from enum import IntEnum
 HDR_FMT = "!HI"
 HDR_LEN = struct.calcsize(HDR_FMT)
 
+#: Hard ceilings on what we will accept from a socket.  The header's
+#: length field allows 4 GiB and zlib expands ~1000:1, so an unbounded
+#: ``zlib.decompress`` hands any client that can reach the port a
+#: decompression-bomb OOM.  64 MiB compressed / 256 MiB decompressed is
+#: far beyond any legitimate NNTSC message (the reference flushes history
+#: every 10k rows, exporter.py:434-445) while keeping the worst case a
+#: bounded allocation.
+MAX_FRAME_BYTES = 64 * 1024 * 1024
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
+class FrameTooLarge(ValueError):
+    """A frame exceeded MAX_FRAME_BYTES / MAX_BODY_BYTES."""
+
 
 class Msg(IntEnum):
     # client -> server
@@ -84,16 +98,43 @@ def safe_loads(data: bytes) -> object:
     return _SafeUnpickler(io.BytesIO(data)).load()
 
 
+def bounded_decompress(payload: bytes, limit: int = MAX_BODY_BYTES) -> bytes:
+    """zlib-decompress with an explicit decompressed-size ceiling.
+
+    Uses ``decompressobj().decompress(data, max_length)`` so a
+    decompression bomb stops allocating at ``limit`` instead of
+    expanding ~1000:1; any unconsumed tail (input that would expand
+    past the ceiling, or trailing garbage) is an error.
+    """
+    d = zlib.decompressobj()
+    body = d.decompress(payload, limit)
+    if d.unconsumed_tail or d.decompress(b"", 1):
+        raise FrameTooLarge(
+            f"decompressed body exceeds {limit} byte ceiling"
+        )
+    return body
+
+
 def read_message(sock: socket.socket) -> tuple[Msg, object] | None:
-    """Blocking read of one framed message; None on clean EOF."""
+    """Blocking read of one framed message; None on clean EOF.
+
+    Raises FrameTooLarge (without reading the payload) when the header
+    announces a frame over MAX_FRAME_BYTES, and when the payload would
+    decompress past MAX_BODY_BYTES — both are hostile-client shapes the
+    reference's unbounded scheme (exporter.py:525-546) would OOM on.
+    """
     hdr = _read_exact(sock, HDR_LEN)
     if hdr is None:
         return None
     msgtype, length = struct.unpack(HDR_FMT, hdr)
+    if length > MAX_FRAME_BYTES:
+        raise FrameTooLarge(
+            f"frame of {length} bytes exceeds {MAX_FRAME_BYTES} byte cap"
+        )
     payload = _read_exact(sock, length)
     if payload is None:
         return None
-    return Msg(msgtype), safe_loads(zlib.decompress(payload))
+    return Msg(msgtype), safe_loads(bounded_decompress(payload))
 
 
 def _read_exact(sock: socket.socket, n: int) -> bytes | None:

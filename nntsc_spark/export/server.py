@@ -43,7 +43,7 @@ from ..operators.matrix import (
 )
 from ..operators.select import select_data
 from .frequency import estimate_frequency_rows
-from .protocol import Msg, Req, pack, read_message
+from .protocol import FrameTooLarge, Msg, Req, pack, read_message
 
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
@@ -222,6 +222,12 @@ class ExportServer:
                     msg = read_message(sock)
                 except OSError:
                     # client reset mid-frame: same as a clean disconnect
+                    return
+                except FrameTooLarge as e:
+                    # hostile/buggy frame (oversized or decompression
+                    # bomb): tell the client once, then drop it — the
+                    # stream is not resynchronizable past a bad frame
+                    self._send(sock, Msg.ERROR, {"error": str(e)})
                     return
                 if msg is None:
                     return
@@ -515,6 +521,28 @@ class ExportServer:
             return
         self._send(sock, Msg.HISTORY, {"collection": colname, "matrix": rows})
 
+    def _release_live(self, sub: Subscription) -> None:
+        """Drain a subscription's buffered live rows, then unblock direct
+        forwarding — preserving per-stream order at the history/live seam.
+
+        ``waiting`` stays True while the backlog drains, so publish_live
+        keeps buffering concurrent rows behind the ones being sent; only
+        when the buffer is observed empty UNDER the lock does waiting flip
+        to False (atomically with that observation).  Flipping first and
+        draining outside the lock — the previous shape — let a fresh PUSH
+        overtake older buffered rows for the same stream (r5 advice
+        finding; reference ordering contract exporter.py:907-971).
+        """
+        while True:
+            with self._lock:
+                if not sub.buffered:
+                    sub.waiting = False
+                    return
+                buffered, sub.buffered = sub.buffered, []
+            for _colid, sid, row in buffered:
+                if (row.get("timestamp") or 0) > sub.last_by_stream.get(sid, 0):
+                    self._send_live(sub, sid, row)
+
     def _handle_subscribe(self, sock: socket.socket, body) -> None:
         colname = body["collection"]
         fact = self.collections[colname]["fact"]
@@ -539,10 +567,7 @@ class ExportServer:
         hist_start = body.get("start") or now
         if hist_start >= now:
             self._empty_history(sock, colname, labels, hist_start)
-            with self._lock:
-                buffered, sub.buffered, sub.waiting = sub.buffered, [], False
-            for _colid, sid, row in buffered:
-                self._send_live(sub, sid, row)
+            self._release_live(sub)  # no history -> seam bounds stay 0
             return
         aggs = body.get("aggs") or []
         if aggs:
@@ -596,12 +621,9 @@ class ExportServer:
                     {"collection": colname, "label": label,
                      "last_ts": last.get(label, 0)},
                 )
-        # release buffered live rows past the seam (exporter.py:907-971)
-        with self._lock:
-            buffered, sub.buffered, sub.waiting = sub.buffered, [], False
-        for colid, sid, row in buffered:
-            if (row.get("timestamp") or 0) > sub.last_by_stream.get(sid, 0):
-                self._send_live(sub, sid, row)
+        # release buffered live rows past the seam (exporter.py:907-971),
+        # ordering-safe vs concurrent publish_live calls
+        self._release_live(sub)
 
     # -- live path (called by ingest) ---------------------------------------
 

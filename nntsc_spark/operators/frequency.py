@@ -25,16 +25,32 @@ from pyspark.sql import functions as F
 DEFAULT_FREQUENCY = 300  # reference fallback (exporter.py:793-796)
 
 
-def timestamp_diffs(fact: DataFrame, key: str = "stream_id") -> DataFrame:
+def timestamp_diffs(
+    fact: DataFrame, key: str = "stream_id", max_diffs: int | None = None
+) -> DataFrame:
+    """Consecutive per-key timestamp gaps; ``max_diffs`` keeps only the
+    FIRST n diffs per key in time order (the reference's sampling bound,
+    exporter.py:509-510).  The row_number shares the lag's window spec, so
+    the cap adds no second sort — it bounds everything downstream."""
     w = Window.partitionBy(key).orderBy("timestamp")
-    return (
-        fact.select(key, "timestamp")
-        .withColumn("diff", F.col("timestamp") - F.lag("timestamp").over(w))
-        .where(F.col("diff").isNotNull())
+    diffs = fact.select(key, "timestamp").withColumn(
+        "diff", F.col("timestamp") - F.lag("timestamp").over(w)
     )
+    if max_diffs is not None:
+        # row 1 per key has a NULL diff, so rows 2..max_diffs+1 are the
+        # first max_diffs diffs
+        diffs = diffs.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= max_diffs + 1
+        ).drop("_rn")
+    return diffs.where(F.col("diff").isNotNull())
 
 
-def estimate_frequency(fact: DataFrame, key: str = "stream_id") -> DataFrame:
+def estimate_frequency(
+    fact: DataFrame,
+    key: str = "stream_id",
+    since: int | None = None,
+    max_diffs: int | None = None,
+) -> DataFrame:
     """Per-key frequency estimate -> DataFrame(key, frequency BIGINT).
 
     ``counted``'s lineage contains the per-key WINDOW SORT over the whole
@@ -44,8 +60,26 @@ def estimate_frequency(fact: DataFrame, key: str = "stream_id") -> DataFrame:
     join-back, which re-evaluated the sort per lazy branch and made
     frequency the only super-linear probe row (23x for a 10x data step at
     x1000; single-consumption is ~8x, scan-linear).
+
+    The unbounded default sorts each stream's ENTIRE history — correct,
+    and what the registered oracle query pins, but super-linear at scale
+    (SCALING.md).  The reference itself never pays that: it samples the
+    first 200 diffs (exporter.py:509-510).  Two in-code bounds restore
+    scan-linearity for production callers:
+
+    - ``since``: drop rows before this epoch BEFORE the window — a plain
+      timestamp predicate, pushed to the parquet scan, so the sort only
+      ever sees the recent slice (cadence is a property of recent data;
+      this is the bound the export server uses).
+    - ``max_diffs``: per-stream first-n diff sampling, the literal
+      reference rule.  Alone it can't shrink the scan (the sort must see
+      each stream's head), but it bounds the aggregation input; combined
+      with ``since`` both stages are bounded.
     """
-    diffs = timestamp_diffs(fact, key)
+    diffs_src = fact
+    if since is not None:
+        diffs_src = fact.where(F.col("timestamp") >= F.lit(int(since)))
+    diffs = timestamp_diffs(diffs_src, key, max_diffs)
     counted = diffs.groupBy(key, "diff").agg(F.count(F.lit(1)).alias("cnt"))
     total = F.sum("cnt").over(Window.partitionBy(key))
     enriched = counted.withColumn("total", total)

@@ -649,12 +649,66 @@ def duplicate_spans(
     token positions of each maximal repeated span, with the number of
     duplicated windows it merged.
     """
-    wins = token_windows(docs, text_col, w)
+    # token_windows (the tokenize+explode of the WHOLE corpus) feeds both
+    # the occurrence count and the join-back for hits; persist + eager
+    # count so the two consumers read cache instead of re-running the
+    # explode lineage per branch (same convention as
+    # minhash_near_duplicates' sh/banded persists above)
+    wins = scratch_persist(token_windows(docs, text_col, w))
+    wins.count()
     dup = wins.groupBy("win").count().where(F.col("count") >= 2).select("win")
     hits = wins.join(dup, "win").select(
         "doc_id", "s", (F.col("s") + F.lit(w - 1)).alias("e")
     )
     return merge_spans(hits)
+
+
+def despan_keep_first(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """Keep-one-copy substring dedup — the canonical Lee et al. 2021
+    selection policy composed onto :func:`duplicate_spans` /
+    :func:`remove_spans`: for every duplicated w-token window, the FIRST
+    corpus occurrence (smallest (doc_id, start)) survives; every other
+    occurrence is cut.  Contrast plain ``remove_spans(duplicate_spans())``,
+    which cuts ALL occurrences and leaves no copy of the repeated passage
+    in the corpus.
+
+    Distributed shape mirrors duplicate_spans: the first-occurrence
+    election is a map-side-combinable ``min(struct(doc_id, s))`` keyed on
+    the window text — NOT a row_number window over `win`, whose
+    partition key would be the exact skew axis (a million-fold-repeated
+    boilerplate window is ONE group under the aggregate, one hot
+    partition under a window).  Join-back has a distinct build side;
+    non-first occurrences merge into maximal spans and are cut by the
+    JVM filter-transform.
+
+    Output: (doc_id, text [cut], n_removed_tokens) for every document.
+    """
+    wins = scratch_persist(token_windows(docs, text_col, w))
+    wins.count()
+    firsts = (
+        wins.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("doc_id", "s")).alias("_first"),
+        )
+        .where(F.col("_n") >= 2)
+        .select("win", "_first")
+    )
+    hits = (
+        wins.join(firsts, "win")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("_first.doc_id"))
+                & (F.col("s") == F.col("_first.s"))
+            )
+        )
+        .select("doc_id", "s", (F.col("s") + F.lit(w - 1)).alias("e"))
+    )
+    return remove_spans(docs, merge_spans(hits), text_col)
 
 
 def token_windows(

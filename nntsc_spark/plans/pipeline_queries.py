@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..pipeline.dedup import (
     contamination,
     dedup_clusters,
+    despan_keep_first,
     duplicate_spans,
     remove_spans,
     exact_duplicates,
@@ -865,6 +866,66 @@ FROM k
 """
 
 
+def q_doc_despan_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return despan_keep_first(load_table(spark, sf_dir, "documents"), w=10)
+
+
+# Same window build as SQL_DEDUP_SPANS, but the first corpus occurrence of
+# each duplicated window — min (doc_id, s), elected via row_number in the
+# oracle (the Spark side uses a min(struct) aggregate; same semantics,
+# skew-safe shape) — is EXCLUDED from the hit list before the islands
+# merge, then the SQL_DOC_DESPAN cut runs over the surviving spans.
+SQL_DOC_DESPAN_KEEPFIRST = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), w AS (
+  SELECT doc_id, u.i + 1 AS s, u.i + 10 AS e,
+         array_to_string(l[u.i+1:u.i+10], ' ') AS win
+  FROM t, LATERAL (SELECT unnest(range(greatest(len(l) - 9, 0))) AS i) u
+), r AS (
+  SELECT doc_id, s, e,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, s) AS rn,
+         count(*) OVER (PARTITION BY win) AS n
+  FROM w
+), d AS (
+  SELECT doc_id, s, e FROM r WHERE n >= 2 AND rn > 1
+), g AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM d
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM g
+), spans AS (
+  SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+  FROM isl GROUP BY doc_id, island
+), sp AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS spl
+  FROM spans GROUP BY doc_id
+), td AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS l, sp.spl
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+), k AS (
+  SELECT doc_id, l,
+         CASE WHEN spl IS NULL THEN l ELSE
+           list_filter(l, (x, i) ->
+             len(list_filter(spl, p -> i >= p.s AND i <= p.e)) = 0)
+         END AS kept
+  FROM td
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text,
+       CAST(len(l) - len(kept) AS BIGINT) AS n_removed_tokens
+FROM k
+"""
+
+
 def q_doc_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget_tokens=800
@@ -965,4 +1026,7 @@ TAIL_PIPELINE_REGISTRY = {
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "training_corpus": (q_training_corpus, SQL_TRAINING_CORPUS),
     "doc_despan": (q_doc_despan, SQL_DOC_DESPAN),
+    # round-6: Lee-et-al keep-one-copy span dedup (first occurrence
+    # survives, later occurrences cut)
+    "doc_despan_keepfirst": (q_doc_despan_keepfirst, SQL_DOC_DESPAN_KEEPFIRST),
 }

@@ -193,6 +193,51 @@ def test_frequency_rule_chain(spark):
     assert freq[2] == 100
 
 
+def test_frequency_bounded_history(spark):
+    """The in-code scale bounds (reference samples the first 200 diffs,
+    exporter.py:509-510): max_diffs keeps only each stream's FIRST n
+    diffs, since drops rows before the cutoff ahead of the window sort."""
+    from nntsc_spark.operators.frequency import DEFAULT_FREQUENCY
+
+    rows = []
+    # stream 1: 5 diffs of 10s, then 20 diffs of 100s.  Unbounded the mode
+    # is 100; sampling the first 5 diffs sees only the 10s.
+    ts = 1000
+    for d in [10] * 5 + [100] * 20:
+        rows.append((1, ts))
+        ts += d
+    rows.append((1, ts))
+    # stream 2: steady 60s throughout -> any bound still says 60
+    for i in range(30):
+        rows.append((2, 5000 + 60 * i))
+    df = spark.createDataFrame(rows, "stream_id long, timestamp long")
+
+    unbounded = {r.stream_id: r.frequency for r in estimate_frequency(df).collect()}
+    assert unbounded[1] == 100 and unbounded[2] == 60
+
+    first5 = {
+        r.stream_id: r.frequency
+        for r in estimate_frequency(df, max_diffs=5).collect()
+    }
+    assert first5[1] == 10 and first5[2] == 60
+
+    # since: only the 100s tail of stream 1 survives the scan bound
+    recent = {
+        r.stream_id: r.frequency
+        for r in estimate_frequency(df, since=1060).collect()
+    }
+    assert recent[1] == 100
+    # stream 2 ends at 5000+60*29 = 6740 > 1060, unaffected
+    assert recent[2] == 60
+
+    # a stream entirely before `since` still appears, with the default
+    late = {
+        r.stream_id: r.frequency
+        for r in estimate_frequency(df, since=10_000).collect()
+    }
+    assert late[1] == DEFAULT_FREQUENCY and late[2] == DEFAULT_FREQUENCY
+
+
 def test_stream_stats_and_activity(fact):
     stats = build_stream_stats(fact)
     act = active_streams(stats, 0, 500).collect()

@@ -776,3 +776,45 @@ def test_remove_spans_cut_and_policy_composition(spark):
     kept = {r.doc_id: r.text for r in survivors.collect()}
     assert kept[0] == "keep these " + phrase + " tail words"  # canonical intact
     assert kept[1] == "other intro different ending here"
+
+
+def test_despan_keep_first_canonical_policy(spark):
+    """The built-in keep-one-copy helper: the FIRST corpus occurrence
+    (lowest doc_id, then position) of each duplicated window survives;
+    EVERY other occurrence corpus-wide is cut — including both copies in
+    a document that repeats a phrase the corpus-first document owns."""
+    from nntsc_spark.pipeline.dedup import despan_keep_first
+
+    phrase = " ".join(f"s{i}" for i in range(1, 6))  # 5 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "keep these " + phrase + " tail words"),
+            (1, "other intro " + phrase + " different ending here"),
+            (2, "untouched document with fully unique token content"),
+            # phrase twice, but the corpus-first copy lives in doc 0:
+            # BOTH of these occurrences are non-first -> both cut
+            (3, phrase + " middle filler words " + phrase),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in despan_keep_first(docs, w=5).collect()}
+    # doc 0 holds the corpus-first occurrence -> untouched
+    assert out[0].text == "keep these " + phrase + " tail words"
+    assert out[0].n_removed_tokens == 0
+    # later occurrences cut
+    assert out[1].text == "other intro different ending here"
+    assert out[1].n_removed_tokens == 5
+    assert out[3].text == "middle filler words"
+    assert out[3].n_removed_tokens == 10
+    # unique doc untouched
+    assert out[2].n_removed_tokens == 0
+
+    # in-document keep-first: when the corpus-first copy IS in the doc,
+    # it survives and only the repeat goes
+    solo = spark.createDataFrame(
+        [(7, phrase + " middle filler words " + phrase)],
+        "doc_id long, text string",
+    )
+    r = despan_keep_first(solo, w=5).collect()[0]
+    assert r.text == phrase + " middle filler words"
+    assert r.n_removed_tokens == 5

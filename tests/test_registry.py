@@ -54,6 +54,36 @@ def test_no_orphan_oracles():
     assert not orphans, f"oracle SQL without a query: {sorted(orphans)}"
 
 
+#: The driver verifies exactly the FIRST 50 registered queries (insertion
+#: order) — the curated head.  This pin makes window membership a tested
+#: invariant instead of hand-maintained prose: a refactor that reorders
+#: the registry (or inserts a new entry mid-head) can no longer silently
+#: demote a flagship out of the correctness gate.  Changing the window IS
+#: allowed — do it deliberately, by editing this list together with the
+#: registry and the tail note in plans/queries.py.
+DRIVER_WINDOW = [
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "dedup_minhash", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_simhash", "similarity_ivf_topk", "embedding_neardup",
+    "multimodal_features", "text_repetition", "pack_sequences",
+    "contamination", "doc_chunks", "dedup_spans", "training_corpus",
+    "select_raw", "agg_bin", "agg_groupcols", "agg_mode", "smoke",
+    "matrix", "rollup_build", "frequency", "stream_stats",
+    "top_revenue_orders", "percentile_fan", "count_gate", "most_array",
+    "chunked_agg", "activity_pruned_select", "traceroute_shape_join",
+    "catalog_collections", "sessionize", "salted_agg", "skew_join",
+    "ingest_icmp", "ingest_throughput", "ingest_dns", "ingest_fastping",
+    "ingest_smokeping", "ingest_tcpping", "ingest_pathlen",
+    "ingest_astraceroute", "ingest_udpstream", "ingest_http",
+    "ingest_sip", "ingest_external", "ingest_youtube",
+]
+
+
+def test_driver_window_membership_pinned():
+    assert len(DRIVER_WINDOW) == 50
+    assert list(REGISTRY)[:50] == DRIVER_WINDOW
+
+
 def test_oracle_sql_mentions_no_hostile_types():
     """HUGEINT/DECIMAL survive DuckDB but break the driver's pandas
     normalization (see round-2 fixes) — oracles must cast them away."""
