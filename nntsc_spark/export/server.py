@@ -107,6 +107,10 @@ class _ClientTx:
             self.q.put_nowait(None)
         except Exception:
             pass
+        # flush frames enqueued before close (e.g. the final ERROR on a
+        # protocol violation) before the caller closes the socket; bounded
+        # join — a stalled client's backlog dies with its socket anyway
+        self._thread.join(timeout=SEND_TIMEOUT)
 
     def _drain(self) -> None:
         while True:

@@ -18,8 +18,12 @@ total_answer, total_authority, total_additional, opcode, rcode, flag_*).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 UNIQUE_COLS = [
     "source",
@@ -56,6 +60,18 @@ DATA_COLS = [
 
 
 def process_dns(raw: DataFrame) -> DataFrame:
+    if "_msg_order" not in raw.columns:
+        # surfaced, not silent (r5 advice): without a real arrival-order
+        # column the (stream, timestamp) collision winner is the
+        # lexicographically-smallest result by content, which can differ
+        # from the reference's first-received-wins on replayed data.
+        # Sources that care thread one through — decode_kafka_batch emits
+        # _msg_order = struct(partition, offset) automatically.
+        log.warning(
+            "process_dns: no _msg_order column on input; first-result-wins "
+            "falls back to deterministic content order (may differ from "
+            "arrival order)"
+        )
     sent = F.col("query_len").isNotNull()
     answered = F.col("response_size").isNotNull()
     derived = raw.select(

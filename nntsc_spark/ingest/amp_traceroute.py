@@ -27,6 +27,8 @@ ip long, as long, hops array<struct<address:string,rtt:bigint,asn:bigint>>``.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,8 @@ from ..functions.scalars import extract_paths_columns
 from .amp_icmp import icmp_stream_props
 from .base import truthy
 from .streams import upsert_dimension
+
+log = logging.getLogger(__name__)
 
 UNIQUE_COLS = ["source", "destination", "family", "packet_size"]
 
@@ -127,10 +131,17 @@ def process_astraceroute(
     """
     _, as_results = split_ip_as(raw)
     # count ties broken deterministically: the source's message order when
-    # provided (_msg_order), else the lexicographically-smallest AS path —
+    # provided (_msg_order — decode_kafka_batch emits struct(partition,
+    # offset) automatically), else the lexicographically-smallest AS path —
     # a reproducible surrogate for the reference's insertion order
     # (monotonically_increasing_id was partition-layout- and
     # retry-dependent; r5 review finding)
+    if "_msg_order" not in as_results.columns:
+        log.warning(
+            "process_astraceroute: no _msg_order column on input; modal-"
+            "aspath count ties fall back to content order (may differ "
+            "from the reference's first-observed-wins on replayed data)"
+        )
     as_results = as_results.withColumn(
         "_order",
         F.col("_msg_order")

@@ -436,6 +436,7 @@ def connected_components(
     src_col: str = "d1",
     dst_col: str = "d2",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label propagation over the near-dup pair graph.
 
@@ -454,40 +455,52 @@ def connected_components(
     convergence (a pathological chain-shaped graph) rather than returning
     silently-unfinished labels.
 
-    Iteration state is ``localCheckpoint``-ed every round: without lineage
+    Iteration state is checkpointed every round: without lineage
     truncation each round's plan contains ALL previous rounds plus the
     whole upstream pair pipeline, so Catalyst re-analyzes and re-codegens
     an ever-growing tree (measured 3-5x the per-round cost on a 500-edge
     graph — and unbounded growth with depth).  This is the same trade
-    GraphX's Pregel makes; on a production cluster where executor loss
-    must be survivable mid-algorithm, swap for reliable ``checkpoint()``
-    with a checkpoint dir — the algorithm is unchanged.
+    GraphX's Pregel makes.  Default is ``localCheckpoint`` (executor
+    block store — fast, but state dies with an executor); pass
+    ``checkpoint_dir=`` to switch to reliable ``checkpoint()`` into that
+    directory (HDFS/S3/local path) so executor loss mid-algorithm is
+    survivable on a production cluster — the algorithm is unchanged.
 
     Output: (node, label) — ``label`` is the smallest node id in the
     component, which doubles as the canonical cluster id.
     """
-    sym = (
+    if checkpoint_dir is not None:
+        # setCheckpointDir is context-global; setting it per-call is safe
+        # (last writer wins) and .checkpoint() requires it
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()  # eager, reliable storage
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    sym = ckpt(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionAll(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["src"] == labels["node"]).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.unionAll(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         improved = (
             new_labels.alias("n")
@@ -530,18 +543,24 @@ def dedup_clusters(
     belongs to a near-dup cluster (singletons are absent — they survive by
     definition and listing them would be corpus-sized output).
     """
-    from pyspark.sql import Window
-
     pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
     cc = connected_components(pairs)
-    # member counts via a window over the cluster label: one shuffle of the
-    # (small) clustered-node table and no size assumptions.  The previous
-    # F.broadcast(sizes) join forced an O(#clusters) table into every
-    # executor — unbounded at corpus scale (r4 advice finding).
-    return cc.select(
+    # member counts via count-groupBy + equi-join, both AQE-sized.  Three
+    # shapes were tried here: F.broadcast(sizes) forces an O(#clusters)
+    # table into every executor (unbounded at corpus scale — r4 advice);
+    # a count window over `label` hashes each cluster's members into ONE
+    # window partition, and `label` is exactly the skew axis when the
+    # corpus holds a giant mirror-set cluster (r5 verdict).  The groupBy
+    # is map-side combinable (a giant cluster partial-aggregates before
+    # the shuffle), the join's build side has one row per key, so AQE's
+    # skew-join split handles a hot label; cc is checkpointed by the
+    # Pregel loop, so its double consumption re-reads stored blocks, not
+    # lineage.
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n_members"),
+        "n_members",
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
 

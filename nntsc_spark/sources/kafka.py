@@ -66,12 +66,22 @@ def decode_kafka_batch(df: DataFrame, schema: StructType) -> DataFrame:
     mode) and are dropped (the reference logs-and-skips undecodable
     messages, parsers/amp.py:202-210) — the any-field-present filter stays
     JVM-side end to end.
+
+    The output carries ``_msg_order`` = struct(partition, offset): a REAL
+    arrival-order column for first-result-wins parsers (amp_dns,
+    amp_traceroute's modal-aspath tie-break).  Kafka offsets are the
+    broker's per-partition arrival sequence — with key-partitioned
+    streams (a stream's messages share a partition) this reproduces the
+    reference's in-order RabbitMQ consumption; cross-partition order is
+    arbitrary but stable.  Parsers that don't care ignore it (their
+    output selects are explicit).
     """
     decoded = df.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r")
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+        F.struct("partition", "offset").alias("_msg_order"),
     )
     any_field = None
     for name in schema.fieldNames():
         c = F.col(f"r.{name}").isNotNull()
         any_field = c if any_field is None else (any_field | c)
-    return decoded.where(any_field).select("r.*")
+    return decoded.where(any_field).select("r.*", "_msg_order")

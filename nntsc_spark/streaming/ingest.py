@@ -27,6 +27,7 @@ never a second append (see storage.write_fact).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,14 @@ from pyspark.sql import functions as F
 
 from ..ingest.streams import attach_stream_ids, upsert_streams
 from ..storage import read_dimension, read_fact, write_dimension, write_fact
+
+log = logging.getLogger(__name__)
+
+#: default driver-side cap on live-export fan-out rows per micro-batch —
+#: far above commitfreq-scale batches (the reference commits every 50
+#: messages, conf/nntsc.conf:61), far below anything that would funnel a
+#: backfill-sized batch through the driver
+LIVE_EXPORT_MAX_ROWS = 100_000
 
 
 class CollectionIngestor:
@@ -49,6 +58,7 @@ class CollectionIngestor:
         stats_path: str | None = None,
         collection: str | None = None,
         exporter=None,
+        live_export_max_rows: int = LIVE_EXPORT_MAX_ROWS,
     ) -> None:
         self.spark = spark
         self.parser = parser
@@ -62,6 +72,7 @@ class CollectionIngestor:
         #: libnntsc/parsers/common.py:246-249)
         self.collection = collection
         self.exporter = exporter
+        self.live_export_max_rows = live_export_max_rows
 
     def _load_streams(self) -> DataFrame | None:
         return read_dimension(self.spark, self.streams_path)
@@ -109,7 +120,26 @@ class CollectionIngestor:
         Micro-batches are small (commitfreq-scale), so iterating them
         driver-side matches the reference's per-row live path; the batch
         boundary marker is the max timestamp (T3 semantics: 'all data up to
-        ts delivered', exporter.py:1304-1349)."""
+        ts delivered', exporter.py:1304-1349).
+
+        The "micro-batches are small" assumption is ENFORCED, not hoped:
+        a batch over ``live_export_max_rows`` (a stream-source replay, a
+        backfill pointed at the live path) skips live fan-out with a loud
+        warning instead of funnelling the whole batch through the driver.
+        Subscribers recover the skipped range from history on their next
+        query — and no PUSH marker is emitted, so nothing falsely claims
+        'all data up to ts delivered'.  ``fact`` is localCheckpoint-ed by
+        process_batch, so the guard count reads stored blocks, not
+        lineage."""
+        n = fact.count()
+        if n > self.live_export_max_rows:
+            log.warning(
+                "skipping live export for collection %s: batch of %d rows "
+                "exceeds live_export_max_rows=%d (subscribers must replay "
+                "this range from history)",
+                self.collection, n, self.live_export_max_rows,
+            )
+            return
         by_stream: dict[int, list[dict]] = {}
         max_ts = 0
         for row in fact.drop(*self.unique_cols).toLocalIterator():

@@ -724,6 +724,55 @@ def test_malicious_pickle_rejected():
     assert safe_loads(zlib.decompress(pack(Msg.REQUEST, body)[6:]))["n"] == 3
 
 
+def test_decompression_bomb_and_oversized_frame_rejected(server):
+    """read_message must bound both the frame length and the decompressed
+    body (r5 advice: a 4 GiB header + ~1000:1 zlib expansion lets any
+    client OOM the server with a tiny bomb frame)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from nntsc_spark.export.protocol import (
+        HDR_FMT,
+        MAX_BODY_BYTES,
+        MAX_FRAME_BYTES,
+        FrameTooLarge,
+        bounded_decompress,
+    )
+
+    # unit level: a bomb payload (300 MiB of zeros, ~300 KiB compressed)
+    bomb = zlib.compress(b"\x00" * (MAX_BODY_BYTES + 1))
+    assert len(bomb) < 1 << 20  # it IS a bomb
+    with _pytest.raises(FrameTooLarge, match="ceiling"):
+        bounded_decompress(bomb)
+    # legit payloads still round-trip
+    assert bounded_decompress(zlib.compress(b"ok" * 10)) == b"ok" * 10
+
+    # wire level: an oversized header is rejected without reading the
+    # payload, the client gets an ERROR frame, then the socket closes
+    s = _connect(server)
+    s.sendall(struct.pack(HDR_FMT, int(Msg.REQUEST), MAX_FRAME_BYTES + 1))
+    mtype, body = read_message(s)
+    assert mtype == Msg.ERROR and "cap" in body["error"]
+    assert s.recv(1) == b""  # server dropped the connection
+    s.close()
+
+    # wire level: a bomb inside an allowed frame size also gets ERROR+drop
+    s2 = _connect(server)
+    s2.sendall(struct.pack(HDR_FMT, int(Msg.REQUEST), len(bomb)) + bomb)
+    mtype2, body2 = read_message(s2)
+    assert mtype2 == Msg.ERROR and "ceiling" in body2["error"]
+    assert s2.recv(1) == b""
+    s2.close()
+
+    # the server is still healthy for well-behaved clients
+    s3 = _connect(server)
+    s3.sendall(pack(Msg.REQUEST, {"request": Req.COLLECTIONS}))
+    assert read_message(s3)[0] == Msg.COLLECTIONS
+    s3.close()
+
+
 def test_history_exact_flush_multiple_terminates(spark, monkeypatch):
     """A label with row count an exact multiple of the flush size must
     still get a final more=False block (r5 review finding: clients

@@ -147,6 +147,52 @@ def test_dns_first_result_per_stream_wins(spark):
     assert len(out) == 1 and out[0]["rtt"] == 111
 
 
+def test_dns_msg_order_beats_content_order(spark):
+    """With a real arrival-order column (_msg_order, as decode_kafka_batch
+    threads through), first-RECEIVED wins even when content order would
+    elect the other row — the reference's amp_dns first-result-wins rule
+    (amp_dns.py:126-129)."""
+    rows = [
+        # arrived FIRST (offset 0) but content-larger (rtt 999)
+        ("amp", 0, "a.ns", "i", "1.2.3.4", "q", "A", "IN", 4096, True, False,
+         False, 40, 100, 999, 0),
+        ("amp", 0, "a.ns", "i", "1.2.3.4", "q", "A", "IN", 4096, True, False,
+         False, 40, 100, 111, 1),
+    ]
+    raw = spark.createDataFrame(rows, DNS_RAW + ", _msg_order long")
+    out = process_dns(raw).collect()
+    assert len(out) == 1 and out[0]["rtt"] == 999
+    assert "_msg_order" not in process_dns(raw).columns
+
+
+def test_kafka_decode_threads_msg_order(spark):
+    """decode_kafka_batch emits _msg_order = struct(partition, offset) so
+    first-result-wins parsers see broker arrival order, not content order
+    (r5 advice: synthesize a real message-order column at the source)."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nntsc_spark.sources.kafka import decode_kafka_batch
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("v", LongType())]
+    )
+    envelope = spark.createDataFrame(
+        [
+            (None, _json.dumps({"source": "a", "v": 9}).encode(),
+             "t", 0, 5, 0),
+            (None, _json.dumps({"source": "a", "v": 1}).encode(),
+             "t", 1, 2, 0),
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp long",
+    )
+    out = {(r._msg_order.partition, r._msg_order.offset): r.v
+           for r in decode_kafka_batch(envelope, schema).collect()}
+    assert out == {(0, 5): 9, (1, 2): 1}
+
+
 THROUGHPUT_RAW = (
     "source string, timestamp long, target string, address string, "
     "protocol string, direction string, duration long, runtime long, "

@@ -77,6 +77,33 @@ def test_connected_components_chain_triangle_and_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches localCheckpoint -> reliable checkpoint():
+    identical labels, and the iteration state actually lands in the
+    directory (so executor loss mid-algorithm is survivable, as the
+    docstring promises)."""
+    from nntsc_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    ckdir = str(tmp_path / "cc-ckpt")
+    got = {
+        r.node: r.label
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    import os
+
+    written = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(ckdir)
+        for f in fns
+    ]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from nntsc_spark.pipeline.dedup import connected_components
 

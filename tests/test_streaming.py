@@ -688,6 +688,54 @@ def test_incremental_spans_across_batches(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "span_index/wins")).count() == n_index
 
 
+def test_live_export_oversized_batch_guard(spark, tmp_path):
+    """The 'micro-batches are small' assumption is enforced: a batch over
+    live_export_max_rows skips live fan-out (no rows, no PUSH marker — a
+    marker would falsely claim delivery) with a warning, while a small
+    batch fans out normally."""
+
+    class StubExporter:
+        def __init__(self):
+            self.published = []
+            self.markers = []
+
+        def publish_live(self, colname, sid, rows):
+            self.published.append((colname, sid, len(rows)))
+
+        def push_marker(self, colname, ts):
+            self.markers.append((colname, ts))
+
+    exp = StubExporter()
+    ing = CollectionIngestor(
+        spark,
+        parser=lambda df: df,
+        unique_cols=["source", "target"],
+        fact_path=str(tmp_path / "fact"),
+        streams_path=str(tmp_path / "streams"),
+        collection="amp-icmp",
+        exporter=exp,
+        live_export_max_rows=5,
+    )
+    small = spark.createDataFrame(
+        [("amp", "d1", 100 + i, float(i)) for i in range(4)],
+        "source string, target string, timestamp long, value double",
+    )
+    ing.process_batch(small)
+    assert sum(n for _, _, n in exp.published) == 4
+    assert exp.markers == [("amp-icmp", 103)]
+
+    big = spark.createDataFrame(
+        [("amp", "d1", 1000 + i, float(i)) for i in range(9)],
+        "source string, target string, timestamp long, value double",
+    )
+    ing.process_batch(big)
+    # nothing new: the oversized batch was skipped, marker included
+    assert sum(n for _, _, n in exp.published) == 4
+    assert exp.markers == [("amp-icmp", 103)]
+    # but the facts were still written (only the live hook is skipped)
+    assert read_fact(spark, str(tmp_path / "fact")).count() == 13
+
+
 def test_streaming_fact_write_retry_is_idempotent(spark, tmp_path):
     """T4 under retry: reprocessing the SAME batch id overwrites the
     batch's own (date, ingest_batch) partitions instead of appending the
