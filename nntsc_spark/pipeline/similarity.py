@@ -679,12 +679,50 @@ def brute_force_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _assign_cells(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only cell assignment (inlined quantizer, zero shuffle):
+    (id, vec, cell, _best) with _best = cosine to the winning centroid."""
+    pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
+    withcs = pre.select(
+        id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
+    )
+    return withcs.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max("_cs").alias("_best"),
+    )
+
+
+def _write_assign_stats(assigned: DataFrame, path: str, kind: str) -> dict:
+    """Append one (kind, n, mean_best_cosine) row to the index's stats
+    table and return it — the anchor for the drift check."""
+    row = assigned.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
+    ).collect()[0]
+    stats = {"kind": kind, "n": int(row["n"]),
+             "mean_best_cosine": float(row["mean_best"] or 0.0)}
+    assigned.sparkSession.createDataFrame(
+        [(kind, stats["n"], stats["mean_best_cosine"])],
+        "kind string, n long, mean_best_cosine double",
+    ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+    return stats
+
+
 def ivf_build_index(
     emb: DataFrame,
     path: str,
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Materialize the IVF-Flat index on disk: the corpus written
     ``partitionBy(cell)`` plus the quantizer as its own tiny table.
@@ -695,25 +733,95 @@ def ivf_build_index(
     Because ``cell`` is a physical partition column, probe filters prune
     at the DIRECTORY level: a query scans nprobe/nlist of the files, not
     nprobe/nlist of the rows of every file.
+
+    ``centroids`` injects a pre-built quantizer (same contract as
+    :func:`ivf_topk`); the build also records the corpus's mean
+    best-cell cosine in ``{path}/stats`` — :func:`ivf_append`'s drift
+    anchor.
     """
     spark = emb.sparkSession
-    cents = centroid_rows(emb, nlist, id_col, vec_col)
-    pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
-    withcs = pre.select(
-        id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
+    cents = centroids if centroids is not None else centroid_rows(
+        emb, nlist, id_col, vec_col
     )
-    assigned = withcs.select(
-        id_col,
-        vec_col,
-        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
-        .cast("int")
-        .alias("cell"),
+    # persist: the assignment projection feeds both the corpus write and
+    # the stats aggregation — one evaluation, not two corpus scans
+    assigned = _assign_cells(emb, cents, id_col, vec_col).persist()
+    assigned.drop("_best").write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/corpus"
     )
-    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/corpus")
     spark.createDataFrame(
         [(c, v) for c, v in enumerate(v for _, v in cents)],
         "cell_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_assign_stats(assigned, path, "build")
+    assigned.unpersist()
+
+
+def ivf_append(
+    new: DataFrame,
+    path: str,
+    drift_tol: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    quantizer's cells and append them to the cell partitions — no corpus
+    rebuild (the streaming-corpus counterpart of :func:`ivf_build_index`,
+    mirroring what streaming/dedup.py does for persistent LSH state).
+
+    Assignment is the same map-only inlined-quantizer projection as the
+    build; the write appends files into the affected ``cell=`` directories
+    only, so an append touches O(batch) data regardless of index size and
+    existing files are never rewritten.  (Retries are caller-managed: a
+    plain parquet append is at-least-once — dedup on ``id_col`` at query
+    time or re-build if an append is known to have double-run.)
+
+    Drift check: a fixed quantizer slowly rots as the distribution moves —
+    new vectors land ever farther from their best centroid, recall decays
+    silently.  Each append compares the batch's mean best-cell cosine to
+    the BUILD-time anchor in ``{path}/stats``; a drop greater than
+    ``drift_tol`` flags ``needs_requantization`` (and every append's stats
+    row is recorded, so the trajectory is inspectable).  Re-quantization
+    itself is deliberate and expensive: re-run :func:`ivf_build_index`
+    (optionally with :func:`kmeans_parallel_centroids`) over the full
+    corpus.
+
+    Returns {n_appended, mean_best_cosine, build_mean_best_cosine,
+    needs_requantization}.
+    """
+    spark = new.sparkSession
+    cents = [
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cell_id")
+        .collect()
+    ]
+    assigned = _assign_cells(new, cents, id_col, vec_col)
+    # one eager pass computes the stats AND fills the cache the write
+    # reads — the assignment projection runs once, not twice
+    assigned = assigned.persist()
+    stats = _write_assign_stats(assigned, path, "append")
+    assigned.drop("_best").write.partitionBy("cell").mode("append").parquet(
+        f"{path}/corpus"
+    )
+    assigned.unpersist()
+    build_rows = (
+        spark.read.parquet(f"{path}/stats")
+        .where(F.col("kind") == "build")
+        .collect()
+    )
+    build_mean = float(build_rows[0]["mean_best_cosine"]) if build_rows else None
+    drift = (
+        build_mean is not None
+        and stats["n"] > 0
+        and build_mean - stats["mean_best_cosine"] > drift_tol
+    )
+    return {
+        "n_appended": stats["n"],
+        "mean_best_cosine": stats["mean_best_cosine"],
+        "build_mean_best_cosine": build_mean,
+        "needs_requantization": bool(drift),
+    }
 
 
 def ivf_query_index(

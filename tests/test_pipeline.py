@@ -579,6 +579,61 @@ def test_ivf_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_ivf_append_matches_full_rebuild_and_flags_drift(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build on half the corpus, append the rest
+    — queries against the appended index must match a full rebuild over
+    the whole corpus with the SAME quantizer; and a distribution-shifted
+    batch trips the drift flag."""
+    from nntsc_spark.pipeline.similarity import (
+        centroid_rows,
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    # quantizer from half A (ids < 8 are even/odd mixed -> derive from A
+    # explicitly so both indexes share it)
+    cents = centroid_rows(half_a, nlist=8)
+
+    ivf_build_index(half_a, str(tmp_path / "inc"), nlist=8, centroids=cents)
+    res = ivf_append(half_b, str(tmp_path / "inc"))
+    assert res["n_appended"] == half_b.count()
+    assert not res["needs_requantization"]  # same distribution, no drift
+
+    ivf_build_index(emb, str(tmp_path / "full"), nlist=8, centroids=cents)
+
+    qids = list(range(6))
+    inc = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+           for r in ivf_query_index(
+               spark, str(tmp_path / "inc"), qids, k=5, nprobe=2).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ivf_query_index(
+                spark, str(tmp_path / "full"), qids, k=5, nprobe=2).collect()}
+    assert inc == full and inc
+
+    # drift needs a corpus with real cluster structure (the synthetic
+    # embeddings are isotropic: ANY batch scores the same against any
+    # quantizer, which is itself the no-drift case and stays unflagged
+    # above).  Build on vectors clustered around two axes -> mean best
+    # cosine ~1; append a batch on a THIRD axis -> best cosine ~0 -> drift.
+    clustered = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.01 * i]) for i in range(8)]
+        + [(i, [0.0, 1.0, 0.0, 0.01 * i]) for i in range(8, 16)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_build_index(clustered, str(tmp_path / "drift"), nlist=2)
+    moved = spark.createDataFrame(
+        [(100 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    res2 = ivf_append(moved, str(tmp_path / "drift"))
+    assert res2["needs_requantization"]
+    assert res2["mean_best_cosine"] < res2["build_mean_best_cosine"] - 0.05
+
+
 def test_deterministic_sample_by_strata_rates(spark, sf_dir):
     from nntsc_spark.pipeline.text import (
         deterministic_sample,

@@ -43,6 +43,54 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
 MAX_PIPELINE_FACTOR = 100
 
 
+def _capped_queries():
+    """The CAPPED production variants — the paths built for the x1000
+    regime the uncapped registered queries can't reach on this box:
+
+    - frequency_bounded: estimate_frequency with the in-code scan bound
+      (last day) + the reference's own 200-diff sampling — the registered
+      row's unbounded full-history sort is the one super-linear probe.
+    - minhash_pruned: verify_prune=True restricts the exact-Jaccard
+      verify to candidate shingles (broadcast semi-join) instead of 3x
+      corpus shingles.
+    - ngram_jaccard_capped: max_df=128 drops shingles shared by more
+      than 128 docs from the inverted index — the quadratic-term guard.
+
+    These run to MAX_CAPPED_FACTOR so the crossover claims in
+    jaccard_verify's and frequency's docstrings carry measured numbers.
+    """
+    from nntsc_spark.operators.frequency import estimate_frequency
+    from nntsc_spark.pipeline.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+    from nntsc_spark.sources.tables import events_fact, load_table
+
+    def frequency_bounded(spark, d):
+        fact = events_fact(spark, d)
+        # cutoff: last day of the table's own range (cheap column-scan
+        # agg, itself linear — part of the measured cost)
+        hi = fact.agg(F.max("timestamp")).collect()[0][0]
+        return estimate_frequency(fact, since=hi - 86_400, max_diffs=200)
+
+    return (
+        {"frequency_bounded": frequency_bounded},
+        {
+            "minhash_pruned": lambda spark, d: minhash_near_duplicates(
+                load_table(spark, d, "documents"), verify_prune=True
+            ),
+            "ngram_jaccard_capped": lambda spark, d: ngram_jaccard_pairs(
+                load_table(spark, d, "documents"), max_df=128
+            ),
+        },
+    )
+
+
+#: capped variants keep going past the uncapped heavies' cutoff — that is
+#: their reason to exist
+MAX_CAPPED_FACTOR = 1000
+
+
 def build_replica(spark, factor: int) -> str:
     out = f"{SCRATCH}/x{factor}"
     if os.path.exists(f"{out}/events.parquet"):
@@ -147,13 +195,24 @@ def main() -> None:
     except (OSError, ValueError):
         cache = {}
 
+    capped_event, capped_pipe = _capped_queries()
+    runners = dict(reg)
+    runners.update(capped_event)
+    runners.update(capped_pipe)
+
     results: dict[int, dict[str, float]] = {}
     for f in factors:
         sf_dir = SF_DIR if f == 1 else build_replica(spark, f)
         todo = [(n, sf_dir) for n in QUERIES]
-        if f <= MAX_PIPELINE_FACTOR:
+        todo += [(n, sf_dir) for n in capped_event]
+        if f <= MAX_PIPELINE_FACTOR or (
+            f <= MAX_CAPPED_FACTOR and capped_pipe
+        ):
             pipe_dir = build_pipeline_replica(spark, f)
-            todo += [(n, pipe_dir) for n in PIPELINE_QUERIES]
+            if f <= MAX_PIPELINE_FACTOR:
+                todo += [(n, pipe_dir) for n in PIPELINE_QUERIES]
+            if f <= MAX_CAPPED_FACTOR:
+                todo += [(n, pipe_dir) for n in capped_pipe]
         row: dict[str, float] = {}
         for name, qdir in todo:
             if (str(f), name) in cache:
@@ -169,7 +228,7 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                reg[name](spark, qdir).toPandas()
+                runners[name](spark, qdir).toPandas()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             row[name] = round(best, 2)
@@ -193,7 +252,9 @@ def main() -> None:
         " | last-step ratio |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
-    for name in QUERIES + PIPELINE_QUERIES:
+    for name in (
+        QUERIES + list(capped_event) + PIPELINE_QUERIES + list(capped_pipe)
+    ):
         cells = [
             f"{results[f][name]:.2f}" if name in results[f] else "—"
             for f in factors
@@ -226,6 +287,12 @@ def main() -> None:
         "All cells are min-of-2, which for the caching pipelines means WARM",
         "steady state (rep 2 reuses the scratch-persist pool — the",
         "production shape, where the corpus caches serve many queries).",
+        "",
+        "frequency_bounded / minhash_pruned / ngram_jaccard_capped are the",
+        "CAPPED production variants (since+max_diffs scan bound; prune-to-",
+        "candidates verify; max_df=128 hot-shingle cap) probed past the",
+        "uncapped heavies' cutoff — the numbers behind the 'use the capped",
+        "path at scale' claims in the operator docstrings.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
