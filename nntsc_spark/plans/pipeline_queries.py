@@ -953,6 +953,93 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.selection import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = deterministic_sample(docs, rate=0.1, salt="dsir")
+    source = docs.join(target.select("doc_id"), "doc_id", "left_anti")
+    return dsir_importance_weights(source, target)
+
+
+# Same deterministic 10% target split; hashed (1,2)-gram OCCURRENCES with
+# the n-prefix before hashing; add-1 smoothing over 10k buckets; per-doc
+# sum of cnt * ln-ratio rounded to 4 (both engines compute IEEE-double ln
+# of the identical quotient).
+_SQL_DSIR_OCC = """
+  SELECT doc_id, is_target,
+         ('0x' || substring(md5('1:' || t.tok), 1, 15))::BIGINT % 10000
+           AS bucket
+  FROM split, LATERAL (SELECT unnest(l) AS tok) t
+  UNION ALL
+  SELECT doc_id, is_target,
+         ('0x' || substring(md5('2:' || b.g), 1, 15))::BIGINT % 10000
+           AS bucket
+  FROM split, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2]
+                   FOR i IN range(greatest(len(l) - 1, 1))]) AS g
+  ) b
+  WHERE b.g IS NOT NULL
+"""
+
+SQL_DSIR_WEIGHTS = f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         ('0x' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 < 1000 AS is_target
+  FROM documents
+), occ AS ({_SQL_DSIR_OCC}),
+src_counts AS (
+  SELECT bucket, count(*) AS cnt_s FROM occ WHERE NOT is_target GROUP BY bucket
+), tgt_counts AS (
+  SELECT bucket, count(*) AS cnt_t FROM occ WHERE is_target GROUP BY bucket
+), totals AS (
+  SELECT (SELECT count(*) FROM occ WHERE NOT is_target) + 10000.0 AS denom_s,
+         (SELECT count(*) FROM occ WHERE is_target) + 10000.0 AS denom_t
+), ratio AS (
+  SELECT s.bucket,
+         ln((coalesce(t.cnt_t, 0) + 1.0) / tt.denom_t)
+         - ln((s.cnt_s + 1.0) / tt.denom_s) AS log_ratio
+  FROM src_counts s LEFT JOIN tgt_counts t ON s.bucket = t.bucket, totals tt
+), doc_b AS (
+  SELECT doc_id, bucket, count(*) AS cnt
+  FROM occ WHERE NOT is_target GROUP BY doc_id, bucket
+)
+SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_features,
+       round(sum(d.cnt * r.log_ratio), 4) AS log_importance
+FROM doc_b d JOIN ratio r ON d.bucket = r.bucket
+GROUP BY d.doc_id
+"""
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.selection import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = deterministic_sample(docs, rate=0.1, salt="dsir")
+    source = docs.join(target.select("doc_id"), "doc_id", "left_anti")
+    return dsir_resample(source, target, k=100)
+
+
+# Gumbel-max importance resampling over the verified weights: priority =
+# log-weight + (-ln(-ln(u))) with u a deterministic md5 uniform; both
+# engines order by the ROUNDED priority (6 dp) with a doc_id tie-break so
+# the top-k boundary cannot flip on last-ulp ln differences.
+SQL_DSIR_RESAMPLE = f"""
+WITH w AS ({SQL_DSIR_WEIGHTS}),
+pri AS (
+  SELECT doc_id, log_importance,
+         round(log_importance + (
+           -ln(-ln((('0x' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 1000000 + 0.5) / 1000000.0))
+         ), 6) AS priority
+  FROM w
+)
+SELECT doc_id, log_importance, priority FROM pri
+ORDER BY priority DESC, doc_id ASC LIMIT 100
+"""
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.corpus import training_corpus
 
@@ -1029,4 +1116,7 @@ TAIL_PIPELINE_REGISTRY = {
     # round-6: Lee-et-al keep-one-copy span dedup (first occurrence
     # survives, later occurrences cut)
     "doc_despan_keepfirst": (q_doc_despan_keepfirst, SQL_DOC_DESPAN_KEEPFIRST),
+    # round-6: DSIR hashed n-gram importance weights + Gumbel-max resample
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
 }

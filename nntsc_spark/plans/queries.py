@@ -365,6 +365,64 @@ LEFT JOIN est e ON k.stream_id = e.stream_id
 """
 
 
+def q_frequency_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 at scale: the bounded production variant of `frequency` — last
+    day of history (pushed-down scan bound) + the reference's own
+    200-diff sampling (exporter.py:509-510).  The unbounded registered
+    row stays the oracle-parity flagship; this row pins the bounded
+    path's semantics so the scale fix is itself oracle-verified."""
+    fact = events_fact(spark, sf_dir)
+    hi = fact.agg(F.max("timestamp")).collect()[0][0]
+    return estimate_frequency(fact, since=int(hi) - 86_400, max_diffs=200)
+
+
+SQL_FREQUENCY_BOUNDED = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp FROM fact
+  WHERE timestamp >= (SELECT max(timestamp) - 86400 FROM fact)
+), numbered AS (
+  SELECT stream_id,
+         row_number() OVER (PARTITION BY stream_id ORDER BY timestamp) AS rn,
+         timestamp - lag(timestamp) OVER (PARTITION BY stream_id ORDER BY timestamp) AS diff
+  FROM bounded
+), d AS (
+  -- row 1 has a NULL diff, so rows 2..201 are the first 200 diffs
+  SELECT stream_id, diff FROM numbered WHERE diff IS NOT NULL AND rn <= 201
+),
+counted AS (
+  SELECT stream_id, diff, count(*) AS cnt FROM d GROUP BY stream_id, diff
+), per_key AS (
+  SELECT stream_id, sum(cnt) AS total, max(cnt) AS mode_cnt,
+         sum(cnt * diff) AS wsum
+  FROM counted GROUP BY stream_id
+), mode_pick AS (
+  SELECT stream_id, diff AS mode_diff FROM (
+    SELECT stream_id, diff,
+           row_number() OVER (PARTITION BY stream_id ORDER BY cnt DESC, diff ASC) AS rn
+    FROM counted) WHERE rn = 1
+), small20 AS (
+  SELECT c.stream_id, min(c.diff) AS small20
+  FROM counted c JOIN per_key p ON c.stream_id = p.stream_id
+  WHERE c.cnt * 5 >= p.total GROUP BY c.stream_id
+), est AS (
+  SELECT p.stream_id,
+         CASE WHEN p.mode_cnt * 2 >= p.total THEN m.mode_diff
+              WHEN s.small20 IS NOT NULL THEN s.small20
+              ELSE CAST(round(p.wsum / p.total) AS BIGINT) END AS frequency
+  FROM per_key p
+  JOIN mode_pick m ON p.stream_id = m.stream_id
+  LEFT JOIN small20 s ON p.stream_id = s.stream_id
+)
+-- key domain stays the UNBOUNDED fact: streams with no recent rows get
+-- the 300 s default, they don't vanish
+SELECT k.stream_id,
+       CAST(coalesce(e.frequency, 300) AS BIGINT) AS frequency
+FROM (SELECT DISTINCT stream_id FROM fact) k
+LEFT JOIN est e ON k.stream_id = e.stream_id
+"""
+
+
 def q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8: stream activity stats (first/last ts, row counts)."""
     fact = events_fact(spark, sf_dir)
@@ -604,6 +662,10 @@ REGISTRY.update(INGEST_REGISTRY)
 # artifact (CORRECTNESS_FULL.json) each round.
 REGISTRY.update(TAIL_REGISTRY)
 REGISTRY["agg_single_bin"] = (q_agg_single_bin, SQL_AGG_SINGLE_BIN)
+# round-6: the bounded production variant of `frequency` (since +
+# max_diffs) — tail row so the scale path is oracle-pinned, not just
+# probed (SCALING.md frequency_bounded)
+REGISTRY["frequency_bounded"] = (q_frequency_bounded, SQL_FREQUENCY_BOUNDED)
 REGISTRY["pricing_summary"] = (q_pricing_summary, SQL_PRICING_SUMMARY)
 REGISTRY["nation_revenue"] = (q_nation_revenue, SQL_NATION_REVENUE)
 from .pipeline_queries import SQL_DEDUP_EXACT, q_dedup_exact  # noqa: E402

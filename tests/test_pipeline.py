@@ -659,6 +659,47 @@ def test_deterministic_sample_by_strata_rates(spark, sf_dir):
         assert have == expect, stratum
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR semantics: a source doc sharing the target corpus's n-grams
+    gets a higher importance weight than an off-distribution doc, and
+    n_features counts unigram + bigram occurrences."""
+    from nntsc_spark.pipeline.selection import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "science paper about neural networks training")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    source = spark.createDataFrame(
+        [
+            (0, "science paper about neural networks inference"),
+            (1, "recipe for chocolate cake with extra butter sugar"),
+            (2, "neural networks training science paper summary"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r for r in dsir_importance_weights(source, target).collect()}
+    # 6 tokens -> 6 unigrams + 5 bigrams
+    assert w[0].n_features == 11
+    assert w[1].n_features == 15  # 8 tokens: 8 + 7
+    # target-like docs beat the recipe
+    assert w[0].log_importance > w[1].log_importance
+    assert w[2].log_importance > w[1].log_importance
+
+    # resampling k=2 keeps the two target-like docs with overwhelming
+    # probability under any Gumbel draw this large a gap dominates; at
+    # minimum the selection is deterministic and ordered by priority
+    picked = dsir_resample(source, target, k=2).collect()
+    assert len(picked) == 2
+    assert [r.doc_id for r in picked] == sorted(
+        (r.doc_id for r in picked),
+        key=lambda d: (-[p.priority for p in picked if p.doc_id == d][0], d),
+    )
+
+
 def test_select_representatives_quality_election(spark):
     from nntsc_spark.pipeline.dedup import select_representatives
 

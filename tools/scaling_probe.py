@@ -145,7 +145,10 @@ def build_pipeline_replica(spark, factor: int) -> str:
     rep = (
         docs.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         .select(
-            (F.col("doc_id") + F.col("i") * F.lit(10_000_000)).alias("doc_id"),
+            # cast BEFORE the multiply: i and the literal are 32-bit ints,
+            # and i * 10M overflows at i >= 215 under ANSI mode (x1000)
+            (F.col("doc_id") + F.col("i").cast("long") * F.lit(10_000_000)
+             ).alias("doc_id"),
             F.expr(
                 "array_join(transform(split(text, ' '), "
                 "t -> concat(t, '#z', i)), ' ')"
@@ -160,7 +163,8 @@ def build_pipeline_replica(spark, factor: int) -> str:
     erep = (
         emb.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         .select(
-            (F.col("vec_id") + F.col("i") * F.lit(1_000_000)).alias("vec_id"),
+            (F.col("vec_id") + F.col("i").cast("long") * F.lit(1_000_000)
+             ).alias("vec_id"),
             "embedding",
             "label",
         )
