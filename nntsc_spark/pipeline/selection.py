@@ -112,20 +112,22 @@ def dsir_importance_weights(
     t_total = tgt_occ.count()
     denom_s = float(s_total + alpha * buckets)
     denom_t = float(t_total + alpha * buckets)
+    # LEFT join from the source counts: only source-side buckets are ever
+    # probed (the scorer joins from source docs), so target-only buckets
+    # are dead weight — and a full-outer here would force a sort-merge
+    # join (Spark can't broadcast full outer) where the left join
+    # broadcasts.  Both sides are <= ``buckets`` rows regardless of
+    # corpus size — the hashing trick is the bound.
     ratio = (
-        src_counts.join(tgt_counts, "bucket", "full")
+        src_counts.join(tgt_counts, "bucket", "left")
         .select(
             "bucket",
             (
                 F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
-                - F.log((F.coalesce(F.col("cnt_s"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_s))
+                - F.log((F.col("cnt_s") + F.lit(alpha)) / F.lit(denom_s))
             ).alias("log_ratio"),
         )
     )
-    # buckets absent from BOTH corpora never appear on the probe side, so
-    # the ratio table needs no full domain materialization; a bucket seen
-    # only in target can't be probed either (probe side is source docs) —
-    # the inner join is exact
     scored = doc_b.join(ratio, "bucket").groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_features"),
         F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4).alias(
