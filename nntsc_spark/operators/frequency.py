@@ -50,6 +50,7 @@ def estimate_frequency(
     key: str = "stream_id",
     since: int | None = None,
     max_diffs: int | None = None,
+    key_source: DataFrame | None = None,
 ) -> DataFrame:
     """Per-key frequency estimate -> DataFrame(key, frequency BIGINT).
 
@@ -67,14 +68,21 @@ def estimate_frequency(
     first 200 diffs (exporter.py:509-510).  Two in-code bounds restore
     scan-linearity for production callers:
 
-    - ``since``: drop rows before this epoch BEFORE the window — a plain
-      timestamp predicate, pushed to the parquet scan, so the sort only
-      ever sees the recent slice (cadence is a property of recent data;
-      this is the bound the export server uses).
+    - ``since``: drop rows before this epoch BEFORE the window.  NOTE on
+      pushdown: when ``fact`` derives its epoch column from a raw
+      timestamp (events_fact), a predicate on the DERIVED column stops at
+      the projection — pass a pre-bounded fact built with the loader's
+      own ``start=`` (literal on the raw column, pushed to the parquet
+      scan) and supply the unbounded table as ``key_source`` instead;
+      ``since`` remains for plain integer-ts facts where it does push.
     - ``max_diffs``: per-stream first-n diff sampling, the literal
       reference rule.  Alone it can't shrink the scan (the sort must see
       each stream's head), but it bounds the aggregation input; combined
-      with ``since`` both stages are bounded.
+      with a scan bound both stages are bounded.
+    - ``key_source``: the table that defines the key DOMAIN (defaults to
+      ``fact``) — with a bounded fact, pass the unbounded table here so
+      streams with no recent rows still get the 300 s default instead of
+      vanishing.
     """
     diffs_src = fact
     if since is not None:
@@ -107,7 +115,9 @@ def estimate_frequency(
     # the reference returns the 300 s default for them (exporter.py:793-796)
     # — left-join the full key set back and fill (r5 review finding:
     # DEFAULT_FREQUENCY was defined but never applied)
-    all_keys = fact.select(key).dropDuplicates()
+    all_keys = (key_source if key_source is not None else fact).select(
+        key
+    ).dropDuplicates()
     return all_keys.join(out, key, "left").select(
         key,
         F.coalesce(F.col("frequency"), F.lit(DEFAULT_FREQUENCY))

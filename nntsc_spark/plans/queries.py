@@ -373,7 +373,12 @@ def q_frequency_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     path's semantics so the scale fix is itself oracle-verified."""
     fact = events_fact(spark, sf_dir)
     hi = fact.agg(F.max("timestamp")).collect()[0][0]
-    return estimate_frequency(fact, since=int(hi) - 86_400, max_diffs=200)
+    # the bound goes through the LOADER's start= so it lands on the RAW
+    # ts column and pushes to the parquet scan (a `since` filter on the
+    # derived epoch column stops at the projection); the unbounded fact
+    # supplies the key domain so quiet streams keep their 300 s default
+    bounded = events_fact(spark, sf_dir, start=int(hi) - 86_400)
+    return estimate_frequency(bounded, max_diffs=200, key_source=fact)
 
 
 SQL_FREQUENCY_BOUNDED = f"""

@@ -172,6 +172,39 @@ def test_duplicate_spans_no_cartesian_no_pair_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_frequency_bounded_since_filter_pushes_to_scan(spark, sf_dir):
+    # the whole point of the bound: the `since` cutoff must reach the
+    # parquet scan as a pushed filter on the RAW ts column, so the
+    # per-stream window sort only ever sees the recent slice
+    plan = plan_text(spark, sf_dir, "frequency_bounded")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("GreaterThanOrEqual(ts" in p for p in pushed), pushed
+
+
+def test_dsir_no_smj_no_cartesian(spark, sf_dir):
+    # the ratio table is bounded by `buckets`, so every scoring join must
+    # broadcast; a SortMergeJoin here means the full-outer regression
+    # came back (or AQE lost the size bound), a cartesian means the
+    # hashing-trick structure broke
+    for name in ("dsir_weights", "dsir_resample"):
+        plan = plan_text(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # the resample's global top-k must not be a single-reducer full sort
+    plan = plan_text(spark, sf_dir, "dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_despan_keepfirst_no_window_over_win(spark, sf_dir):
+    # the first-occurrence election must stay a min(struct) aggregate —
+    # a row_number window partitioned by the window text would hash every
+    # occurrence of a hot boilerplate window into ONE partition
+    plan = plan_text(spark, sf_dir, "doc_despan_keepfirst")
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"Window \[.{0,120}partitionBy=\[win", plan), "window over win"
+    assert not re.search(r"row_number\(\).{0,80}PARTITION BY win", plan)
+
+
 def test_ngram_decontaminate_distinct_build_side(spark, sf_dir):
     # the train corpus must collapse to DISTINCT n-grams BEFORE the join
     # (skew guard: a hot phrase is one build-side row).  In the plan that
