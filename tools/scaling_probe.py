@@ -90,6 +90,13 @@ def _capped_queries():
 #: their reason to exist
 MAX_CAPPED_FACTOR = 1000
 
+#: per-query factor ceilings for cells this single box physically cannot
+#: hold: ngram_jaccard_capped at x1000 (5M docs) writes a shuffle larger
+#: than the machine's disk (~200 GB spill, 'No space left on device') —
+#: the shape is linear in corpus size (see the x10->x100 step), the limit
+#: is local disk, which a cluster provides per-node
+PER_QUERY_MAX_FACTOR = {"ngram_jaccard_capped": 100}
+
 
 def build_replica(spark, factor: int) -> str:
     out = f"{SCRATCH}/x{factor}"
@@ -219,6 +226,8 @@ def main() -> None:
                 todo += [(n, pipe_dir) for n in capped_pipe]
         row: dict[str, float] = {}
         for name, qdir in todo:
+            if f > PER_QUERY_MAX_FACTOR.get(name, MAX_CAPPED_FACTOR):
+                continue
             if (str(f), name) in cache:
                 row[name] = cache[(str(f), name)]
                 continue
@@ -230,11 +239,18 @@ def main() -> None:
             # produced a phantom 13.7x for dedup_minhash: cold single-rep
             # x100 over warm min-of-2 x10; warm-over-warm is 2.5x).
             best = None
-            for _ in range(2):
-                t0 = time.time()
-                runners[name](spark, qdir).toPandas()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    runners[name](spark, qdir).toPandas()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as exc:
+                # a cell the box can't hold (executor OOM, disk-full
+                # shuffle) must cost a gap in the table, not the whole
+                # run — every other cell still gets measured and written
+                print(f"  x{f} {name}: FAILED ({exc})"[:300], file=sys.stderr)
+                continue
             row[name] = round(best, 2)
             cache[(str(f), name)] = row[name]
             with open(state_path, "w") as fh:
@@ -278,9 +294,12 @@ def main() -> None:
         "linear scaling; above ~12x would flag a super-linear operator.",
         "frequency is the one SORT-bound row (per-stream lag window over",
         "the full history): its step runs n*log(n) plus external-sort",
-        "spill, so ~12-13x per decade is its expected near-linear shape —",
-        "production estimates bound the window to recent history anyway",
-        "(the export server estimates over delivered rows).",
+        "spill, so ~12-13x per decade is its expected near-linear shape.",
+        "Its production bound is the frequency_bounded row (events_fact",
+        "start= scan bound + max_diffs=200, oracle-pinned as a registered",
+        "query): the pushed-down cutoff keeps the sort input at the recent",
+        "slice, which is why its curve stays near-flat where the unbounded",
+        "row climbs.",
         "",
         f"The last {len(PIPELINE_QUERIES)} rows are the pipeline heavies over Nx-replicated",
         "documents/embeddings with LINEAR duplicate structure (per-replica",
@@ -297,6 +316,16 @@ def main() -> None:
         "candidates verify; max_df=128 hot-shingle cap) probed past the",
         "uncapped heavies' cutoff — the numbers behind the 'use the capped",
         "path at scale' claims in the operator docstrings.",
+        "ngram_jaccard_capped is the one single-box-bound row: its",
+        "inverted-index shuffle VOLUME grows linearly (the max_df cap's",
+        "job — no quadratic pair term), but on one machine that volume",
+        "crosses executor memory at x100 (the 14.6x step is the in-memory",
+        "-> on-disk shuffle transition, not algorithmic growth) and",
+        "exceeds local disk entirely at x1000 (~200 GB spill), so the",
+        "x1000 cell is unmeasurable here.  On a cluster the same bytes",
+        "spread across nodes' memory and disks; when per-node volume",
+        "still bites, dedup_minhash (9.7x/decade pruned, to x1000) is the",
+        "built-in lighter-shuffle near-dup path.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
