@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_long, token_windows
+from .dedup import md5_long, scratch_persist, token_windows
 
 DEFAULT_BUCKETS = 10_000
 
@@ -97,7 +97,17 @@ def dsir_importance_weights(
     ``n_features`` (the occurrence count) is carried so callers can
     length-normalize if they want per-token scores.
     """
-    src_occ = ngram_bucket_occurrences(source, text_col, ns, buckets)
+    # the source occurrence table feeds BOTH the bucket counts and the
+    # per-doc scoring probe — persist + eager count so the tokenize+
+    # explode lineage runs once, not per consumer (the module convention;
+    # unpersisted, the totals' .count() actions re-ran the explode too,
+    # 3x total on the source side).  The target side has one heavy
+    # consumer (its counts table), so no corpus-sized persist: its total
+    # comes from the tiny counts table instead of a second explode.
+    src_occ = scratch_persist(
+        ngram_bucket_occurrences(source, text_col, ns, buckets)
+    )
+    s_total = src_occ.count()  # fills the cache AND is the total
     tgt_occ = ngram_bucket_occurrences(target, text_col, ns, buckets)
     # per-(doc, bucket) counts first: the scoring join's probe side is
     # distinct buckets per doc, not raw occurrences
@@ -105,11 +115,10 @@ def dsir_importance_weights(
         F.count(F.lit(1)).alias("cnt")
     )
     src_counts = _bucket_counts(src_occ, "cnt_s")
-    tgt_counts = _bucket_counts(tgt_occ, "cnt_t")
+    tgt_counts = scratch_persist(_bucket_counts(tgt_occ, "cnt_t"))
+    t_total = tgt_counts.agg(F.sum("cnt_t")).collect()[0][0] or 0
     # totals are single-row aggregates; inline them as literals so the
     # ratio table is a pure projection over the joined counts
-    s_total = src_occ.count()
-    t_total = tgt_occ.count()
     denom_s = float(s_total + alpha * buckets)
     denom_t = float(t_total + alpha * buckets)
     # LEFT join from the source counts: only source-side buckets are ever
