@@ -311,11 +311,18 @@ def jaccard_verify(
             .distinct()
         )
         src = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
-    s1 = src.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = src.select(F.col("doc_id").alias("d2"), "shingle")
+    # intersection joins key on the 60-bit md5 of the shingle: the two
+    # verify exchanges move 8-byte longs instead of n-gram text (~4x
+    # fewer shuffle bytes — this tail runs inside every minhash/
+    # contamination call).  Exact modulo 2^-60 collisions, and the DuckDB
+    # oracles hash identically (_JACCARD_TAIL), so even a collision
+    # matches.  Set sizes stay string-distinct.
+    src_h = src.select("doc_id", md5_long(F.col("shingle")).alias("sh_h"))
+    s1 = src_h.select(F.col("doc_id").alias("d1"), "sh_h")
+    s2 = src_h.select(F.col("doc_id").alias("d2"), "sh_h")
     inter = (
         pairs.join(s1, "d1")
-        .join(s2, ["d2", "shingle"])
+        .join(s2, ["d2", "sh_h"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -970,10 +977,18 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    s1 = idx.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = idx.select(F.col("doc_id").alias("d2"), "shingle")
+    # the self-join keys on the 60-bit md5 of the shingle, not the string:
+    # the two index exchanges carry 8-byte longs instead of n-gram text
+    # (~4x fewer shuffle bytes — the difference between spilling and not
+    # at the x100 probe).  Intersection counts are therefore exact modulo
+    # 60-bit collisions (~2^-60 per shingle pair, and the DuckDB oracle
+    # hashes identically, so even a collision matches).  Set sizes stay
+    # string-distinct.
+    idx_h = idx.select("doc_id", md5_long(F.col("shingle")).alias("sh"))
+    s1 = idx_h.select(F.col("doc_id").alias("d1"), "sh")
+    s2 = idx_h.select(F.col("doc_id").alias("d2"), "sh")
     inter = (
-        s1.join(s2, "shingle")
+        s1.join(s2, "sh")
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_inter"))

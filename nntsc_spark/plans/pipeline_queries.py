@@ -194,11 +194,19 @@ _BANDS_CTE = (
 )
 
 _JACCARD_TAIL = """
+-- the Spark verify joins on the 60-bit md5 of the shingle (shuffle
+-- compression, dedup.jaccard_verify); hash identically here so even a
+-- collision would match
+jhash AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+  FROM shingles
+),
 inter AS (
   SELECT c.d1, c.d2, count(*) AS n_inter
   FROM cand c
-  JOIN shingles s1 ON s1.doc_id = c.d1
-  JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+  JOIN jhash s1 ON s1.doc_id = c.d1
+  JOIN jhash s2 ON s2.doc_id = c.d2 AND s2.sh_h = s1.sh_h
   GROUP BY c.d1, c.d2
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
@@ -269,10 +277,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_SHINGLES_CTE},
+-- the Spark side self-joins on the 60-bit md5 of the shingle (shuffle
+-- compression); hash identically so even a collision would match
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh
+  FROM shingles
+),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hashed a JOIN hashed b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id

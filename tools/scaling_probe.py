@@ -91,11 +91,11 @@ def _capped_queries():
 MAX_CAPPED_FACTOR = 1000
 
 #: per-query factor ceilings for cells this single box physically cannot
-#: hold: ngram_jaccard_capped at x1000 (5M docs) writes a shuffle larger
-#: than the machine's disk (~200 GB spill, 'No space left on device') —
-#: the shape is linear in corpus size (see the x10->x100 step), the limit
-#: is local disk, which a cluster provides per-node
-PER_QUERY_MAX_FACTOR = {"ngram_jaccard_capped": 100}
+#: hold (empty since the hashed-key join cut the ngram index shuffle ~4x;
+#: re-add `{"query": 100}` entries if a cell hits 'No space left on
+#: device' again — the resilient per-cell try/except records a gap either
+#: way)
+PER_QUERY_MAX_FACTOR: dict[str, int] = {}
 
 
 def build_replica(spark, factor: int) -> str:
