@@ -316,15 +316,17 @@ def main() -> None:
         "candidates verify; max_df=128 hot-shingle cap) probed past the",
         "uncapped heavies' cutoff — the numbers behind the 'use the capped",
         "path at scale' claims in the operator docstrings.",
-        "ngram_jaccard_capped is the one single-box-bound row: its",
+        "ngram_jaccard_capped is the one spill-bound row: its",
         "inverted-index shuffle VOLUME grows linearly (the max_df cap's",
         "job — no quadratic pair term), but on one machine that volume",
-        "crosses executor memory at x100 (the 14.6x step is the in-memory",
-        "-> on-disk shuffle transition, not algorithmic growth) and",
-        "exceeds local disk entirely at x1000 (~200 GB spill), so the",
-        "x1000 cell is unmeasurable here.  On a cluster the same bytes",
-        "spread across nodes' memory and disks; when per-node volume",
-        "still bites, dedup_minhash (9.7x/decade pruned, to x1000) is the",
+        "crosses executor memory around x100 and runs disk-speed from",
+        "there (~13-15x per decade = linear bytes at spill bandwidth, not",
+        "algorithmic growth).  Keying the intersection joins on 60-bit",
+        "md5 longs instead of shingle strings (~4x fewer shuffle bytes)",
+        "is what brought the x1000 cell inside this box's disk at all —",
+        "the string version died on 'No space left on device'.  On a",
+        "cluster the same bytes spread across nodes; when per-node volume",
+        "still bites, minhash_pruned (~10x/decade to x1000) is the",
         "built-in lighter-shuffle near-dup path.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
