@@ -147,6 +147,77 @@ def test_subscribe_history_live_seam(server):
     s.close()
 
 
+def test_seam_drain_preserves_per_stream_order(spark, monkeypatch):
+    """r5 advice regression: rows published WHILE the buffered backlog is
+    draining must queue behind it, never overtake it.  The old shape
+    flipped waiting=False before draining, so a fresh publish raced ahead
+    of older buffered rows.  A slowed _send_live opens the race window
+    deterministically."""
+    import time as _time
+
+    import nntsc_spark.export.server as srv_mod
+
+    fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(5)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    real_send_live = srv_mod.ExportServer._send_live
+
+    def slow_send_live(self, sub, sid, row):
+        _time.sleep(0.05)  # hold the drain loop open
+        real_send_live(self, sub, sid, row)
+
+    monkeypatch.setattr(srv_mod.ExportServer, "_send_live", slow_send_live)
+    srv.start()
+    try:
+        s = _connect(srv)
+        # buffer rows DURING history: subscribe registers before the
+        # history query runs, so publish a backlog right away
+        s.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"L": [1]},
+                 "start": 1, "stop": 10_000},
+            )
+        )
+        # wait until the subscription is registered and waiting
+        for _ in range(200):
+            with srv._lock:
+                if srv._subs:
+                    break
+            _time.sleep(0.01)
+        backlog = [
+            {"timestamp": 20_000 + i, "value": float(i), "stream_id": 1,
+             "nntsclabel": "L"}
+            for i in range(10)
+        ]
+        srv.publish_live("amp-icmp", 1, backlog)
+        # drain history; then, while the slowed backlog drain is running,
+        # publish newer rows — they must come out AFTER the backlog
+        _drain_until(s, Msg.HISTORY_DONE, limit=50)
+        late = [
+            {"timestamp": 30_000 + i, "value": 100.0 + i, "stream_id": 1,
+             "nntsclabel": "L"}
+            for i in range(3)
+        ]
+        srv.publish_live("amp-icmp", 1, late)
+        got = []
+        while len(got) < 13:
+            m = read_message(s)
+            assert m is not None
+            if m[0] == Msg.LIVE:
+                got.append(m[1]["result"]["timestamp"])
+        assert got == sorted(got), got  # per-stream order preserved
+        assert got[:10] == [20_000 + i for i in range(10)]
+        s.close()
+    finally:
+        srv.stop()
+
+
 def test_error_reply_keeps_connection(server):
     s = _connect(server)
     s.sendall(pack(Msg.AGGREGATE, {"collection": "nope", "labels": {}}))
