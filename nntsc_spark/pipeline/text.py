@@ -332,6 +332,50 @@ def deterministic_sample_by(
     return docs.where(bucket < thr_expr)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    budget_docs: int | None = None,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-LM mixing
+    rule (sampling share of source s ∝ n_s^alpha, e.g. mBERT/XLM-R's
+    exponent-smoothed language sampling): alpha < 1 flattens the mixture,
+    shrinking dominant sources' share and boosting the long tail, without
+    anyone hand-writing a rates table.
+
+    Rates derive from the data: share_s = n_s^alpha / Σ n^alpha, desired
+    docs m_s = budget * share_s, rate_s = min(1, m_s / n_s) (sampling
+    without replacement cannot upsample past a source's own size — the
+    min documents where the boost saturates).  ``budget_docs`` defaults
+    to the corpus size.  Selection delegates to
+    :func:`deterministic_sample_by`, so membership is the same
+    layout-independent md5 rule, rates nest per salt, and the whole
+    sampler stays one codegen projection + filter.
+
+    Distributed shape: the per-source counts are ONE map-side-combinable
+    aggregation collected driver-side — the table is bounded by the
+    number of SOURCES (human-scale by construction), never corpus-sized.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return deterministic_sample_by(docs, {}, strata_col, key_col, salt)
+    weights = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    z = sum(weights.values())
+    budget = float(budget_docs if budget_docs is not None else sum(counts.values()))
+    rates = {
+        s: min(1.0, budget * (weights[s] / z) / counts[s]) for s in counts
+    }
+    return deterministic_sample_by(docs, rates, strata_col, key_col, salt)
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,

@@ -968,6 +968,35 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import temperature_sample
+
+    return temperature_sample(load_table(spark, sf_dir, "documents"), alpha=0.7)
+
+
+# Data-derived rates: share_s = n_s^0.7 / sum(n^0.7), rate_s =
+# min(1, total*share_s/n_s), thresholded as round(rate*10000) against the
+# same md5('temp'||doc_id) bucket the Spark sampler uses.  pow() is IEEE
+# double on both engines; the integer threshold could differ only if
+# rate*10000 sat within ~1e-11 of a rounding boundary — not a value
+# n^0.7 ratios can hit.
+SQL_MIXTURE_SAMPLE = """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n) AS total, sum(pow(n, 0.7)) AS z FROM counts
+), rates AS (
+  SELECT c.source,
+         CAST(round(least(1.0, (t.total * pow(c.n, 0.7) / t.z) / c.n)
+                    * 10000) AS BIGINT) AS thr
+  FROM counts c, tot t
+)
+SELECT d.* FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 10000 < r.thr
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.selection import dsir_importance_weights
 
@@ -1134,4 +1163,6 @@ TAIL_PIPELINE_REGISTRY = {
     # round-6: DSIR hashed n-gram importance weights + Gumbel-max resample
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    # round-6: temperature-smoothed mixture sampling (n^alpha shares)
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }
