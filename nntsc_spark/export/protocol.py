@@ -112,6 +112,11 @@ def bounded_decompress(payload: bytes, limit: int = MAX_BODY_BYTES) -> bytes:
         raise FrameTooLarge(
             f"decompressed body exceeds {limit} byte ceiling"
         )
+    if d.unused_data:
+        # bytes AFTER a complete zlib stream land in unused_data, not
+        # unconsumed_tail — without this check trailing garbage was
+        # silently accepted (r6 advice finding)
+        raise FrameTooLarge("trailing garbage after compressed body")
     return body
 
 

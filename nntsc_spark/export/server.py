@@ -544,7 +544,12 @@ class ExportServer:
                     return
                 buffered, sub.buffered = sub.buffered, []
             for _colid, sid, row in buffered:
-                if (row.get("timestamp") or 0) > sub.last_by_stream.get(sid, 0):
+                # None bound = no history shipped for this stream -> no
+                # seam to dedup against: forward unconditionally (a 0
+                # default silently dropped legitimate ts-0/None rows on
+                # the no-history path — r6 advice finding)
+                bound = sub.last_by_stream.get(sid)
+                if bound is None or (row.get("timestamp") or 0) > bound:
                     self._send_live(sub, sid, row)
 
     def _handle_subscribe(self, sock: socket.socket, body) -> None:
@@ -611,11 +616,17 @@ class ExportServer:
             timed_out = True
         # per-stream seam bounds: each stream inherits ITS label's history
         # end, so a lagging stream's live rows are never dropped against
-        # another label's newer history (reference exporter.py:1026-1052)
+        # another label's newer history (reference exporter.py:1026-1052).
+        # Labels that shipped NO history record no bound at all — the seam
+        # filter must not invent a 0 threshold that would drop ts-0 live
+        # rows on a history-less stream (r6 advice finding)
         for label, sids in labels.items():
+            if label not in last:
+                continue
             for sid in sids:
-                sub.last_by_stream[int(sid)] = max(
-                    sub.last_by_stream.get(int(sid), 0), last.get(label, 0)
+                prev = sub.last_by_stream.get(int(sid))
+                sub.last_by_stream[int(sid)] = (
+                    last[label] if prev is None else max(prev, last[label])
                 )  # a stream in several labels keeps its newest bound
         if not timed_out:
             for label in labels:

@@ -154,7 +154,7 @@ def dsir_resample(
     ns: tuple[int, ...] = (1, 2),
     buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
-    salt: str = "dsir",
+    salt: str = "dsir-gumbel",
 ) -> DataFrame:
     """Sample ``k`` source documents without replacement with probability
     proportional to exp(log_importance) — the Gumbel-max trick: top-k of
@@ -162,6 +162,13 @@ def dsir_resample(
     importance sampling exactly, and the uniforms are deterministic md5
     draws keyed on (salt, doc_id), so the sample is layout-independent
     and reproducible (same convention as text.deterministic_sample).
+
+    The default salt is deliberately DISTINCT from any salt a caller
+    might have used to carve the target split: if the draw reuses the
+    split salt, every source doc's hash residue lies in the split's
+    rejection region and the "uniform" is striped — the Gumbel noise is
+    biased and selection stops being exactly weight-proportional (r6
+    advice finding).
 
     One window-free top-k: priority is a projection, the global top-k is
     an ORDER BY + LIMIT the optimizer executes as per-partition top-k +

@@ -322,12 +322,21 @@ def deterministic_sample_by(
     bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
     # thresholds precomputed as INTEGERS driver-side (round, don't
     # truncate — see deterministic_sample) so the comparison literal is
-    # exact on both the Spark and oracle sides
+    # exact on both the Spark and oracle sides.  A None key in ``rates``
+    # is the NULL stratum (matched with isNull — an equality literal
+    # never matches NULL); the sort key is None-safe because sorted()
+    # raises on None-vs-str comparison (r6 advice finding).
     thr_expr = F.lit(int(round(float(default_rate) * SAMPLE_MOD)))
-    for stratum, rate in sorted(rates.items()):
+    for stratum, rate in sorted(
+        rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        cond = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
         thr_expr = F.when(
-            F.col(strata_col) == stratum,
-            F.lit(int(round(float(rate) * SAMPLE_MOD))),
+            cond, F.lit(int(round(float(rate) * SAMPLE_MOD)))
         ).otherwise(thr_expr)
     return docs.where(bucket < thr_expr)
 
@@ -358,6 +367,10 @@ def temperature_sample(
     Distributed shape: the per-source counts are ONE map-side-combinable
     aggregation collected driver-side — the table is bounded by the
     number of SOURCES (human-scale by construction), never corpus-sized.
+
+    Rows with a NULL stratum form their own bucket (the groupBy yields a
+    None key and :func:`deterministic_sample_by` matches it with isNull)
+    — previously a NULL source crashed the rate sort (r6 advice finding).
     """
     counts = {
         r[strata_col]: r["n"]

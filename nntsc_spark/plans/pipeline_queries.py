@@ -1068,13 +1068,16 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gumbel-max importance resampling over the verified weights: priority =
 # log-weight + (-ln(-ln(u))) with u a deterministic md5 uniform; both
 # engines order by the ROUNDED priority (6 dp) with a doc_id tie-break so
-# the top-k boundary cannot flip on last-ulp ln differences.
+# the top-k boundary cannot flip on last-ulp ln differences.  The Gumbel
+# draw salt ('dsir-gumbel') is distinct from the split salt ('dsir') —
+# reusing it striped the uniform over the split's surviving residues and
+# biased the noise (r6 advice finding).
 SQL_DSIR_RESAMPLE = f"""
 WITH w AS ({SQL_DSIR_WEIGHTS}),
 pri AS (
   SELECT doc_id, log_importance,
          round(log_importance + (
-           -ln(-ln((('0x' || substring(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           -ln(-ln((('0x' || substring(md5('dsir-gumbel' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                     % 1000000 + 0.5) / 1000000.0))
          ), 6) AS priority
   FROM w

@@ -412,6 +412,54 @@ def test_merge_aggregators_forms():
     ]
 
 
+def test_release_live_no_history_forwards_ts0_rows(spark, monkeypatch):
+    """r6 advice regression: on the no-history path there is no seam bound
+    recorded, so the drain must forward EVERY buffered row — including
+    timestamp 0/None, which a defaulted 0 threshold silently dropped.
+    A recorded bound still dedups at-or-before-seam rows."""
+    import nntsc_spark.export.server as srv_mod
+
+    fact = spark.createDataFrame(
+        [(1, 100, 1.0)], "stream_id long, timestamp long, value double"
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    sent = []
+    monkeypatch.setattr(
+        srv_mod.ExportServer,
+        "_send_live",
+        lambda self, sub, sid, row: sent.append((sid, row.get("timestamp"))),
+    )
+    sub = srv_mod.Subscription(
+        sock=None, colname="amp-icmp", stream_ids={1}, columns=None,
+        start=None, end=None,
+    )
+    sub.buffered = [
+        (0, 1, {"timestamp": 0, "value": 1.0}),
+        (0, 1, {"timestamp": None, "value": 2.0}),
+        (0, 1, {"timestamp": 50, "value": 3.0}),
+    ]
+    srv._release_live(sub)  # no bounds recorded -> all three forward
+    assert sent == [(1, 0), (1, None), (1, 50)]
+    assert sub.waiting is False
+
+    sent.clear()
+    sub2 = srv_mod.Subscription(
+        sock=None, colname="amp-icmp", stream_ids={1}, columns=None,
+        start=None, end=None,
+    )
+    sub2.last_by_stream[1] = 50  # history shipped up to ts=50
+    sub2.buffered = [
+        (0, 1, {"timestamp": 0, "value": 1.0}),   # at/below seam: dropped
+        (0, 1, {"timestamp": 50, "value": 3.0}),  # duplicate of history
+        (0, 1, {"timestamp": 51, "value": 4.0}),  # past seam: forwarded
+    ]
+    srv._release_live(sub2)
+    assert sent == [(1, 51)]
+
+
 def test_subscribe_start_zero_is_live_only(server):
     """exporter.py:284-293: start=0 normalizes to 'now' -> empty history,
     but the live subscription is active immediately."""
@@ -819,6 +867,10 @@ def test_decompression_bomb_and_oversized_frame_rejected(server):
         bounded_decompress(bomb)
     # legit payloads still round-trip
     assert bounded_decompress(zlib.compress(b"ok" * 10)) == b"ok" * 10
+    # trailing garbage after a COMPLETE zlib stream lands in unused_data
+    # (not unconsumed_tail) and must be rejected, not silently dropped
+    with _pytest.raises(FrameTooLarge, match="trailing garbage"):
+        bounded_decompress(zlib.compress(b"hi") + b"GARBAGE")
 
     # wire level: an oversized header is rejected without reading the
     # payload, the client gets an ERROR frame, then the socket closes

@@ -659,6 +659,30 @@ def test_deterministic_sample_by_strata_rates(spark, sf_dir):
         assert have == expect, stratum
 
 
+def test_samplers_handle_null_strata(spark):
+    """r6 advice regression: a NULL stratum must neither crash the rate
+    sort (None vs str) nor be silently unsampleable — it forms its own
+    bucket matched with isNull."""
+    from nntsc_spark.pipeline.text import (
+        deterministic_sample_by,
+        temperature_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else None, f"text {i}") for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    # explicit None-keyed rate: keep ALL null-stratum rows, no web rows
+    out = deterministic_sample_by(
+        docs, {None: 1.0, "web": 0.0}, salt="s"
+    ).collect()
+    assert len(out) == 20 and all(r.source is None for r in out)
+    # temperature_sample over a corpus containing NULL strata must not
+    # raise and must cover both buckets at alpha=1 / full budget
+    full = temperature_sample(docs, alpha=1.0).collect()
+    assert len(full) == 40
+
+
 def test_dsir_weights_rank_target_like_docs_higher(spark):
     """DSIR semantics: a source doc sharing the target corpus's n-grams
     gets a higher importance weight than an off-distribution doc, and
