@@ -679,6 +679,11 @@ def brute_force_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+#: per-batch partition column in the persisted IVF corpus — the idempotence
+#: key for ivf_append's dynamic partition overwrite (0 = build-time rows)
+APPEND_BATCH_COL = "append_batch"
+
+
 def _assign_cells(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -701,18 +706,35 @@ def _assign_cells(
     )
 
 
-def _write_assign_stats(assigned: DataFrame, path: str, kind: str) -> dict:
-    """Append one (kind, n, mean_best_cosine) row to the index's stats
-    table and return it — the anchor for the drift check."""
+def _write_assign_stats(
+    assigned: DataFrame, path: str, kind: str, batch_id: int
+) -> dict:
+    """Record one (kind, batch_id, n, mean_best_cosine) row in the index's
+    stats table and return it — the anchor for the drift check.
+
+    The table is partitioned by ``batch_id`` and writes are idempotent:
+    a BUILD (batch_id 0) statically overwrites the whole table, clearing
+    every prior build and stale append row (an appending build left
+    multiple 'build' rows and the drift anchor picked one arbitrarily —
+    r6 advice finding); an APPEND dynamically overwrites only its own
+    batch partition, so a retried batch replaces its stats row instead
+    of duplicating it.
+    """
     row = assigned.agg(
         F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
     ).collect()[0]
     stats = {"kind": kind, "n": int(row["n"]),
              "mean_best_cosine": float(row["mean_best"] or 0.0)}
-    assigned.sparkSession.createDataFrame(
-        [(kind, stats["n"], stats["mean_best_cosine"])],
-        "kind string, n long, mean_best_cosine double",
-    ).coalesce(1).write.mode("append").parquet(f"{path}/stats")
+    out = assigned.sparkSession.createDataFrame(
+        [(kind, int(batch_id), stats["n"], stats["mean_best_cosine"])],
+        "kind string, batch_id long, n long, mean_best_cosine double",
+    ).coalesce(1).write.partitionBy("batch_id")
+    if kind == "build":
+        out.mode("overwrite").parquet(f"{path}/stats")
+    else:
+        out.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(f"{path}/stats")
     return stats
 
 
@@ -746,20 +768,27 @@ def ivf_build_index(
     # persist: the assignment projection feeds both the corpus write and
     # the stats aggregation — one evaluation, not two corpus scans
     assigned = _assign_cells(emb, cents, id_col, vec_col).persist()
-    assigned.drop("_best").write.partitionBy("cell").mode("overwrite").parquet(
-        f"{path}/corpus"
+    # append_batch=0 marks build-time rows; the extra partition level is
+    # what lets ivf_append overwrite exactly its own batch on retry
+    (
+        assigned.drop("_best")
+        .withColumn(APPEND_BATCH_COL, F.lit(0))
+        .write.partitionBy("cell", APPEND_BATCH_COL)
+        .mode("overwrite")
+        .parquet(f"{path}/corpus")
     )
     spark.createDataFrame(
         [(c, v) for c, v in enumerate(v for _, v in cents)],
         "cell_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_assign_stats(assigned, path, "build")
+    _write_assign_stats(assigned, path, "build", 0)
     assigned.unpersist()
 
 
 def ivf_append(
     new: DataFrame,
     path: str,
+    batch_id: int,
     drift_tol: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -770,11 +799,16 @@ def ivf_append(
     mirroring what streaming/dedup.py does for persistent LSH state).
 
     Assignment is the same map-only inlined-quantizer projection as the
-    build; the write appends files into the affected ``cell=`` directories
-    only, so an append touches O(batch) data regardless of index size and
-    existing files are never rewritten.  (Retries are caller-managed: a
-    plain parquet append is at-least-once — dedup on ``id_col`` at query
-    time or re-build if an append is known to have double-run.)
+    build; the write lands in the affected ``cell=.../append_batch=N``
+    directories only, so an append touches O(batch) data regardless of
+    index size and other batches' files are never rewritten.
+
+    EXACTLY-ONCE: ``batch_id`` (caller-stable, > 0 — 0 is the build) keys
+    a dynamic partition overwrite, so a retried batch REPLACES its own
+    (cell, batch) partitions with identical deterministic content instead
+    of appending the rows a second time — the same idempotence contract
+    as storage.write_fact and streaming/dedup.py (the previous plain
+    append was at-least-once by documentation; r6 verdict task).
 
     Drift check: a fixed quantizer slowly rots as the distribution moves —
     new vectors land ever farther from their best centroid, recall decays
@@ -789,6 +823,8 @@ def ivf_append(
     Returns {n_appended, mean_best_cosine, build_mean_best_cosine,
     needs_requantization}.
     """
+    if int(batch_id) <= 0:
+        raise ValueError("batch_id must be > 0 (0 is the build batch)")
     spark = new.sparkSession
     cents = [
         (int(r["cell_id"]), list(r["centroid"]))
@@ -800,14 +836,22 @@ def ivf_append(
     # one eager pass computes the stats AND fills the cache the write
     # reads — the assignment projection runs once, not twice
     assigned = assigned.persist()
-    stats = _write_assign_stats(assigned, path, "append")
-    assigned.drop("_best").write.partitionBy("cell").mode("append").parquet(
-        f"{path}/corpus"
+    stats = _write_assign_stats(assigned, path, "append", batch_id)
+    (
+        assigned.drop("_best")
+        .withColumn(APPEND_BATCH_COL, F.lit(int(batch_id)))
+        .write.partitionBy("cell", APPEND_BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{path}/corpus")
     )
     assigned.unpersist()
+    # exactly one build row exists (the build statically overwrites the
+    # stats table); orderBy makes the selection deterministic regardless
     build_rows = (
         spark.read.parquet(f"{path}/stats")
         .where(F.col("kind") == "build")
+        .orderBy(F.desc("batch_id"))
         .collect()
     )
     build_mean = float(build_rows[0]["mean_best_cosine"]) if build_rows else None
@@ -844,7 +888,7 @@ def ivf_query_index(
     """
     from pyspark.sql import Window
 
-    corpus = spark.read.parquet(f"{path}/corpus")
+    corpus = spark.read.parquet(f"{path}/corpus").drop(APPEND_BATCH_COL)
     cents = [
         (int(r["cell_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids")

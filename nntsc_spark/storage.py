@@ -225,6 +225,126 @@ def apply_retention(path: str, keep_seconds: int, now: int) -> list[str]:
     return dropped
 
 
+#: sentinel ingest_batch value for compacted rows (real batch ids are > 0)
+COMPACTED_BATCH = -1
+
+
+def _partition_parquet_files(part: Path) -> list[Path]:
+    """Visible parquet data files under a partition dir (any depth)."""
+    return [
+        p
+        for p in part.rglob("*.parquet")
+        if not any(seg.startswith((".", "_")) for seg in p.relative_to(part).parts)
+    ]
+
+
+def _recover_compaction(root: Path) -> None:
+    """Make the table consistent after a compactor crash (single-writer).
+
+    The swap sequence is rename(part -> trash); rename(stage -> part);
+    rmtree(trash).  A crash leaves one of three states, all recoverable:
+    stage only (before swap: discard), trash + missing part (mid-swap:
+    rename the original back), trash + part (after swap: finish the
+    cleanup).  Readers never see a torn partition because stage/trash
+    dirs are dot-prefixed and invisible to Spark's file index.
+    """
+    for trash in root.glob(".compact-trash-*"):
+        part = root / trash.name[len(".compact-trash-") :]
+        if part.exists():
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(trash, part)
+    for stage in root.glob(".compact-stage-*"):
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def compact_fact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    now: int | None = None,
+    min_age_seconds: int = 86_400,
+) -> list[str]:
+    """Rewrite small files within CLOSED date partitions into ~target-size
+    files — the maintenance job a foreachBatch-append table needs.
+
+    Streaming ingest lands one file set per micro-batch per day
+    (write_fact's idempotent (date, ingest_batch) layout) — at 1-minute
+    commits that is ~1440 tiny files per partition per day forever, and
+    at 100 TB the file-listing + footer-read cost dominates every scan.
+    The reference never hit this because its stores compacted internally
+    (Postgres heaps, Influx TSM compactions); on plain parquet it must be
+    an explicit job, scheduled alongside :func:`apply_retention`.
+
+    Contract (single-writer, like the rest of this module):
+
+    - only partitions whose UTC day is older than ``now -
+      min_age_seconds`` are touched (``now=None`` means "writes have
+      stopped; compact everything") — a retried ingest batch only ever
+      rewrites its own ``ingest_batch=N`` dirs in OPEN days, so closed
+      days are stable by the checkpoint contract;
+    - idempotent: a partition already at or under its target file count
+      is skipped, so re-runs are no-ops;
+    - crash-safe: the compacted replacement is staged dot-prefixed
+      (invisible to readers), the swap is two directory renames with a
+      recovery sweep (:func:`_recover_compaction`) run on entry, and a
+      crash at any point leaves every row readable exactly once;
+    - batch-partitioned layouts collapse to a single
+      ``ingest_batch=-1`` sentinel level so the partition column layout
+      stays consistent across compacted and open days;
+    - rows are range-repartitioned and sorted on (stream_id, timestamp),
+      restoring tight row-group min/max stats across what were per-batch
+      file boundaries — compaction is also a clustering repair.
+
+    Returns the names of the partitions rewritten.
+    """
+    import math
+
+    root = Path(path)
+    if not root.exists():
+        return []
+    _recover_compaction(root)
+    cutoff = epoch_day(now - min_age_seconds) if now is not None else None
+    done: list[str] = []
+    for part in sorted(root.glob(f"{DATE_COL}=*")):
+        day = part.name.split("=", 1)[1]
+        if cutoff is not None and day >= cutoff:
+            continue
+        files = _partition_parquet_files(part)
+        if not files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        goal = max(1, math.ceil(total / target_bytes))
+        if len(files) <= goal:
+            continue
+        batched = any(p.name.startswith(f"{BATCH_COL}=") for p in part.iterdir())
+        df = (
+            spark.read.option("basePath", str(root)).parquet(str(part))
+            .drop(DATE_COL, BATCH_COL)
+        )
+        stage = root / f".compact-stage-{uuid.uuid4().hex[:8]}"
+        (
+            df.repartitionByRange(goal, "stream_id", "timestamp")
+            .sortWithinPartitions("stream_id", "timestamp")
+            .write.mode("overwrite")
+            .parquet(str(stage / "data"))
+        )
+        newpart = stage / "part"
+        dest = (
+            newpart / f"{BATCH_COL}={COMPACTED_BATCH}" if batched else newpart
+        )
+        dest.mkdir(parents=True)
+        for f in (stage / "data").glob("*.parquet"):
+            os.rename(f, dest / f.name)
+        trash = root / f".compact-trash-{part.name}"
+        os.rename(part, trash)
+        os.rename(newpart, part)
+        shutil.rmtree(trash)
+        shutil.rmtree(stage, ignore_errors=True)
+        done.append(part.name)
+    return done
+
+
 #: bits per dimension in the Z-order key (2*16 = 32-bit key)
 ZORDER_BITS = 16
 

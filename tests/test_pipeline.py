@@ -599,7 +599,7 @@ def test_ivf_append_matches_full_rebuild_and_flags_drift(spark, sf_dir, tmp_path
     cents = centroid_rows(half_a, nlist=8)
 
     ivf_build_index(half_a, str(tmp_path / "inc"), nlist=8, centroids=cents)
-    res = ivf_append(half_b, str(tmp_path / "inc"))
+    res = ivf_append(half_b, str(tmp_path / "inc"), batch_id=1)
     assert res["n_appended"] == half_b.count()
     assert not res["needs_requantization"]  # same distribution, no drift
 
@@ -629,9 +629,57 @@ def test_ivf_append_matches_full_rebuild_and_flags_drift(spark, sf_dir, tmp_path
         [(100 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(8)],
         "vec_id long, embedding array<double>",
     )
-    res2 = ivf_append(moved, str(tmp_path / "drift"))
+    res2 = ivf_append(moved, str(tmp_path / "drift"), batch_id=1)
     assert res2["needs_requantization"]
     assert res2["mean_best_cosine"] < res2["build_mean_best_cosine"] - 0.05
+
+
+def test_ivf_append_exactly_once_and_rebuild_resets_stats(spark, sf_dir, tmp_path):
+    """r6 verdict task: a double-run of the same append batch must yield
+    IDENTICAL query results to a single run (dynamic partition overwrite
+    keyed on batch_id), and a rebuild must clear stale stats rows so the
+    drift anchor is the newest build, not an arbitrary one."""
+    from nntsc_spark.pipeline.similarity import (
+        centroid_rows,
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    cents = centroid_rows(half_a, nlist=8)
+    path = str(tmp_path / "idx")
+    ivf_build_index(half_a, path, nlist=8, centroids=cents)
+
+    qids = list(range(6))
+    ivf_append(half_b, path, batch_id=1)
+    once = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ivf_query_index(spark, path, qids, k=5, nprobe=2).collect()}
+    # crash-retry: the SAME batch runs again -> overwrites its own
+    # partitions, corpus row count and query results unchanged
+    ivf_append(half_b, path, batch_id=1)
+    twice = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+             for r in ivf_query_index(spark, path, qids, k=5, nprobe=2).collect()}
+    assert once == twice and once
+    assert (
+        spark.read.parquet(f"{path}/corpus").count() == emb.count()
+    ), "double-run append duplicated rows"
+    # batch_id 0 is reserved for the build
+    with pytest.raises(ValueError, match="batch_id"):
+        ivf_append(half_b, path, batch_id=0)
+
+    # stats hygiene: append rows accumulate per batch; a REBUILD clears
+    # them all and leaves exactly one 'build' row (the drift anchor)
+    ivf_append(half_a.limit(5), path, batch_id=2)
+    stats = spark.read.parquet(f"{path}/stats")
+    assert stats.where("kind = 'append'").count() == 2  # batches 1 and 2
+    ivf_build_index(emb, path, nlist=8, centroids=cents)
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    assert len(stats) == 1 and stats[0]["kind"] == "build"
+    res = ivf_append(half_b.limit(5), path, batch_id=1)
+    assert res["build_mean_best_cosine"] is not None
 
 
 def test_deterministic_sample_by_strata_rates(spark, sf_dir):
