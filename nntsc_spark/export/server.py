@@ -517,13 +517,33 @@ class ExportServer:
                 start,
                 stop,
             )
+        # toLocalIterator + block framing: the driver never holds more than
+        # one flush block of the matrix (reference semantics: cursor
+        # fetchmany, dbselect.py:853-880).  collect() here was the last
+        # code path that materialized a whole result in a driver list
+        # (r6 verdict task); matrix rows are per-(label, bin) so a wide
+        # label set over a long range is genuinely unbounded.
+        block: list[dict] = []
         try:
             with self._query_guard():
-                rows = [r.asDict() for r in out.collect()]
+                for row in out.toLocalIterator():
+                    block.append(row.asDict())
+                    if len(block) >= HISTORY_FLUSH_ROWS:
+                        self._send(
+                            sock,
+                            Msg.HISTORY,
+                            {"collection": colname, "matrix": block,
+                             "more": True},
+                        )
+                        block = []
         except QueryTimeout:
             self._cancel_history(sock, colname, body["labels"], start, stop)
             return
-        self._send(sock, Msg.HISTORY, {"collection": colname, "matrix": rows})
+        self._send(
+            sock,
+            Msg.HISTORY,
+            {"collection": colname, "matrix": block, "more": False},
+        )
 
     def _release_live(self, sub: Subscription) -> None:
         """Drain a subscription's buffered live rows, then unblock direct

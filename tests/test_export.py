@@ -307,12 +307,67 @@ def test_matrix_roundtrip(server):
             },
         )
     )
-    mtype, body = read_message(s)
-    assert mtype == Msg.HISTORY and "matrix" in body
-    rows = {r["nntsclabel"]: r for r in body["matrix"]}
+    matrix = []
+    while True:
+        mtype, body = read_message(s)
+        assert mtype == Msg.HISTORY and "matrix" in body
+        matrix.extend(body["matrix"])
+        if body["more"] is False:
+            break
+    rows = {r["nntsclabel"]: r for r in matrix}
     assert rows["L1"]["count_value"] == 30 and rows["L2"]["count_value"] == 10
     assert rows["L1"]["avg_value"] == pytest.approx(sum(range(30)) / 30)
     s.close()
+
+
+def test_matrix_framing_bounded_by_flush_size(spark, monkeypatch):
+    """r6 verdict task: the matrix path must frame through toLocalIterator
+    in flush-sized blocks — no driver-side list of the full result.  With
+    the flush size forced to 4, a 30-label matrix must arrive as multiple
+    HISTORY frames, each carrying at most 4 rows, terminated by
+    more=False."""
+    import nntsc_spark.export.server as srv_mod
+
+    n_labels = 30
+    fact = spark.createDataFrame(
+        [(i, 100 + j, float(i * j)) for i in range(n_labels) for j in range(3)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(i, "s", f"d{i}") for i in range(n_labels)],
+        "stream_id long, source string, destination string",
+    )
+    monkeypatch.setattr(srv_mod, "HISTORY_FLUSH_ROWS", 4)
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.MATRIX,
+                {
+                    "collection": "amp-icmp",
+                    "labels": {f"L{i}": [i] for i in range(n_labels)},
+                    "value_cols": ["value"],
+                    "start": 0,
+                    "stop": 7200,
+                },
+            )
+        )
+        frames, matrix = [], []
+        while True:
+            mtype, body = read_message(s)
+            assert mtype == Msg.HISTORY
+            frames.append(len(body["matrix"]))
+            matrix.extend(body["matrix"])
+            if body["more"] is False:
+                break
+        assert len(matrix) == n_labels
+        assert len(frames) >= n_labels // 4  # genuinely multi-frame
+        assert all(n <= 4 for n in frames)  # bounded blocks
+        s.close()
+    finally:
+        srv.stop()
 
 
 def test_matrix_served_from_stored_rollup(spark):
@@ -356,9 +411,14 @@ def test_matrix_served_from_stored_rollup(spark):
                 },
             )
         )
-        mtype, body = read_message(s)
-        assert mtype == Msg.HISTORY
-        rows = {r["nntsclabel"]: r for r in body["matrix"]}
+        matrix = []
+        while True:
+            mtype, body = read_message(s)
+            assert mtype == Msg.HISTORY
+            matrix.extend(body["matrix"])
+            if body["more"] is False:
+                break
+        rows = {r["nntsclabel"]: r for r in matrix}
         # identical to the inline-path expectations in test_matrix_roundtrip
         assert rows["L1"]["count_value"] == 30 and rows["L2"]["count_value"] == 10
         assert rows["L1"]["avg_value"] == pytest.approx(sum(range(30)) / 30)
