@@ -920,6 +920,53 @@ def contamination(
 # ---------------------------------------------------------------------------
 
 
+def ngram_jaccard_shuffle_estimate(
+    n_docs: int,
+    avg_tokens: float,
+    max_df: int,
+    n_nodes: int = 1,
+    n: int = 3,
+    bytes_per_row: int = 16,
+) -> dict:
+    """Capacity-planning estimate for :func:`ngram_jaccard_pairs` with a
+    ``max_df`` cap — the sizing formula behind SCALING.md's spill-bound
+    x1000 cell, as code instead of prose (r6 verdict task).
+
+    Two shuffle terms dominate:
+
+    - INDEX exchanges: both self-join sides ship every shingle occurrence
+      as an (8 B doc_id, 8 B md5 long) row —
+      ``2 * n_docs * (avg_tokens - n + 1) * bytes_per_row``;
+    - PAIR aggregation: the join emits at most ``(max_df - 1) / 2``
+      ordered pairs per occurrence (each occurrence of a shingle with
+      df <= max_df meets at most ``max_df - 1`` partners, halved by the
+      d1 < d2 filter) — the cap's whole job is making this term LINEAR
+      in corpus size instead of quadratic.
+
+    A single node spills once its share crosses executor memory (the
+    measured onset on the 128 GiB test box is ~x100 of the sf0.1 corpus
+    — SCALING.md); on a cluster the same bytes divide by ``n_nodes``.
+    When ``per_node_bytes`` still exceeds memory, use
+    :func:`minhash_near_duplicates` — banding replaces the pair term
+    entirely.
+
+    Returns row counts, per-term bytes, and ``per_node_bytes``.
+    """
+    shingle_rows = int(n_docs * max(avg_tokens - n + 1, 1))
+    index_bytes = 2 * shingle_rows * bytes_per_row
+    pair_rows = int(shingle_rows * max(max_df - 1, 0) / 2)
+    pair_bytes = pair_rows * bytes_per_row
+    total = index_bytes + pair_bytes
+    return {
+        "shingle_rows": shingle_rows,
+        "index_shuffle_bytes": index_bytes,
+        "pair_rows_upper_bound": pair_rows,
+        "pair_shuffle_bytes_upper_bound": pair_bytes,
+        "total_shuffle_bytes_upper_bound": total,
+        "per_node_bytes": total / max(1, n_nodes),
+    }
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -947,7 +994,9 @@ def ngram_jaccard_pairs(
     with hot shingles must opt in with an explicit cap, e.g.
     ``max_df=128``.  For corpora where capped recall is unacceptable, use
     MinHash banding (:func:`minhash_near_duplicates`), which replaces the
-    quadratic term entirely.
+    quadratic term entirely.  Size a capped run BEFORE launching it with
+    :func:`ngram_jaccard_shuffle_estimate` (docs x tokens x max_df x
+    bytes / nodes — the formula behind SCALING.md's spill analysis).
 
     Perf note (r5): the zero-shuffle array-domain shingle build is a net
     win for the signature pipelines (minhash/contamination ~25% faster

@@ -389,6 +389,83 @@ def temperature_sample(
     return deterministic_sample_by(docs, rates, strata_col, key_col, salt)
 
 
+def temperature_token_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature mixing specified in TOKENS: split a total token budget
+    across sources by the exponent-smoothed rule share_s ∝ T_s^alpha
+    (T_s = source s's token mass), then admit each source's documents in
+    deterministic hash-priority order until its token allocation is spent
+    — :func:`temperature_sample`'s mixing rule composed with
+    :func:`token_budget_sample`'s admission.  This is how real training
+    mixes are stated ("50 B tokens of web, 10 B of code"): a doc-count
+    rate undershoots long-document sources because share-by-count and
+    share-by-tokens diverge exactly when document lengths differ.
+
+    Per-source budgets are floor(budget_tokens * T_s^alpha / Σ T^alpha);
+    a tail source whose allocation exceeds its own mass simply admits
+    everything (no redistribution — the saturation behavior callers
+    expect from min(1, ·) rate sampling, stated in tokens).  Membership
+    nests: a smaller total budget with the same salt selects a prefix of
+    a larger one's per-source admissions, because the priority order is
+    budget-independent.
+
+    Distributed shape: one map-side-combinable agg bounded by the number
+    of sources (collected driver-side, like temperature_sample), then
+    token_budget_sample's single window — one shuffle on the stratum
+    key; the per-stratum sort is the honest cost at 100 TB and splits by
+    sub-stratifying.  NULL strata form their own bucket (isNull match).
+
+    Output: (doc_id, <strata_col>, n_tokens, cum_tokens), admitted rows.
+    """
+    from pyspark.sql import Window
+
+    totals = {
+        r[strata_col]: r["t"]
+        for r in docs.groupBy(strata_col)
+        .agg(F.sum(token_count_expr(text_col)).alias("t"))
+        .collect()
+        if r["t"] is not None
+    }
+    none_safe = lambda kv: (kv[0] is None, kv[0] or "")
+    weights = {s: float(t) ** float(alpha) for s, t in totals.items()}
+    # deterministic summation order so the budgets don't depend on
+    # collect() row order (float addition is non-associative)
+    z = sum(w for _, w in sorted(weights.items(), key=none_safe))
+    budgets = {
+        s: int(float(budget_tokens) * weights[s] / z) for s in totals
+    } if z else {}
+    b_expr = F.lit(0).cast("long")
+    for s, b in sorted(budgets.items(), key=none_safe):
+        cond = (
+            F.col(strata_col).isNull() if s is None else F.col(strata_col) == s
+        )
+        b_expr = F.when(cond, F.lit(b)).otherwise(b_expr)
+    pri = hash_priority_expr(key_col, salt).alias("_pri")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy("_pri", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(key_col),
+            F.col(strata_col),
+            token_count_expr(text_col).alias("n_tokens"),
+            pri,
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= b_expr)
+        .select(key_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget_tokens: int,

@@ -997,6 +997,49 @@ WHERE ('0x' || substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGI
 """
 
 
+def q_mixture_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import temperature_token_sample
+
+    return temperature_token_sample(
+        load_table(spark, sf_dir, "documents"), budget_tokens=2000, alpha=0.7
+    )
+
+
+# Token-denominated temperature mixing: per-source budgets are
+# floor(2000 * T_s^0.7 / sum(T^0.7)) over the sources' token masses, and
+# admission is the same md5-priority running-total window as
+# SQL_DOC_BUDGET_SAMPLE.  pow()/floor() are IEEE double on both engines;
+# a flip would need a doc's cumulative total to land exactly on a budget
+# whose double differs in the last ulp — same argument as
+# SQL_MIXTURE_SAMPLE's threshold.
+SQL_MIXTURE_TOKEN_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS pri
+  FROM documents
+), tot AS (
+  SELECT source, sum(n_tokens) AS tk FROM t GROUP BY source
+), z AS (
+  SELECT sum(pow(tk, 0.7)) AS z FROM tot
+), budgets AS (
+  SELECT tot.source,
+         CAST(floor(2000 * pow(tot.tk, 0.7) / z.z) AS BIGINT) AS b
+  FROM tot, z
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c JOIN budgets b ON c.source = b.source
+WHERE c.cum_tokens <= b.b
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.selection import dsir_importance_weights
 
@@ -1168,4 +1211,5 @@ TAIL_PIPELINE_REGISTRY = {
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     # round-6: temperature-smoothed mixture sampling (n^alpha shares)
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "mixture_token_sample": (q_mixture_token_sample, SQL_MIXTURE_TOKEN_SAMPLE),
 }

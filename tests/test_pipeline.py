@@ -158,6 +158,32 @@ def test_ngram_jaccard_df_cap(spark):
     assert fanout(None) == 48 and fanout(4) == 3
 
 
+def test_ngram_jaccard_shuffle_estimate_formula():
+    """Capacity planning as code: hand-computed example, per-node scaling,
+    and the cap's linearity guarantee (pair term vanishes at max_df=1)."""
+    from nntsc_spark.pipeline.dedup import ngram_jaccard_shuffle_estimate
+
+    est = ngram_jaccard_shuffle_estimate(
+        n_docs=1000, avg_tokens=103, max_df=5, n_nodes=1, n=3
+    )
+    assert est["shingle_rows"] == 1000 * 101
+    assert est["index_shuffle_bytes"] == 2 * 101_000 * 16
+    assert est["pair_rows_upper_bound"] == 101_000 * 2  # (5-1)/2 per row
+    assert est["total_shuffle_bytes_upper_bound"] == (
+        est["index_shuffle_bytes"] + est["pair_shuffle_bytes_upper_bound"]
+    )
+    # bytes divide across nodes
+    ten = ngram_jaccard_shuffle_estimate(1000, 103, 5, n_nodes=10)
+    assert ten["per_node_bytes"] == est["per_node_bytes"] / 10
+    # max_df=1 -> no qualifying partner -> pair term is exactly zero
+    solo = ngram_jaccard_shuffle_estimate(1000, 103, 1)
+    assert solo["pair_rows_upper_bound"] == 0
+    # the pair bound is LINEAR in corpus size at fixed max_df (the cap's
+    # entire purpose): 10x docs -> 10x pair rows, not 100x
+    big = ngram_jaccard_shuffle_estimate(10_000, 103, 5)
+    assert big["pair_rows_upper_bound"] == 10 * est["pair_rows_upper_bound"]
+
+
 def test_simhash_similar_docs_close(docs):
     sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
     df = docs.sparkSession.createDataFrame(
@@ -729,6 +755,40 @@ def test_samplers_handle_null_strata(spark):
     # raise and must cover both buckets at alpha=1 / full budget
     full = temperature_sample(docs, alpha=1.0).collect()
     assert len(full) == 40
+
+
+def test_temperature_token_sample_budgets_and_nesting(spark):
+    """Token-denominated temperature mixing: per-source admissions respect
+    floor(budget * T^a / z) in TOKENS, budgets nest per salt, and a
+    long-document source gets its token-mass share (where doc-count
+    mixing would undershoot it)."""
+    from nntsc_spark.pipeline.text import temperature_token_sample
+
+    # web: 40 docs x 2 tokens (80 tokens); books: 4 docs x 20 tokens (80)
+    docs = spark.createDataFrame(
+        [(i, "web", "a b") for i in range(40)]
+        + [(100 + i, "books", " ".join(["w"] * 20)) for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    out = temperature_token_sample(docs, budget_tokens=80, alpha=1.0)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # equal token mass -> equal 40-token budgets despite a 10x doc-count
+    # imbalance; every admitted prefix stays within its budget
+    assert sum(r.n_tokens for r in by_src["web"]) <= 40
+    assert sum(r.n_tokens for r in by_src["books"]) == 40  # 2 x 20-token docs
+    assert all(r.cum_tokens <= 40 for r in rows)
+    # nesting: a halved budget selects a prefix of the full selection
+    small = {r.doc_id for r in temperature_token_sample(
+        docs, budget_tokens=40, alpha=1.0).collect()}
+    big = {r.doc_id for r in rows}
+    assert small <= big
+    # budget saturation: an allocation beyond a source's own mass admits
+    # everything and nothing more
+    all_in = temperature_token_sample(docs, budget_tokens=10_000, alpha=1.0)
+    assert all_in.count() == docs.count()
 
 
 def test_dsir_weights_rank_target_like_docs_higher(spark):

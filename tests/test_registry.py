@@ -84,6 +84,34 @@ def test_driver_window_membership_pinned():
     assert list(REGISTRY)[:50] == DRIVER_WINDOW
 
 
+def test_committed_full_artifact_covers_every_registered_query():
+    """r6 shipped `mixture_sample` registered-but-unverified because the
+    committed CORRECTNESS_FULL.json predated the registration — the exact
+    gap the driver-window pin above can't see (it guards the HEAD).  This
+    extends the guarantee to the tail: every REGISTRY key must have a
+    green row in the committed artifact.  Regenerate with
+    `python tools/verify_local.py /root/testdata/sf0.01` as the last act
+    of any round that registers a query."""
+    import json
+    from pathlib import Path
+
+    artifact = Path(__file__).resolve().parents[1] / "CORRECTNESS_FULL.json"
+    data = json.loads(artifact.read_text())
+    rows = data.get("queries", data)  # verify_local wraps rows under "queries"
+    missing = set(REGISTRY) - set(rows)
+    assert not missing, (
+        f"registered queries without a committed oracle row: {sorted(missing)}"
+    )
+    red = sorted(
+        k for k, v in rows.items()
+        if k in REGISTRY and not (
+            v.get("rows_match") and v.get("schema_match")
+            and (v.get("hash_match") or k in NO_ORACLE)
+        )
+    )
+    assert not red, f"non-green rows in committed artifact: {red}"
+
+
 def test_oracle_sql_mentions_no_hostile_types():
     """HUGEINT/DECIMAL survive DuckDB but break the driver's pandas
     normalization (see round-2 fixes) — oracles must cast them away."""
