@@ -1,0 +1,171 @@
+"""Golden protocol session: record/replay the full export wire flow.
+
+Per-message-type pytests pin each frame shape in isolation; this module
+pins the whole conversation END TO END the way the oracle pins queries —
+a scripted client session (REQUEST COLLECTIONS -> SCHEMAS -> STREAMS ->
+SUBSCRIBE -> HISTORY -> HISTORY_DONE -> LIVE -> PUSH -> MATRIX, the
+reference's exporter flow, exporter.py:973-1200) is replayed over a real
+socket against a server on a fixed fact table, and every decoded
+response must equal the committed fixture byte-for-byte at the message
+level (type + body).  A framing change now fails the replay until the
+fixture is regenerated deliberately:
+
+    python -m tests.golden_session   # rewrites tests/golden/protocol_session.json
+
+The comparison is on DECODED messages, not raw bytes, so the fixture is
+stable across zlib build differences while still exercising header
+struct, compression bounds, and safe-unpickle on every frame.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from nntsc_spark.export.protocol import Msg, Req, pack, read_message
+
+FIXTURE = Path(__file__).parent / "golden" / "protocol_session.json"
+
+#: The scripted session.  Each step is (kind, payload, read_strategy):
+#:   kind "send"    -> payload is (Msg, body) sent on the socket
+#:   kind "publish" -> payload is (stream_id, rows) via server.publish_live
+#:   kind "push"    -> payload is a timestamp via server.push_marker
+#: read_strategy: ("n", k) read exactly k messages; ("more", k) read until
+#: a frame carries more=False (at most k frames, a hang guard).
+SCRIPT = [
+    ("send", (Msg.REQUEST, {"request": int(Req.COLLECTIONS)}), ("n", 1)),
+    (
+        "send",
+        (Msg.REQUEST,
+         {"request": int(Req.SCHEMAS), "collection": "amp-icmp"}),
+        ("n", 1),
+    ),
+    (
+        "send",
+        (Msg.REQUEST,
+         {"request": int(Req.STREAMS), "collection": "amp-icmp", "minid": 0}),
+        ("more", 10),
+    ),
+    (
+        "send",
+        (Msg.SUBSCRIBE,
+         {"collection": "amp-icmp", "labels": {"L1": [1]},
+          "columns": ["value"], "start": 1, "stop": 10_000}),
+        ("n", 2),  # HISTORY (single block) + HISTORY_DONE
+    ),
+    (
+        "publish",
+        (1, [{"timestamp": 20_000, "value": 42.5, "stream_id": 1,
+              "nntsclabel": "L1"}]),
+        ("n", 1),  # LIVE
+    ),
+    ("push", 20_001, ("n", 1)),  # PUSH heartbeat
+    (
+        "send",
+        (Msg.MATRIX,
+         {"collection": "amp-icmp", "labels": {"L1": [1], "L2": [2]},
+          "value_cols": ["value"], "start": 0, "stop": 7200}),
+        ("more", 10),
+    ),
+]
+
+
+def build_server(spark):
+    """The fixed collection the session runs against (same data shape as
+    the test_export fixture; fully deterministic)."""
+    from nntsc_spark.export.server import ExportServer
+
+    fact = spark.createDataFrame(
+        [(1, 100 + 10 * i, float(i)) for i in range(30)]
+        + [(2, 100 + 30 * i, 100.0 + i) for i in range(10)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "dst1"), (2, "src", "dst2")],
+        "stream_id long, source string, destination string",
+    )
+    return ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+
+
+def _read_per_strategy(sock, strategy):
+    kind, k = strategy
+    out = []
+    for _ in range(k):
+        m = read_message(sock)
+        assert m is not None, "connection closed mid-session"
+        out.append({"msgtype": int(m[0]), "body": m[1]})
+        if kind == "more" and m[1].get("more") is False:
+            return out
+    if kind == "more":
+        raise AssertionError(f"no more=False terminator within {k} frames")
+    return out
+
+
+def run_session(server) -> list[dict]:
+    """Execute SCRIPT against a STARTED server; return the ordered decoded
+    response stream (JSON-compatible)."""
+    import socket
+
+    sock = socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    got: list[dict] = []
+    try:
+        for kind, payload, strategy in SCRIPT:
+            if kind == "send":
+                mt, body = payload
+                sock.sendall(pack(mt, body))
+            elif kind == "publish":
+                sid, rows = payload
+                server.publish_live("amp-icmp", sid, rows)
+            elif kind == "push":
+                # push_marker skips subs whose seam drain hasn't settled;
+                # wait for waiting=False so the PUSH frame is deterministic
+                import time as _time
+
+                for _ in range(500):
+                    with server._lock:
+                        if server._subs and not any(
+                            s.waiting for s in server._subs
+                        ):
+                            break
+                    _time.sleep(0.01)
+                server.push_marker("amp-icmp", payload)
+            got.extend(_read_per_strategy(sock, strategy))
+    finally:
+        sock.close()
+    # matrix row order within a frame is NOT wire contract (clients key
+    # rows by label; it varies with session partitioning) — canonicalize
+    # so the golden compare pins content, not partition order
+    for m in got:
+        if isinstance(m["body"], dict) and "matrix" in m["body"]:
+            m["body"]["matrix"] = sorted(
+                m["body"]["matrix"],
+                key=lambda r: (r.get("nntsclabel") or "", r.get("binstart") or 0),
+            )
+    # roundtrip through JSON so recorded and replayed values compare in
+    # the same domain (tuples->lists, int enum keys -> str, etc.)
+    return json.loads(json.dumps(got))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("golden-session-record")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    server = build_server(spark)
+    server.start()
+    try:
+        messages = run_session(server)
+    finally:
+        server.stop()
+    FIXTURE.parent.mkdir(parents=True, exist_ok=True)
+    FIXTURE.write_text(json.dumps(messages, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {FIXTURE} ({len(messages)} messages)")
+
+
+if __name__ == "__main__":
+    main()

@@ -320,6 +320,31 @@ def test_matrix_roundtrip(server):
     s.close()
 
 
+def test_golden_session_replay(spark):
+    """r6 verdict task: the committed golden byte-stream session
+    (REQUEST->SCHEMAS->STREAMS->SUBSCRIBE->HISTORY->HISTORY_DONE->LIVE->
+    PUSH->MATRIX) replayed against a live server must decode to exactly
+    the recorded message sequence — framing pinned end-to-end the way
+    the DuckDB oracle pins queries.  Regenerate deliberately with
+    `python -m tests.golden_session` after an intentional wire change."""
+    import json
+
+    from tests.golden_session import FIXTURE, build_server, run_session
+
+    expected = json.loads(FIXTURE.read_text())
+    srv = build_server(spark)
+    srv.start()
+    try:
+        got = run_session(srv)
+    finally:
+        srv.stop()
+    assert len(got) == len(expected), (
+        f"message count drifted: {len(got)} != {len(expected)}"
+    )
+    for i, (g, e) in enumerate(zip(got, expected)):
+        assert g == e, f"message {i} diverged:\n got: {g}\n exp: {e}"
+
+
 def test_matrix_framing_bounded_by_flush_size(spark, monkeypatch):
     """r6 verdict task: the matrix path must frame through toLocalIterator
     in flush-sized blocks — no driver-side list of the full result.  With
