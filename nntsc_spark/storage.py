@@ -345,6 +345,27 @@ def compact_fact(
     return done
 
 
+def maintain_fact(
+    spark: SparkSession,
+    path: str,
+    keep_seconds: int,
+    now: int,
+    target_bytes: int = 128 << 20,
+    min_age_seconds: int = 86_400,
+) -> dict:
+    """The scheduled maintenance pass for a streaming-append fact table:
+    retention FIRST (so partitions about to expire are never compacted),
+    then small-file compaction of the remaining closed days.  Both halves
+    are idempotent and crash-safe individually, so the composition is
+    re-runnable from any failure point.
+
+    Returns {"dropped": [...], "compacted": [...]} partition names.
+    """
+    dropped = apply_retention(path, keep_seconds, now)
+    compacted = compact_fact(spark, path, target_bytes, now, min_age_seconds)
+    return {"dropped": dropped, "compacted": compacted}
+
+
 #: bits per dimension in the Z-order key (2*16 = 32-bit key)
 ZORDER_BITS = 16
 

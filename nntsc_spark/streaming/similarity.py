@@ -1,0 +1,86 @@
+"""Streaming maintenance of a persistent IVF-Flat ANN index.
+
+An embedding corpus that grows continuously (each ingested document gets
+a vector) needs its ANN index maintained INCREMENTALLY — re-quantizing
+and rebuilding per batch is O(corpus) work per micro-batch.  The batch
+primitives already exist in ``pipeline.similarity``; this module is the
+thin Structured Streaming wiring, following the same
+``foreachBatch`` + idempotent-per-batch-partition pattern as
+``streaming.dedup`` and ``streaming.ingest``:
+
+- each micro-batch runs :func:`~..pipeline.similarity.ivf_append` with
+  ``batch_id = foreachBatch epoch + 1`` (epochs start at 0; batch 0 is
+  reserved for the build) — the append is a dynamic partition overwrite
+  of the batch's own (cell, append_batch) directories, so Structured
+  Streaming's retry-after-crash re-runs land byte-identical instead of
+  duplicating vectors: exactly-once end to end, no caller-side dedup;
+- every append's drift stats row is recorded by the batch primitive;
+  the maintainer exposes the latest verdict so an operator (or an
+  alerting job reading ``{path}/stats``) can schedule re-quantization —
+  deliberately NOT automatic: a rebuild is O(corpus) and belongs in a
+  maintenance window, like storage.compact_fact.
+
+At 100 TB the corpus table stays ``partitionBy(cell)`` so query-time
+probe pruning is directory-level regardless of how many appends have
+accumulated; appends only ever touch O(batch) data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..pipeline.similarity import ivf_append
+
+
+class IvfIndexMaintainer:
+    """foreachBatch hook appending a vector stream into a persisted IVF
+    index built by :func:`~..pipeline.similarity.ivf_build_index`.
+
+    ``last_result`` holds the most recent append's stats dict
+    ({n_appended, mean_best_cosine, build_mean_best_cosine,
+    needs_requantization}); ``drift_flagged`` latches True once any
+    batch trips the drift tolerance, so a monitor polling the maintainer
+    (or the stats table) can't miss a transient flag between polls.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        drift_tol: float = 0.05,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.path = path
+        self.drift_tol = drift_tol
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.last_result: dict | None = None
+        self.drift_flagged = False
+
+    def process_batch(self, df: DataFrame, batch_id: int) -> dict:
+        """Append one micro-batch (idempotent under retry of the same
+        ``batch_id``).  Empty batches are skipped without a stats row."""
+        if df.isEmpty():
+            return {"n_appended": 0, "needs_requantization": False}
+        res = ivf_append(
+            df,
+            self.path,
+            batch_id=int(batch_id) + 1,
+            drift_tol=self.drift_tol,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        self.last_result = res
+        if res["needs_requantization"]:
+            self.drift_flagged = True
+        return res
+
+    def start_stream(self, vec_stream: DataFrame, checkpoint: str):
+        """Wire a streaming embedding source into the index."""
+        return (
+            vec_stream.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.process_batch(df, bid) and None)
+            .trigger(availableNow=True)
+            .start()
+        )

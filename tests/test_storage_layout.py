@@ -121,6 +121,29 @@ def test_compact_fact_merges_closed_partitions(spark, tmp_path):
     assert {tuple(r) for r in read_fact(spark, path).collect()} == before
 
 
+def test_maintain_fact_retention_then_compaction(spark, tmp_path):
+    """Retention runs before compaction: an expired day is dropped, never
+    wastefully rewritten; surviving closed days compact."""
+    from nntsc_spark.storage import maintain_fact, read_fact
+
+    path = str(tmp_path / "fact")
+    df = _fact(spark)
+    for b in range(3):
+        part = df.where(F.col("stream_id") % 3 == b)
+        write_fact(part, path, batch_id=b + 1)  # day 1
+        write_fact(part.withColumn("timestamp", F.col("timestamp") + DAY),
+                   path, batch_id=10 + b)  # day 2
+    # now = start of day 4; keep 2 days -> day 1 expires, day 2 is closed
+    now = T0 + 3 * DAY
+    res = maintain_fact(spark, path, keep_seconds=2 * DAY, now=now,
+                        target_bytes=1 << 30)
+    assert len(res["dropped"]) == 1 and len(res["compacted"]) == 1
+    assert set(res["dropped"]).isdisjoint(res["compacted"])
+    left = read_fact(spark, path)
+    assert left.count() == N_STREAMS * PER_STREAM  # day 2 intact
+    assert left.agg(F.min("timestamp")).first()[0] >= T0 + DAY
+
+
 def test_compact_fact_crash_recovery(spark, tmp_path):
     """A crash at any swap point leaves every row readable exactly once
     after the next run's recovery sweep."""

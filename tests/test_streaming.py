@@ -599,6 +599,55 @@ def test_exact_dedup_stream_first_occurrence_wins(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_ivf_index_maintainer_streams_appends_exactly_once(spark, tmp_path):
+    """Streaming IVF maintenance: a vector stream appends into a built
+    index through foreachBatch; queries then see seed + streamed vectors,
+    and a crash-retry of the same epoch (process_batch re-run with the
+    same batch_id) does not duplicate anything."""
+    from nntsc_spark.pipeline.similarity import ivf_build_index, ivf_query_index
+    from nntsc_spark.streaming.similarity import IvfIndexMaintainer
+
+    seed = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.01 * i]) for i in range(8)]
+        + [(8 + i, [0.0, 1.0, 0.01 * i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build_index(seed, path, nlist=2)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i in range(4):
+            f.write(json.dumps(
+                {"vec_id": 100 + i, "embedding": [1.0, 0.0, 0.02 * i]}) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    maint = IvfIndexMaintainer(path)
+    q = maint.start_stream(stream, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    assert maint.last_result["n_appended"] == 4
+    assert not maint.drift_flagged  # same distribution as the seed
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == 16 + 4
+    # streamed vectors are queryable neighbors
+    res = ivf_query_index(spark, path, [100], k=3, nprobe=1).collect()
+    assert res and all(r.query_id == 100 for r in res)
+    # crash-retry of the SAME epoch: re-running batch 0 must overwrite
+    # its own partitions, not append again
+    batch = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0, 0.02 * i]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    maint.process_batch(batch, 0)
+    assert spark.read.parquet(f"{path}/corpus").count() == 20
+    # empty batches are skipped without touching the stats table
+    n_stats = spark.read.parquet(f"{path}/stats").count()
+    maint.process_batch(batch.limit(0), 5)
+    assert spark.read.parquet(f"{path}/stats").count() == n_stats
+
+
 def test_text_operators_compose_with_streams(spark, tmp_path):
     """The text/quality operators are stateless projections, so the SAME
     functions run unchanged on a streaming DataFrame — batch/streaming

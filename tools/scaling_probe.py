@@ -35,7 +35,12 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
 # rest on these measured curves, not plan reading alone.
 PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "similarity_ivf_topk", "text_repetition",
-                    "dedup_spans", "training_corpus"]
+                    "dedup_spans", "training_corpus",
+                    # r6/r7 additions: selection + mixing operators whose
+                    # bounded-cost claims (bucket-capped DSIR model, #source-
+                    # bounded rate tables) deserve measured curves too
+                    "dsir_weights", "dsir_resample", "doc_despan_keepfirst",
+                    "mixture_sample", "mixture_token_sample"]
 #: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
 #: tables run to billions of rows — hours per cell on this box); the
 #: event-table queries keep going and their cells render "—" beyond this
