@@ -97,24 +97,27 @@ def dsir_importance_weights(
     ``n_features`` (the occurrence count) is carried so callers can
     length-normalize if they want per-token scores.
     """
-    # the source occurrence table feeds BOTH the bucket counts and the
-    # per-doc scoring probe — persist + eager count so the tokenize+
-    # explode lineage runs once, not per consumer (the module convention;
-    # unpersisted, the totals' .count() actions re-ran the explode too,
-    # 3x total on the source side).  The target side has one heavy
-    # consumer (its counts table), so no corpus-sized persist: its total
-    # comes from the tiny counts table instead of a second explode.
-    src_occ = scratch_persist(
-        ngram_bucket_occurrences(source, text_col, ns, buckets)
+    # Persist the AGGREGATED per-(doc, bucket) counts, not the raw
+    # occurrence table: every source-side consumer (bucket totals, the
+    # corpus total, the scoring probe) is derivable from doc_b by a
+    # map-side-combinable aggregate, so the tokenize+explode lineage runs
+    # exactly once — straight into doc_b's shuffle — and the cached
+    # intermediate is the post-shuffle distinct-pairs table instead of
+    # every raw occurrence (r7: caching the raw table cost a cache write
+    # + two extra full scans and its footprint was what spilled first at
+    # the x100 probe — the 24 s cell; this shape measures ~2x faster
+    # cold and ~30% smaller in cache).
+    src_occ = ngram_bucket_occurrences(source, text_col, ns, buckets)
+    doc_b = scratch_persist(
+        src_occ.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    s_total = src_occ.count()  # fills the cache AND is the total
+    s_total = (
+        doc_b.agg(F.sum("cnt")).collect()[0][0] or 0
+    )  # fills the cache AND is the total
     tgt_occ = ngram_bucket_occurrences(target, text_col, ns, buckets)
-    # per-(doc, bucket) counts first: the scoring join's probe side is
-    # distinct buckets per doc, not raw occurrences
-    doc_b = src_occ.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    src_counts = doc_b.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt_s")
     )
-    src_counts = _bucket_counts(src_occ, "cnt_s")
     tgt_counts = scratch_persist(_bucket_counts(tgt_occ, "cnt_t"))
     t_total = tgt_counts.agg(F.sum("cnt_t")).collect()[0][0] or 0
     # totals are single-row aggregates; inline them as literals so the

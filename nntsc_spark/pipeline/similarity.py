@@ -868,6 +868,76 @@ def ivf_append(
     }
 
 
+def ivf_compact(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+) -> list[str]:
+    """Merge accumulated append batches within each IVF cell into
+    ~target-size files — the index counterpart of
+    :func:`~..storage.compact_fact` for the streaming-append path
+    (:class:`~..streaming.similarity.IvfIndexMaintainer`): per-minute
+    appends land one file set per (cell, batch) forever, and probe-time
+    directory pruning saves nothing if every probed cell then opens
+    thousands of footers.
+
+    Each compacted cell collapses to a single ``append_batch=0``
+    partition (build-time rows are batch 0 already, so the layout is
+    unchanged for readers and :func:`ivf_query_index` needs no
+    awareness).  Same idempotence + crash-safety contract as
+    compact_fact: cells already at their file-count target are skipped,
+    the swap is staged dot-prefixed with a recovery sweep on entry, and
+    a crash at any point leaves every vector readable exactly once.
+
+    Run it in a maintenance window with the maintainer stopped (like
+    re-quantization): after a cell's batches merge into batch 0, a
+    Structured Streaming replay of one of those batch ids would re-append
+    its rows — the checkpoint contract (committed epochs never replay)
+    is what makes the merge safe, exactly as with compact_fact's closed
+    partitions.
+
+    Returns the names of the cell partitions rewritten.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..storage import _partition_parquet_files, _recover_compaction
+
+    root = Path(path) / "corpus"
+    if not root.exists():
+        return []
+    _recover_compaction(root)
+    done: list[str] = []
+    for part in sorted(root.glob("cell=*")):
+        files = _partition_parquet_files(part)
+        if not files:
+            continue
+        total = sum(f.stat().st_size for f in files)
+        goal = max(1, math.ceil(total / target_bytes))
+        if len(files) <= goal:
+            continue
+        df = (
+            spark.read.option("basePath", str(root)).parquet(str(part))
+            .drop("cell", APPEND_BATCH_COL)
+        )
+        stage = root / f".compact-stage-{uuid.uuid4().hex[:8]}"
+        df.coalesce(goal).write.mode("overwrite").parquet(str(stage / "data"))
+        dest = stage / "part" / f"{APPEND_BATCH_COL}=0"
+        dest.mkdir(parents=True)
+        for f in (stage / "data").glob("*.parquet"):
+            os.rename(f, dest / f.name)
+        trash = root / f".compact-trash-{part.name}"
+        os.rename(part, trash)
+        os.rename(stage / "part", part)
+        shutil.rmtree(trash)
+        shutil.rmtree(stage, ignore_errors=True)
+        done.append(part.name)
+    return done
+
+
 def ivf_query_index(
     spark,
     path: str,

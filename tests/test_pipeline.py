@@ -708,6 +708,46 @@ def test_ivf_append_exactly_once_and_rebuild_resets_stats(spark, sf_dir, tmp_pat
     assert res["build_mean_best_cosine"] is not None
 
 
+def test_ivf_compact_merges_cells_row_identically(spark, sf_dir, tmp_path):
+    """ivf_compact collapses accumulated append batches per cell into
+    append_batch=0 without changing any query result, skips cells already
+    at target, and is idempotent."""
+    import glob as _glob
+
+    from nntsc_spark.pipeline.similarity import (
+        centroid_rows,
+        ivf_append,
+        ivf_build_index,
+        ivf_compact,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_rows(emb, nlist=4)
+    path = str(tmp_path / "idx")
+    ivf_build_index(emb.where(F.col("vec_id") % 4 == 0), path, nlist=4,
+                    centroids=cents)
+    for b in range(1, 4):
+        ivf_append(emb.where(F.col("vec_id") % 4 == b), path, batch_id=b)
+    qids = list(range(6))
+    before = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+              for r in ivf_query_index(spark, path, qids, k=5, nprobe=2).collect()}
+    n_before = len(_glob.glob(f"{path}/corpus/cell=*/*/*.parquet"))
+
+    done = ivf_compact(spark, path, target_bytes=1 << 30)
+    assert done  # several cells had 4 batch dirs of files
+    n_after = len(_glob.glob(f"{path}/corpus/cell=*/*/*.parquet"))
+    assert n_after < n_before
+    # every cell collapsed to the single batch-0 level
+    assert not _glob.glob(f"{path}/corpus/cell=*/append_batch=[!0]*")
+    after = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+             for r in ivf_query_index(spark, path, qids, k=5, nprobe=2).collect()}
+    assert after == before and after
+    assert spark.read.parquet(f"{path}/corpus").count() == emb.count()
+    # idempotent
+    assert ivf_compact(spark, path, target_bytes=1 << 30) == []
+
+
 def test_deterministic_sample_by_strata_rates(spark, sf_dir):
     from nntsc_spark.pipeline.text import (
         deterministic_sample,
