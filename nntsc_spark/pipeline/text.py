@@ -389,6 +389,54 @@ def temperature_sample(
     return deterministic_sample_by(docs, rates, strata_col, key_col, salt)
 
 
+def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the corpus-internal analogue of the CCNet-family
+    perplexity filter (no external LM in this sandbox; the SHAPE of the
+    computation is the production one, and a trained LM slots in by
+    swapping the probability table).
+
+    Interpretation: a strongly negative mean logprob means the document
+    is dominated by corpus-rare tokens (OCR noise, gibberish, wrong
+    language); a near-max score means stopword-grade boilerplate.
+    Training filters typically keep the middle band — callers threshold
+    on both tails.
+
+    Distributed shape (the proven DSIR pattern, selection.py): one
+    explode feeds ONE shuffle into the per-(doc, token) count table,
+    which is persisted and serves every downstream consumer
+    map-side-combinably — the vocabulary table (one row per distinct
+    token, << corpus), the corpus total, and the scoring join.  The join
+    probe is distinct tokens per doc, so a stopword's row joins once per
+    DOCUMENT containing it, never once per occurrence; AQE broadcasts
+    the vocabulary side when it fits.
+
+    Output: (doc_id, n_tokens, avg_logprob DOUBLE rounded 4).
+    """
+    from .dedup import scratch_persist
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    doc_t = scratch_persist(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = doc_t.agg(F.sum("cnt")).collect()[0][0] or 0
+    vocab = doc_t.groupBy("tok").agg(F.sum("cnt").alias("v"))
+    return (
+        doc_t.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.log(F.col("v") / F.lit(float(total))))
+                / F.sum("cnt"),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def temperature_token_sample(
     docs: DataFrame,
     budget_tokens: int,

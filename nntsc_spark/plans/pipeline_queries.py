@@ -1040,6 +1040,35 @@ WHERE c.cum_tokens <= b.b
 """
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+# Corpus-internal perplexity proxy: per-doc mean ln(p(token)) under the
+# corpus unigram distribution.  Both engines compute ln of the identical
+# IEEE quotient v/T and sum per-doc over distinct tokens (the DSIR
+# parity argument, SQL_DSIR_WEIGHTS); result rounded to 4.
+SQL_TEXT_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), doc_t AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM doc_t
+), vocab AS (
+  SELECT tok, sum(cnt) AS v FROM doc_t GROUP BY tok
+)
+SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+       round(sum(d.cnt * ln(w.v / tt.t)) / sum(d.cnt), 4) AS avg_logprob
+FROM doc_t d JOIN vocab w ON d.tok = w.tok, tot tt
+GROUP BY d.doc_id
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.selection import dsir_importance_weights
 
@@ -1212,4 +1241,5 @@ TAIL_PIPELINE_REGISTRY = {
     # round-6: temperature-smoothed mixture sampling (n^alpha shares)
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "mixture_token_sample": (q_mixture_token_sample, SQL_MIXTURE_TOKEN_SAMPLE),
+    "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
 }

@@ -797,6 +797,28 @@ def test_samplers_handle_null_strata(spark):
     assert len(full) == 40
 
 
+def test_unigram_logprob_orders_rare_vs_common(spark):
+    """Self-perplexity proxy: a doc of corpus-rare tokens scores far more
+    negative than a doc of corpus-dominant tokens; scores are averages
+    (length-invariant for uniform docs)."""
+    from math import isclose, log
+
+    from nntsc_spark.pipeline.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(i, "the the the the") for i in range(9)]
+        + [(100, "zyzzyva qoph xylyl vug")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+    # corpus: 36 'the' + 4 singletons = 40 tokens
+    common, rare = out[0], out[100]
+    assert common.n_tokens == 4 and rare.n_tokens == 4
+    assert isclose(common.avg_logprob, log(36 / 40), abs_tol=1e-3)
+    assert isclose(rare.avg_logprob, log(1 / 40), abs_tol=1e-3)
+    assert rare.avg_logprob < common.avg_logprob
+
+
 def test_temperature_token_sample_budgets_and_nesting(spark):
     """Token-denominated temperature mixing: per-source admissions respect
     floor(budget * T^a / z) in TOKENS, budgets nest per salt, and a
