@@ -50,6 +50,70 @@ MINHASH_K = 8
 SIG_COLS = [f"mh{i}" for i in range(MINHASH_K)]
 
 
+def compact_batched_table(
+    spark: SparkSession,
+    parent: str,
+    name: str,
+    schema: str | None = None,
+    target_bytes: int = 128 << 20,
+) -> bool:
+    """Collapse a ``{parent}/{name}/batch=N`` table's accumulated per-batch
+    partitions into ~target-size files under a single ``batch=0`` — the
+    streaming-state counterpart of :func:`~..storage.compact_fact` (per-
+    commit micro-batches leave one file set per batch forever; every
+    index probe then pays the file-listing tax on ALL of history).
+
+    ``batch=0`` keeps the merged rows visible to every future epoch's
+    ``batch < id`` prior-filter (epochs are monotonically increasing, so
+    0 is always prior).  Run with the stream STOPPED: Structured
+    Streaming's checkpoint guarantees committed epochs never replay,
+    which is what makes merging them safe — same contract as the other
+    compactors.  Idempotent (single-batch tables at the file target are
+    skipped); crash-safe via the same staged-swap + recovery sweep as
+    compact_fact, applied at the table-directory level (one rename
+    swaps the whole table, so there is no torn multi-partition state).
+
+    Returns True if the table was rewritten.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..storage import _partition_parquet_files, _recover_compaction
+
+    proot = Path(parent)
+    if not proot.exists():
+        return False
+    _recover_compaction(proot)
+    root = proot / name
+    if not root.exists():
+        return False
+    files = _partition_parquet_files(root)
+    if not files:
+        return False
+    total = sum(f.stat().st_size for f in files)
+    goal = max(1, math.ceil(total / target_bytes))
+    n_batches = len(list(root.glob("batch=*")))
+    if len(files) <= goal and n_batches <= 1:
+        return False
+    reader = spark.read.schema(schema + ", batch int") if schema else spark.read
+    df = reader.parquet(str(root)).drop("batch")
+    stage = proot / f".compact-stage-{uuid.uuid4().hex[:8]}"
+    df.coalesce(goal).write.mode("overwrite").parquet(str(stage / "data"))
+    dest = stage / "part" / "batch=0"
+    dest.mkdir(parents=True)
+    for f in (stage / "data").glob("*.parquet"):
+        os.rename(f, dest / f.name)
+    trash = proot / f".compact-trash-{name}"
+    os.rename(root, trash)
+    os.rename(stage / "part", root)
+    shutil.rmtree(trash)
+    shutil.rmtree(stage, ignore_errors=True)
+    return True
+
+
 def exact_dedup_stream(
     docs: DataFrame, text_col: str = "text", watermark: tuple[str, str] | None = None
 ) -> DataFrame:
@@ -214,6 +278,24 @@ class IncrementalDeduper:
         )
         return accepted
 
+    def compact_index(self, target_bytes: int = 128 << 20) -> list[str]:
+        """Merge the per-batch band/signature/corpus partitions into
+        single ``batch=0`` tables (see :func:`compact_batched_table`).
+        Run with the stream stopped; returns the tables rewritten."""
+        from pathlib import Path
+
+        done = []
+        for parent, name, schema in [
+            (self.index_path, "bands", self._SCHEMAS["bands"]),
+            (self.index_path, "sigs", self._SCHEMAS["sigs"]),
+            (str(Path(self.out_path).parent), Path(self.out_path).name, None),
+        ]:
+            if compact_batched_table(
+                self.spark, parent, name, schema, target_bytes
+            ):
+                done.append(name)
+        return done
+
     def corpus(self) -> DataFrame:
         """All accepted documents across batches.
 
@@ -361,6 +443,23 @@ class IncrementalSpanIndex:
     _SPANS_SCHEMA = (
         "doc_id long, span_start long, span_end long, n_windows long"
     )
+
+    def compact_index(self, target_bytes: int = 128 << 20) -> list[str]:
+        """Merge the per-batch fingerprint/span partitions into single
+        ``batch=0`` tables (see :func:`compact_batched_table`).  Run with
+        the stream stopped; returns the tables rewritten."""
+        from pathlib import Path
+
+        done = []
+        for parent, name, schema in [
+            (self.index_path, "wins", self._WIN_SCHEMA),
+            (str(Path(self.out_path).parent), Path(self.out_path).name, None),
+        ]:
+            if compact_batched_table(
+                self.spark, parent, name, schema, target_bytes
+            ):
+                done.append(name)
+        return done
 
     def spans(self) -> DataFrame:
         """All detected spans across batches (empty frame with the right

@@ -467,6 +467,64 @@ def test_watermarked_rollup_late_data_and_restart(spark, tmp_path):
     assert b[3900].avg_value == pytest.approx(2.0)
 
 
+def test_streaming_dedup_index_compaction_preserves_rejections(spark, tmp_path):
+    """compact_index merges the per-batch band/sig/corpus partitions into
+    batch=0 without changing corpus contents, and a LATER batch still
+    dedups correctly against the merged index (batch=0 is prior to every
+    future epoch)."""
+    import glob as _glob
+
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    base = "the quick brown fox jumps over the lazy dog"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ded.process_batch(mk([(1, base), (2, "entirely different words here now ok")]), 0)
+    ded.process_batch(mk([(3, "fresh content matching nothing previously seen")]), 1)
+    ded.process_batch(mk([(4, "yet another novel never before seen document")]), 2)
+    before = {r.doc_id for r in ded.corpus().collect()}
+    assert before == {1, 2, 3, 4}
+    n_files = len(_glob.glob(f"{tmp_path}/idx/bands/*/*.parquet"))
+
+    done = ded.compact_index(target_bytes=1 << 30)
+    assert set(done) == {"bands", "sigs", "corpus"}
+    assert len(_glob.glob(f"{tmp_path}/idx/bands/*/*.parquet")) < n_files
+    assert _glob.glob(f"{tmp_path}/idx/bands/batch=0/*.parquet")
+    assert not _glob.glob(f"{tmp_path}/idx/bands/batch=[!0]*")
+    assert {r.doc_id for r in ded.corpus().collect()} == before
+    # idempotent: already merged and under the size target -> no-op
+    assert ded.compact_index(target_bytes=1 << 30) == []
+    # a post-compaction batch still rejects a dup of a PRE-compaction doc
+    accepted = ded.process_batch(
+        mk([(9, base), (10, "genuinely new words appearing for the first time")]), 3
+    )
+    assert {r.doc_id for r in accepted.collect()} == {10}
+
+
+def test_span_index_compaction_preserves_detection(spark, tmp_path):
+    """IncrementalSpanIndex.compact_index: merged fingerprints still flag
+    a later batch's verbatim reuse of a pre-compaction passage."""
+    from nntsc_spark.streaming.dedup import IncrementalSpanIndex
+
+    idx = IncrementalSpanIndex(
+        spark, str(tmp_path / "sidx"), str(tmp_path / "spans"), w=3
+    )
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx.process_batch(mk([(1, passage)]), 0)
+    idx.process_batch(mk([(2, "unrelated words that collide with nothing at all")]), 1)
+    before = {tuple(r) for r in idx.spans().collect()}
+    assert idx.compact_index(target_bytes=1 << 30) == ["wins", "spans"]
+    assert {tuple(r) for r in idx.spans().collect()} == before
+    assert idx.compact_index(target_bytes=1 << 30) == []  # idempotent
+    out = idx.process_batch(mk([(3, passage + " brand new tail")]), 2)
+    spans3 = out.collect()
+    assert spans3 and all(r.doc_id == 3 for r in spans3)
+    assert min(r.span_start for r in spans3) == 1  # reused from token 1
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Persistent-band-index dedup: within-batch near-dups drop (min doc_id
     survives), and a later batch's duplicates are rejected against the
