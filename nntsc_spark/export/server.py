@@ -298,21 +298,29 @@ class ExportServer:
         elif req == Req.STREAMS:
             streams = self.collections[body["collection"]]["streams"]
             minid = body.get("minid", 0)
-            rows = [
-                r.asDict()
-                for r in streams.where(f"stream_id > {int(minid)}").collect()
-            ]
-            for i in range(0, max(len(rows), 1), STREAMS_BATCH_ROWS):
-                batch = rows[i : i + STREAMS_BATCH_ROWS]
-                self._send(
-                    sock,
-                    Msg.STREAMS,
-                    {
-                        "collection": body["collection"],
-                        "streams": batch,
-                        "more": i + STREAMS_BATCH_ROWS < len(rows),
-                    },
-                )
+            # toLocalIterator + block framing: the streams dimension is
+            # usually small, but a collection with hundreds of thousands
+            # of streams must not materialize driver-side (reference
+            # pages this via minid batches, exporter.py:641-657)
+            block: list[dict] = []
+            for row in streams.where(
+                f"stream_id > {int(minid)}"
+            ).toLocalIterator():
+                block.append(row.asDict())
+                if len(block) >= STREAMS_BATCH_ROWS:
+                    self._send(
+                        sock,
+                        Msg.STREAMS,
+                        {"collection": body["collection"],
+                         "streams": block, "more": True},
+                    )
+                    block = []
+            self._send(
+                sock,
+                Msg.STREAMS,
+                {"collection": body["collection"], "streams": block,
+                 "more": False},
+            )
 
     # -- query timeout (admission) ------------------------------------------
 

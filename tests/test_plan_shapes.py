@@ -164,6 +164,26 @@ def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in shuffles[0], shuffles
 
 
+def test_mixture_token_sample_single_stratum_shuffle(spark, sf_dir):
+    # token-denominated temperature mixing inherits token_budget_sample's
+    # shape: the per-stratum running-total window is the ONLY shuffle
+    # (rates/budgets are driver-side literals from a bounded agg)
+    plan = plan_text(spark, sf_dir, "mixture_token_sample")
+    shuffles = _data_shuffles(plan)
+    assert len(shuffles) == 1, shuffles
+    assert "hashpartitioning(source" in shuffles[0], shuffles
+
+
+def test_unigram_logprob_no_smj_no_cartesian(spark, sf_dir):
+    # the vocabulary scoring join must stay hash/broadcast (one row per
+    # distinct token on the build side; probe is distinct tokens per
+    # doc) — an SMJ would mean Spark saw it as large-large, and a
+    # cartesian would be the per-occurrence fanout this shape avoids
+    plan = plan_text(spark, sf_dir, "text_unigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_duplicate_spans_no_cartesian_no_pair_join(spark, sf_dir):
     # linearity guard: the duplicated-window detection must be an
     # aggregation + equi-join, never a pairwise or nested-loop comparison
