@@ -389,6 +389,58 @@ def temperature_sample(
     return deterministic_sample_by(docs, rates, strata_col, key_col, salt)
 
 
+def quality_bands(
+    docs: DataFrame, n_bands: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Assign each document to a quality-quantile band (0 = lowest) —
+    the stratification layer quality-aware mixing needs: compose the
+    output's ``band`` column with :func:`deterministic_sample_by` to
+    oversample high-quality bands the way curated mixes do.
+
+    NOT ntile: a global ntile window is a full corpus sort — the exact
+    shape this repo bans at 100 TB.  Thresholds are exact DISCRETE
+    order statistics computed from the score HISTOGRAM: quality_score
+    is rounded to 4 decimals and bounded in [0, 1], so the histogram
+    has at most 10001 rows regardless of corpus size — one map-side-
+    combinable aggregation, a bounded driver-side collect (the
+    temperature_sample pattern), then band assignment is a pure CASE
+    projection.  Threshold rank uses integer arithmetic
+    (ceil(k*n/bands) = (k*n + bands - 1) // bands), so the DuckDB
+    oracle reproduces the cut points bit-for-bit — no interpolated-
+    quantile float parity risk.
+
+    Band k holds scores in (thr_{k-1}, thr_k]; ties at a threshold go
+    to the lower band in both engines (CASE evaluation order).  Highly
+    concentrated score distributions can leave upper bands empty — the
+    honest discrete-quantile behavior.
+
+    Output: (doc_id, quality_score, band INT).
+    """
+    q = quality_features(docs, text_col).select("doc_id", "quality_score")
+    hist = (
+        q.groupBy("quality_score")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("quality_score")
+        .collect()
+    )
+    n = sum(r["c"] for r in hist)
+    thresholds: list[float] = []
+    for k in range(1, n_bands):
+        target = (k * n + n_bands - 1) // n_bands
+        cum = 0
+        for r in hist:
+            cum += r["c"]
+            if cum >= target:
+                thresholds.append(r["quality_score"])
+                break
+    band = F.lit(n_bands - 1)
+    for i in range(len(thresholds) - 1, -1, -1):
+        band = F.when(
+            F.col("quality_score") <= F.lit(thresholds[i]), F.lit(i)
+        ).otherwise(band)
+    return q.select("doc_id", "quality_score", band.cast("int").alias("band"))
+
+
 def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     token distribution — the corpus-internal analogue of the CCNet-family

@@ -77,6 +77,41 @@ FROM f
 """
 
 
+def q_doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import quality_bands
+
+    return quality_bands(load_table(spark, sf_dir, "documents"), n_bands=4)
+
+
+# Discrete-quantile quality banding over the verified quality scores:
+# thresholds are exact order statistics (rank ceil(k*n/4) via INTEGER
+# arithmetic (k*n+3)//4 — no interpolation, no float parity risk; the
+# score domain is round-4 in [0,1] so the histogram is <= 10001 rows on
+# both engines), ties at a threshold go to the lower band by CASE order.
+SQL_DOC_QUALITY_BANDS = f"""
+WITH q AS (
+  SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY}) tq
+), h AS (
+  SELECT quality_score AS s, count(*) AS c FROM q GROUP BY quality_score
+), tot AS (
+  SELECT count(*) AS n FROM q
+), cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cc FROM h
+), thr AS (
+  SELECT min(CASE WHEN cc >= (1 * n + 3) // 4 THEN s END) AS t1,
+         min(CASE WHEN cc >= (2 * n + 3) // 4 THEN s END) AS t2,
+         min(CASE WHEN cc >= (3 * n + 3) // 4 THEN s END) AS t3
+  FROM cum, tot
+)
+SELECT q.doc_id, q.quality_score,
+       CAST(CASE WHEN q.quality_score <= thr.t1 THEN 0
+                 WHEN q.quality_score <= thr.t2 THEN 1
+                 WHEN q.quality_score <= thr.t3 THEN 2
+                 ELSE 3 END AS INTEGER) AS band
+FROM q, thr
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
@@ -1242,4 +1277,5 @@ TAIL_PIPELINE_REGISTRY = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "mixture_token_sample": (q_mixture_token_sample, SQL_MIXTURE_TOKEN_SAMPLE),
     "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
+    "doc_quality_bands": (q_doc_quality_bands, SQL_DOC_QUALITY_BANDS),
 }

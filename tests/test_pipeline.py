@@ -797,6 +797,39 @@ def test_samplers_handle_null_strata(spark):
     assert len(full) == 40
 
 
+def test_quality_bands_discrete_quantiles_and_mixing(spark, sf_dir):
+    """Band k holds scores in (thr_{k-1}, thr_k] with thresholds at exact
+    discrete ranks ceil(k*n/bands); composition with
+    deterministic_sample_by gives quality-stratified mixing."""
+    from nntsc_spark.pipeline.text import deterministic_sample_by, quality_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_bands(docs, n_bands=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r.quality_score)
+    assert set(by_band) <= {0, 1, 2, 3} and 0 in by_band
+    # band boundaries are consistent: every score in band k is <= every
+    # score in band k+1 (monotone partition)
+    for k in sorted(by_band)[:-1]:
+        nxt = min(b for b in by_band if b > k) if any(b > k for b in by_band) else None
+        if nxt is not None:
+            assert max(by_band[k]) <= min(by_band[nxt])
+    # discrete-rank sizes: band 0 holds AT LEAST ceil(n/4) docs (ties at
+    # the threshold all fall to the lower band) and bands partition n
+    n = len(rows)
+    assert len(by_band[0]) >= (n + 3) // 4
+    assert sum(len(v) for v in by_band.values()) == n
+    # mixing composition: keep all of the top band, none of the rest
+    top = max(by_band)
+    mixed = deterministic_sample_by(
+        out, {top: 1.0}, strata_col="band", key_col="doc_id"
+    )
+    assert mixed.count() == len(by_band[top])
+
+
 def test_unigram_logprob_orders_rare_vs_common(spark):
     """Self-perplexity proxy: a doc of corpus-rare tokens scores far more
     negative than a doc of corpus-dominant tokens; scores are averages
