@@ -389,6 +389,50 @@ def temperature_sample(
     return deterministic_sample_by(docs, rates, strata_col, key_col, salt)
 
 
+def source_vocab_stats(
+    docs: DataFrame, text_col: str = "text", strata_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus profile: document count, token mass, vocabulary
+    size, type-token ratio, and mean document length — the table a
+    mixture designer reads before writing rates (which sources are
+    token-heavy vs doc-heavy, which have collapsed vocabulary from
+    boilerplate).
+
+    Distributed shape: one explode into a (source, token) partial-
+    distinct aggregation (countDistinct runs as a two-phase aggregate —
+    per-task partial distincts before the shuffle, keyed on the source,
+    never a corpus-wide distinct) plus a doc-level projection aggregate;
+    the two #source-bounded results join broadcast.  Output is bounded
+    by the number of sources regardless of corpus size.
+
+    Output: (source, n_docs, n_tokens, n_distinct_tokens,
+    type_token_ratio, avg_doc_tokens).
+    """
+    toks = docs.select(
+        F.col(strata_col), F.explode(tokens_expr(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+    per_doc = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_doc.join(vocab, strata_col)
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(
+                F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"), 4
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("n_tokens") / F.col("n_docs").cast("double"), 4
+            ).alias("avg_doc_tokens"),
+        )
+    )
+
+
 def quality_bands(
     docs: DataFrame, n_bands: int = 4, text_col: str = "text"
 ) -> DataFrame:

@@ -77,6 +77,36 @@ FROM f
 """
 
 
+def q_source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import source_vocab_stats
+
+    return source_vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+# Per-source profile: exact counts only (no approx sketches, so both
+# engines agree bit-for-bit); ratios rounded to 4.
+SQL_SOURCE_VOCAB_STATS = """
+WITH toks AS (
+  SELECT source, t.tok
+  FROM (SELECT source, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), v AS (
+  SELECT source, count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct_tokens
+  FROM toks GROUP BY source
+), d AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(v.n_tokens AS BIGINT) AS n_tokens,
+       CAST(v.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       round(v.n_distinct_tokens / CAST(v.n_tokens AS DOUBLE), 4)
+         AS type_token_ratio,
+       round(v.n_tokens / CAST(d.n_docs AS DOUBLE), 4) AS avg_doc_tokens
+FROM d JOIN v ON d.source = v.source
+"""
+
+
 def q_doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import quality_bands
 
@@ -1275,7 +1305,11 @@ TAIL_PIPELINE_REGISTRY = {
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     # round-6: temperature-smoothed mixture sampling (n^alpha shares)
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    # round-7: token-denominated temperature mixing, corpus-internal
+    # perplexity proxy, discrete-quantile quality banding, per-source
+    # vocabulary profiling
     "mixture_token_sample": (q_mixture_token_sample, SQL_MIXTURE_TOKEN_SAMPLE),
     "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
     "doc_quality_bands": (q_doc_quality_bands, SQL_DOC_QUALITY_BANDS),
+    "source_vocab_stats": (q_source_vocab_stats, SQL_SOURCE_VOCAB_STATS),
 }

@@ -797,6 +797,21 @@ def test_samplers_handle_null_strata(spark):
     assert len(full) == 40
 
 
+def test_source_vocab_stats_known_values(spark):
+    from nntsc_spark.pipeline.text import source_vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b a b"), (2, "web", "a c"), (3, "books", "x y z")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in source_vocab_stats(docs).collect()}
+    web, books = out["web"], out["books"]
+    assert (web.n_docs, web.n_tokens, web.n_distinct_tokens) == (2, 6, 3)
+    assert web.type_token_ratio == 0.5 and web.avg_doc_tokens == 3.0
+    assert (books.n_docs, books.n_tokens, books.n_distinct_tokens) == (1, 3, 3)
+    assert books.type_token_ratio == 1.0
+
+
 def test_quality_bands_discrete_quantiles_and_mixing(spark, sf_dir):
     """Band k holds scores in (thr_{k-1}, thr_k] with thresholds at exact
     discrete ranks ceil(k*n/bands); composition with
