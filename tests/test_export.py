@@ -218,6 +218,30 @@ def test_seam_drain_preserves_per_stream_order(spark, monkeypatch):
         srv.stop()
 
 
+def test_torn_frames_do_not_wedge_the_server(server):
+    """Hostile/crashed clients mid-frame: a partial header, and a header
+    promising more payload than ever arrives, must both end with a clean
+    worker exit — later connections are still served."""
+    import struct
+
+    from nntsc_spark.export.protocol import HDR_FMT
+
+    # partial header, then disconnect
+    s1 = _connect(server)
+    s1.sendall(b"\x01\x02")  # 2 of the header's bytes
+    s1.close()
+    # full header declaring 1000 payload bytes, only 10 sent, disconnect
+    s2 = _connect(server)
+    s2.sendall(struct.pack(HDR_FMT, 1, 1000) + b"x" * 10)
+    s2.close()
+    # the server still answers a well-formed request on a new connection
+    s3 = _connect(server)
+    s3.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, body = read_message(s3)
+    assert mtype == Msg.COLLECTIONS and body
+    s3.close()
+
+
 def test_error_reply_keeps_connection(server):
     s = _connect(server)
     s.sendall(pack(Msg.AGGREGATE, {"collection": "nope", "labels": {}}))

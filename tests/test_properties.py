@@ -191,3 +191,46 @@ def test_token_budget_sample_matches_greedy(spark, sizes, budget):
             break
         expect[i] = total
     assert got == expect
+
+
+@given(
+    assignment=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=0, max_value=3)),
+        min_size=1,
+        max_size=24,
+    ),
+    tiny_target=st.booleans(),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_compact_fact_read_identity_property(spark, tmp_path, assignment, tiny_target):
+    """For ANY assignment of rows to (day, ingest batch) and either a
+    tiny or huge file-size target, compaction preserves the exact row
+    multiset and a second run is a no-op."""
+    import uuid as _uuid
+
+    from nntsc_spark.storage import compact_fact, read_fact, write_fact
+
+    path = str(tmp_path / f"fact-{_uuid.uuid4().hex[:8]}")
+    t0 = 1_700_000_000 - (1_700_000_000 % 86_400)
+    by_batch = {}
+    for i, (day, batch) in enumerate(assignment):
+        by_batch.setdefault(batch, []).append(
+            (i % 4, t0 + day * 86_400 + i, float(i))
+        )
+    for batch, rows in sorted(by_batch.items()):
+        write_fact(
+            spark.createDataFrame(
+                rows, "stream_id long, timestamp long, value double"
+            ),
+            path,
+            batch_id=batch + 1,
+        )
+    before = sorted(tuple(r) for r in read_fact(spark, path).collect())
+    target = 1024 if tiny_target else 1 << 30
+    compact_fact(spark, path, target_bytes=target)
+    assert sorted(tuple(r) for r in read_fact(spark, path).collect()) == before
+    # idempotent: once at target, nothing further rewrites
+    assert compact_fact(spark, path, target_bytes=target) == []

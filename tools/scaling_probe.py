@@ -40,7 +40,12 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # bounded-cost claims (bucket-capped DSIR model, #source-
                     # bounded rate tables) deserve measured curves too
                     "dsir_weights", "dsir_resample", "doc_despan_keepfirst",
-                    "mixture_sample", "mixture_token_sample"]
+                    "mixture_sample", "mixture_token_sample",
+                    # r7: perplexity proxy (the explode+distinct heavy),
+                    # quantile banding (bounded-histogram collect), and
+                    # per-source vocabulary profiling
+                    "text_unigram_logprob", "doc_quality_bands",
+                    "source_vocab_stats"]
 #: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
 #: tables run to billions of rows — hours per cell on this box); the
 #: event-table queries keep going and their cells render "—" beyond this
