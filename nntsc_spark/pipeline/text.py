@@ -234,22 +234,24 @@ def repetition_features(
     gram fractions, plus an ``is_repetitive`` verdict against the given
     thresholds.
 
-    Two aggregation passes, both map-side combinable and keyed by doc —
-    no skew (a doc's tokens all hash to its own key):
+    Distributed shape (r7 — the position-window gram build is gone):
 
     - token pass: explode -> per-(doc, token) counts -> per-doc total /
       distinct / max  (two-level aggregate, the distributed way to get
       "count of the most common element" without per-row nested loops);
-    - gram pass: per-doc position window builds 2-/3-grams with
-      null-propagating concat (incomplete windows vanish), then one per-doc
-      aggregate of totals and distincts.
+    - gram pass: 2-/3-gram totals and distincts are computed ENTIRELY in
+      the array domain (slice windows + array_distinct, the
+      token_windows build) — a zero-shuffle projection.  The previous
+      shape posexploded positions and ran lead() windows over
+      (doc, pos), paying a full per-doc sort exchange just to rebuild
+      adjacency the token array already had; that sort was the operator's
+      scale cost (7.8x/decade at the x100 probe).
 
-    The per-doc results join doc-to-doc (both sides already doc-keyed).
+    The gram projection joins the doc-keyed token aggregate (one
+    exchange, no sort).
     """
-    from pyspark.sql import Window
-
     pos = docs.select(
-        "doc_id", F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+        "doc_id", F.explode(tokens_expr(text_col)).alias("tok")
     )
     tok_counts = pos.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     tok_stats = tok_counts.groupBy("doc_id").agg(
@@ -258,18 +260,25 @@ def repetition_features(
         F.max("c").alias("top_token_cnt"),
     )
 
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    grams = pos.select(
-        "doc_id",
-        F.concat(F.col("tok"), F.lit(" "), l1).alias("g2"),
-        F.concat(F.col("tok"), F.lit(" "), l1, F.lit(" "), l2).alias("g3"),
-    )
-    gram_stats = grams.groupBy("doc_id").agg(
-        F.count("g2").alias("n_2grams"),
-        F.countDistinct("g2").alias("n_distinct_2grams"),
-        F.count("g3").alias("n_3grams"),
-        F.countDistinct("g3").alias("n_distinct_3grams"),
+    def gram_arr(n: int) -> str:
+        return (
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(0, size(_toks) - {n}),"
+            f" i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+
+    gram_stats = (
+        docs.withColumn("_toks", tokens_expr(text_col))
+        .withColumn("_g2", F.expr(gram_arr(2)))
+        .withColumn("_g3", F.expr(gram_arr(3)))
+        .select(
+            "doc_id",
+            F.size("_g2").cast("long").alias("n_2grams"),
+            F.size(F.array_distinct("_g2")).cast("long").alias("n_distinct_2grams"),
+            F.size("_g3").cast("long").alias("n_3grams"),
+            F.size(F.array_distinct("_g3")).cast("long").alias("n_distinct_3grams"),
+        )
     )
 
     def raw_ratio(distinct, total):

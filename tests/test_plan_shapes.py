@@ -164,6 +164,14 @@ def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in shuffles[0], shuffles
 
 
+def test_text_repetition_has_no_window_sort(spark, sf_dir):
+    # the 2-/3-gram stats are array-domain projections (token_windows
+    # build); the old lead()-window shape paid a per-doc sort exchange
+    # just to rebuild adjacency the token array already had
+    plan = plan_text(spark, sf_dir, "text_repetition")
+    assert "Window" not in plan, plan[:2000]
+
+
 def test_mixture_token_sample_single_stratum_shuffle(spark, sf_dir):
     # token-denominated temperature mixing inherits token_budget_sample's
     # shape: the per-stratum running-total window is the ONLY shuffle
