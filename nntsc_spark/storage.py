@@ -345,6 +345,32 @@ def compact_fact(
     return done
 
 
+def fact_stats(path: str) -> list[dict]:
+    """Per-partition layout health for a fact table: file count, bytes,
+    and micro-batch count per date — the observability feed for deciding
+    WHEN to run :func:`compact_fact` (e.g. alert when any closed
+    partition's file count exceeds its byte-derived target).  Pure
+    metadata walk, no Spark job.
+
+    Returns [{partition, n_files, bytes, n_batches}] sorted by day.
+    """
+    out = []
+    root = Path(path)
+    if not root.exists():
+        return out
+    for part in sorted(root.glob(f"{DATE_COL}=*")):
+        files = _partition_parquet_files(part)
+        out.append(
+            {
+                "partition": part.name,
+                "n_files": len(files),
+                "bytes": sum(f.stat().st_size for f in files),
+                "n_batches": len(list(part.glob(f"{BATCH_COL}=*"))),
+            }
+        )
+    return out
+
+
 def maintain_fact(
     spark: SparkSession,
     path: str,

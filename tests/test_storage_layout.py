@@ -121,6 +121,24 @@ def test_compact_fact_merges_closed_partitions(spark, tmp_path):
     assert {tuple(r) for r in read_fact(spark, path).collect()} == before
 
 
+def test_fact_stats_reports_layout_health(spark, tmp_path):
+    """fact_stats feeds the compaction scheduler: per-day file/batch
+    counts drop after compact_fact and the byte total is preserved."""
+    from nntsc_spark.storage import compact_fact, fact_stats
+
+    path = str(tmp_path / "fact")
+    for b in range(3):
+        write_fact(_fact(spark).where(F.col("stream_id") % 3 == b), path,
+                   batch_id=b + 1)
+    before = fact_stats(path)
+    assert len(before) == 1 and before[0]["n_batches"] == 3
+    assert before[0]["n_files"] >= 3 and before[0]["bytes"] > 0
+    compact_fact(spark, path, target_bytes=1 << 30)
+    after = fact_stats(path)
+    assert after[0]["n_files"] == 1 and after[0]["n_batches"] == 1
+    assert fact_stats(str(tmp_path / "missing")) == []
+
+
 def test_maintain_fact_retention_then_compaction(spark, tmp_path):
     """Retention runs before compaction: an expired day is dropped, never
     wastefully rewritten; surviving closed days compact."""
