@@ -67,6 +67,17 @@ SCRIPT = [
           "value_cols": ["value"], "start": 0, "stop": 7200}),
         ("more", 10),
     ),
+    # single label on purpose: _ship_history's final per-label flush
+    # iterates a set, whose order is per-process under str hash
+    # randomization — one label keeps the recorded sequence exact
+    (
+        "send",
+        (Msg.AGGREGATE,
+         {"collection": "amp-icmp", "labels": {"L1": [1]},
+          "aggcols": [("value", "avg"), ("value", "count")],
+          "start": 1, "stop": 10_000, "binsize": 100}),
+        ("n", 2),  # HISTORY (single block) + HISTORY_DONE
+    ),
 ]
 
 
