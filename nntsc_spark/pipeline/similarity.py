@@ -868,6 +868,71 @@ def ivf_append(
     }
 
 
+def ivf_requantize(
+    spark,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_kmeans: bool = False,
+) -> dict:
+    """The drift remediation :func:`ivf_append` flags: re-learn the
+    quantizer from the CURRENT corpus (including everything appended
+    since the build) and rebuild the index in place, atomically.
+
+    A naive ``ivf_build_index(read(corpus), path)`` overwrites the
+    corpus directory while a job is still reading it; this stages the
+    rebuild in a dot-prefixed sibling (invisible to readers), then
+    swaps the WHOLE index directory in one rename pair with the
+    compactors' recovery discipline — a crash at any point leaves
+    either the old index or the new one fully readable, never a
+    mixture (a per-subdirectory swap could strand a new corpus beside
+    old centroids, which silently mis-probes).  O(corpus) by design —
+    run it in a maintenance window with the
+    :class:`~..streaming.similarity.IvfIndexMaintainer` stopped.
+
+    ``use_kmeans`` upgrades the quantizer to k-means|| refinement
+    (:func:`kmeans_parallel_centroids`); default is the same
+    deterministic seeding as :func:`ivf_build_index`.
+
+    Returns the new build's stats dict (n, mean_best_cosine).
+    """
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..storage import _recover_compaction
+
+    root = Path(path)
+    parent = root.parent
+    _recover_compaction(parent)
+    # the staged build must MATERIALIZE before the swap: emb is lazy, and
+    # rebuilding lazily over the directory being replaced would read
+    # through the rename
+    emb = spark.read.parquet(f"{path}/corpus").drop("cell", APPEND_BATCH_COL)
+    cents = (
+        kmeans_parallel_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
+        if use_kmeans
+        else centroid_rows(emb, nlist, id_col, vec_col)
+    )
+    stage = parent / f".compact-stage-{uuid.uuid4().hex[:8]}"
+    ivf_build_index(
+        emb, str(stage), nlist=nlist, id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+    row = (
+        spark.read.parquet(f"{stage}/stats")
+        .where(F.col("kind") == "build")
+        .collect()[0]
+    )
+    trash = parent / f".compact-trash-{root.name}"
+    os.rename(root, trash)
+    os.rename(stage, root)
+    shutil.rmtree(trash)
+    return {"n": int(row["n"]), "mean_best_cosine": float(row["mean_best_cosine"])}
+
+
 def ivf_compact(
     spark,
     path: str,

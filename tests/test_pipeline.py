@@ -708,6 +708,56 @@ def test_ivf_append_exactly_once_and_rebuild_resets_stats(spark, sf_dir, tmp_pat
     assert res["build_mean_best_cosine"] is not None
 
 
+def test_ivf_requantize_clears_drift_atomically(spark, tmp_path):
+    """The drift loop closes: after a distribution shift flags
+    needs_requantization, ivf_requantize re-learns the quantizer from
+    the full current corpus in place — the corpus survives intact, the
+    new quantizer covers the shifted batch, and a crash mid-swap is
+    recoverable."""
+    import os
+    import shutil
+
+    from nntsc_spark.pipeline.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_query_index,
+        ivf_requantize,
+    )
+
+    cluster_a = [(i, [1.0, 0.0, 0.0, 0.01 * i]) for i in range(8)]
+    cluster_b = [(8 + i, [0.0, 1.0, 0.0, 0.01 * i]) for i in range(8)]
+    moved = [(100 + i, [0.0, 0.0, 1.0, 0.01 * i]) for i in range(8)]
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "idx")
+    ivf_build_index(spark.createDataFrame(cluster_a + cluster_b, schema),
+                    path, nlist=2)
+    res = ivf_append(spark.createDataFrame(moved, schema), path, batch_id=1)
+    assert res["needs_requantization"]
+
+    stats = ivf_requantize(spark, path, nlist=3, use_kmeans=True)
+    assert stats["n"] == 24  # full corpus re-indexed
+    assert stats["mean_best_cosine"] > 0.99  # 3 refined cells fit 3 axes
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == 24
+    # a further batch from the shifted distribution no longer drifts
+    more = spark.createDataFrame(
+        [(200 + i, [0.0, 0.0, 1.0, 0.02 * i]) for i in range(4)], schema
+    )
+    res2 = ivf_append(more, path, batch_id=1)
+    assert not res2["needs_requantization"]
+    # queries still serve (probe the shifted cluster)
+    hits = ivf_query_index(spark, path, [100], k=3, nprobe=1).collect()
+    assert hits and all(r.query_id == 100 for r in hits)
+
+    # crash mid-swap: index dir renamed to trash, stage lost -> the next
+    # requantize's recovery sweep restores the original first
+    parent = str(tmp_path)
+    os.rename(path, f"{parent}/.compact-trash-idx")
+    ivf_requantize(spark, path, nlist=3)
+    assert spark.read.parquet(f"{path}/corpus").count() == 28
+    assert not shutil.os.listdir(f"{parent}") == []
+
+
 def test_ivf_compact_merges_cells_row_identically(spark, sf_dir, tmp_path):
     """ivf_compact collapses accumulated append batches per cell into
     append_batch=0 without changing any query result, skips cells already
