@@ -494,6 +494,43 @@ def quality_bands(
     return q.select("doc_id", "quality_score", band.cast("int").alias("band"))
 
 
+def curated_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.7,
+    min_band: int = 1,
+    n_bands: int = 4,
+    strata_col: str = "source",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """The selection capstone: quality-gate then token-mix in one call —
+    documents below ``min_band`` quality are dropped
+    (:func:`quality_bands`), and the survivors are admitted per-source
+    under a total token budget with temperature-smoothed shares
+    (:func:`temperature_token_sample`).  This is the "keep the good
+    stuff, then hit the mix spec" shape curated training sets are
+    actually built with; per-source token masses (and therefore shares)
+    are computed AFTER the quality gate, so a source that is mostly
+    boilerplate earns a smaller share, not a budget it fills with its
+    own tail.
+
+    Every stage keeps its own scale shape: bounded-histogram banding,
+    #source-bounded rate table, one stratum-keyed window.  Output:
+    (doc_id, <strata_col>, band, n_tokens, cum_tokens).
+    """
+    bands = quality_bands(docs, n_bands, text_col).where(
+        F.col("band") >= int(min_band)
+    )
+    keep = docs.join(bands.select("doc_id", "band"), "doc_id")
+    out = temperature_token_sample(
+        keep, budget_tokens, alpha, strata_col, "doc_id", text_col, salt
+    )
+    return out.join(bands.select("doc_id", "band"), "doc_id").select(
+        "doc_id", strata_col, "band", "n_tokens", "cum_tokens"
+    )
+
+
 def unigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     token distribution — the corpus-internal analogue of the CCNet-family

@@ -142,6 +142,52 @@ FROM q, thr
 """
 
 
+def q_curated_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import curated_mixture
+
+    return curated_mixture(
+        load_table(spark, sf_dir, "documents"), budget_tokens=1500, alpha=0.7,
+        min_band=1,
+    )
+
+
+# Quality gate (band >= 1 of the discrete-quantile bands) then
+# token-denominated temperature mixing over the SURVIVORS — shares derive
+# from post-gate token masses.  Reuses the verified banding and mixing
+# CTEs verbatim.
+SQL_CURATED_MIXTURE = f"""
+WITH bands AS ({SQL_DOC_QUALITY_BANDS}),
+keep AS (
+  SELECT d.doc_id, d.source, d.text, b.band
+  FROM documents d JOIN bands b ON d.doc_id = b.doc_id
+  WHERE b.band >= 1
+), t AS (
+  SELECT doc_id, source, band,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS pri
+  FROM keep
+), tot AS (
+  SELECT source, sum(n_tokens) AS tk FROM t GROUP BY source
+), z AS (
+  SELECT sum(pow(tk, 0.7)) AS z FROM tot
+), budgets AS (
+  SELECT tot.source,
+         CAST(floor(1500 * pow(tot.tk, 0.7) / z.z) AS BIGINT) AS b
+  FROM tot, z
+), c AS (
+  SELECT doc_id, source, band, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, c.source, c.band, c.n_tokens, c.cum_tokens
+FROM c JOIN budgets b ON c.source = b.source
+WHERE c.cum_tokens <= b.b
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
@@ -1307,9 +1353,10 @@ TAIL_PIPELINE_REGISTRY = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     # round-7: token-denominated temperature mixing, corpus-internal
     # perplexity proxy, discrete-quantile quality banding, per-source
-    # vocabulary profiling
+    # vocabulary profiling, and the gate-then-mix selection capstone
     "mixture_token_sample": (q_mixture_token_sample, SQL_MIXTURE_TOKEN_SAMPLE),
     "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
     "doc_quality_bands": (q_doc_quality_bands, SQL_DOC_QUALITY_BANDS),
     "source_vocab_stats": (q_source_vocab_stats, SQL_SOURCE_VOCAB_STATS),
+    "curated_mixture": (q_curated_mixture, SQL_CURATED_MIXTURE),
 }

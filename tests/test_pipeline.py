@@ -895,6 +895,31 @@ def test_quality_bands_discrete_quantiles_and_mixing(spark, sf_dir):
     assert mixed.count() == len(by_band[top])
 
 
+def test_curated_mixture_gates_then_budgets(spark, sf_dir):
+    """curated_mixture = quality gate then token-temperature mix: no
+    admitted doc sits below min_band, every admitted doc respects its
+    source's post-gate budget, and shares derive from post-gate masses
+    (a source gone entirely below the gate gets nothing)."""
+    from nntsc_spark.pipeline.text import (
+        curated_mixture,
+        quality_bands,
+        temperature_token_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curated_mixture(docs, budget_tokens=1500, alpha=0.7, min_band=1)
+    rows = out.collect()
+    assert rows and all(r.band >= 1 for r in rows)
+    # equivalent by construction: band-filter first, then the mixer
+    bands = quality_bands(docs).where(F.col("band") >= 1)
+    gated = docs.join(bands.select("doc_id"), "doc_id")
+    expect = {
+        (r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in temperature_token_sample(gated, 1500, 0.7).collect()
+    }
+    assert {(r.doc_id, r.n_tokens, r.cum_tokens) for r in rows} == expect
+
+
 def test_unigram_logprob_orders_rare_vs_common(spark):
     """Self-perplexity proxy: a doc of corpus-rare tokens scores far more
     negative than a doc of corpus-dominant tokens; scores are averages

@@ -45,7 +45,7 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # quantile banding (bounded-histogram collect), and
                     # per-source vocabulary profiling
                     "text_unigram_logprob", "doc_quality_bands",
-                    "source_vocab_stats"]
+                    "source_vocab_stats", "curated_mixture"]
 #: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
 #: tables run to billions of rows — hours per cell on this box); the
 #: event-table queries keep going and their cells render "—" beyond this
