@@ -868,6 +868,45 @@ def ivf_append(
     }
 
 
+def embedding_dedup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resolve embedding near-dup PAIRS into actionable dedup clusters —
+    the vector-space counterpart of :func:`~.dedup.dedup_clusters`
+    (semantic dedup over embeddings is how web-scale corpora drop
+    paraphrase-level duplicates that token-level MinHash can't see).
+
+    Chains :func:`embedding_near_duplicates` (LSH-bucketed candidates,
+    exact-cosine verify) -> :func:`~.dedup.connected_components` and
+    elects each component's minimum id as survivor (the component label
+    IS that minimum, so election is free).  Member counts use the same
+    skew-safe count-groupBy + AQE join as the text-side operator.
+
+    Output: (vec_id, cluster_id, n_members, is_survivor) for every
+    vector in a near-dup cluster; singletons are absent (they survive by
+    definition, and listing them would be corpus-sized output).
+    """
+    from .dedup import connected_components
+
+    pairs = embedding_near_duplicates(
+        emb, threshold, bits, tables, dims, id_col, vec_col
+    ).select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        "n_members",
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def ivf_requantize(
     spark,
     path: str,

@@ -601,6 +601,50 @@ WHERE round(list_dot_product(ea.v, eb.v) /
 )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import embedding_dedup_clusters
+
+    # 0.4, not the pair query's listing threshold 0.3: the synthetic
+    # embeddings have no true near-dups (max pair cosine ~0.6), and at
+    # 0.3 the graph is a loose hairball whose chains exceed the Pregel
+    # round cap at sf0.1 — 0.4 keeps components dedup-shaped (small,
+    # tight) at every test scale while still exercising the full
+    # pairs -> CC -> survivor path
+    return embedding_dedup_clusters(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bits=_NEARDUP_BITS,
+        tables=_NEARDUP_TABLES,
+        dims=_NEARDUP_DIMS,
+    )
+
+
+# Vector-space dedup clusters: the verified embedding near-dup pairs fed
+# through the same recursive-CTE connected components + min-id survivor
+# election as SQL_DEDUP_CLUSTERS.
+SQL_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT v1 AS d1, v2 AS d2 FROM ({SQL_EMBEDDING_NEARDUP}) nd
+  WHERE cosine >= 0.4
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS vec_id, min(label) AS cluster_id FROM reach GROUP BY node
+), csizes AS (
+  SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
+)
+SELECT c.vec_id, c.cluster_id, s.n_members,
+       c.vec_id = c.cluster_id AS is_survivor
+FROM cc c JOIN csizes s USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -1359,4 +1403,5 @@ TAIL_PIPELINE_REGISTRY = {
     "doc_quality_bands": (q_doc_quality_bands, SQL_DOC_QUALITY_BANDS),
     "source_vocab_stats": (q_source_vocab_stats, SQL_SOURCE_VOCAB_STATS),
     "curated_mixture": (q_curated_mixture, SQL_CURATED_MIXTURE),
+    "embedding_clusters": (q_embedding_clusters, SQL_EMBEDDING_CLUSTERS),
 }

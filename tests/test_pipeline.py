@@ -708,6 +708,34 @@ def test_ivf_append_exactly_once_and_rebuild_resets_stats(spark, sf_dir, tmp_pat
     assert res["build_mean_best_cosine"] is not None
 
 
+def test_embedding_dedup_clusters_semantic_groups(spark):
+    """Vector-space dedup: two planted near-identical groups resolve to
+    two clusters with min-id survivors; the isolated vector is absent."""
+    from nntsc_spark.pipeline.similarity import embedding_dedup_clusters
+
+    def vec(axis, eps):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 1) % 8] = eps
+        return v
+
+    emb = spark.createDataFrame(
+        [(i, vec(0, 0.001 * i)) for i in range(3)]       # group A: 0,1,2
+        + [(10 + i, vec(3, 0.001 * i)) for i in range(2)]  # group B: 10,11
+        + [(99, vec(6, 0.0))],                              # singleton
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_dedup_clusters(
+        emb, threshold=0.99, dims=8).collect()}
+    assert set(out) == {0, 1, 2, 10, 11}
+    assert all(out[i].cluster_id == 0 and out[i].n_members == 3
+               for i in (0, 1, 2))
+    assert all(out[i].cluster_id == 10 and out[i].n_members == 2
+               for i in (10, 11))
+    assert out[0].is_survivor and out[10].is_survivor
+    assert not any(out[i].is_survivor for i in (1, 2, 11))
+
+
 def test_ivf_requantize_clears_drift_atomically(spark, tmp_path):
     """The drift loop closes: after a distribution shift flags
     needs_requantization, ivf_requantize re-learns the quantizer from

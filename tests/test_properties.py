@@ -234,3 +234,50 @@ def test_compact_fact_read_identity_property(spark, tmp_path, assignment, tiny_t
     assert sorted(tuple(r) for r in read_fact(spark, path).collect()) == before
     # idempotent: once at target, nothing further rewrites
     assert compact_fact(spark, path, target_bytes=target) == []
+
+
+@given(
+    sizes=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=1, max_value=30)),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@settings(**SETTINGS)
+def test_temperature_token_sample_matches_reference(spark, sizes, budget):
+    """temperature_token_sample == per-source greedy prefix under
+    floor(budget * T_s^0.7 / z) token allocations, for arbitrary
+    source/length distributions — the budget math pinned against an
+    independent pure-Python reference."""
+    import hashlib
+
+    from nntsc_spark.pipeline.text import temperature_token_sample
+
+    docs = [(i, src, " ".join(["w"] * n)) for i, (src, n) in enumerate(sizes)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r.doc_id: r.cum_tokens
+           for r in temperature_token_sample(
+               df, budget_tokens=budget, alpha=0.7).collect()}
+
+    totals: dict[str, int] = {}
+    for _i, (src, n) in enumerate(sizes):
+        totals[src] = totals.get(src, 0) + n
+    z = sum(w for _, w in sorted(
+        {s: float(t) ** 0.7 for s, t in totals.items()}.items()))
+    budgets = {s: int(float(budget) * (float(t) ** 0.7) / z)
+               for s, t in totals.items()}
+    expect: dict[int, int] = {}
+    for src in totals:
+        pri = sorted(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i, n)
+            for i, (s, n) in enumerate(sizes) if s == src
+        )
+        total = 0
+        for _, i, n in pri:
+            total += n
+            if total > budgets[src]:
+                break
+            expect[i] = total
+    assert got == expect

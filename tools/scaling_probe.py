@@ -45,7 +45,8 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # quantile banding (bounded-histogram collect), and
                     # per-source vocabulary profiling
                     "text_unigram_logprob", "doc_quality_bands",
-                    "source_vocab_stats", "curated_mixture"]
+                    "source_vocab_stats", "curated_mixture",
+                    "embedding_clusters"]
 #: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
 #: tables run to billions of rows — hours per cell on this box); the
 #: event-table queries keep going and their cells render "—" beyond this
@@ -101,11 +102,16 @@ def _capped_queries():
 MAX_CAPPED_FACTOR = 1000
 
 #: per-query factor ceilings for cells this single box physically cannot
-#: hold (empty since the hashed-key join cut the ngram index shuffle ~4x;
-#: re-add `{"query": 100}` entries if a cell hits 'No space left on
-#: device' again — the resilient per-cell try/except records a gap either
-#: way)
-PER_QUERY_MAX_FACTOR: dict[str, int] = {}
+#: hold, or where the replica builder stops being a fair instrument.
+#: embedding_clusters: the embeddings replica jitters values by ~±0.005,
+#: so an original's N replicas are TRUE near-dups of each other (cosine
+#: ~0.9999) — candidate pairs grow as C(N,2) per original, quadratic in
+#: the factor BY CONSTRUCTION of the replica, not by any property of the
+#: operator (whose bucket-local join is linear in real pair count).  The
+#: x100 cell spilled the box's disk to death measuring the generator;
+#: x10 is the honest ceiling for pair-generating embedding ops on this
+#: replica design.
+PER_QUERY_MAX_FACTOR: dict[str, int] = {"embedding_clusters": 10}
 
 
 def build_replica(spark, factor: int) -> str:
@@ -320,6 +326,13 @@ def main() -> None:
         "All cells are min-of-2, which for the caching pipelines means WARM",
         "steady state (rep 2 reuses the scratch-persist pool — the",
         "production shape, where the corpus caches serve many queries).",
+        "embedding_clusters stops at x10 BY the replica design, not the",
+        "operator: the embeddings replica jitters values so slightly that",
+        "an original's N replicas are true near-dups of EACH OTHER",
+        "(cosine ~0.9999), so candidate pairs grow as C(N,2) per original",
+        "— quadratic in the factor by construction of the instrument.",
+        "The operator's bucket-local join is linear in the real pair",
+        "count (see PER_QUERY_MAX_FACTOR in tools/scaling_probe.py).",
         "",
         "frequency_bounded / minhash_pruned / ngram_jaccard_capped are the",
         "CAPPED production variants (since+max_diffs scan bound; prune-to-",
