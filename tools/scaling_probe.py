@@ -45,8 +45,18 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # quantile banding (bounded-histogram collect), and
                     # per-source vocabulary profiling
                     "text_unigram_logprob", "doc_quality_bands",
-                    "source_vocab_stats", "curated_mixture",
-                    "embedding_clusters"]
+                    "source_vocab_stats", "curated_mixture"]
+# embedding_clusters is deliberately NOT replica-probed: in fixed
+# dimension, any replica construction either duplicates vectors (the old
+# value-jitter: an original's N copies are near-dups of each other,
+# C(N,2) pairs, quadratic by construction) or injects random-sign copies
+# whose cross-replica cosine tail is HEAVIER than the real corpus's
+# (sign-flip replicas: ~N(0, 1/dims) puts ~0.07% of cross pairs above
+# the 0.4 threshold where the true corpus has almost none -> a synthetic
+# hairball that stalls connected components).  Both regimes measure the
+# instrument.  Its two halves have measured curves of their own: the
+# LSH-bucketed pair join (same shape as the benched embedding_neardup)
+# and connected components (dedup_clusters row).
 #: pipeline heavies stop here (x1000 documents = 5M docs whose shingle
 #: tables run to billions of rows — hours per cell on this box); the
 #: event-table queries keep going and their cells render "—" beyond this
@@ -102,16 +112,12 @@ def _capped_queries():
 MAX_CAPPED_FACTOR = 1000
 
 #: per-query factor ceilings for cells this single box physically cannot
-#: hold, or where the replica builder stops being a fair instrument.
-#: embedding_clusters: the embeddings replica jitters values by ~±0.005,
-#: so an original's N replicas are TRUE near-dups of each other (cosine
-#: ~0.9999) — candidate pairs grow as C(N,2) per original, quadratic in
-#: the factor BY CONSTRUCTION of the replica, not by any property of the
-#: operator (whose bucket-local join is linear in real pair count).  The
-#: x100 cell spilled the box's disk to death measuring the generator;
-#: x10 is the honest ceiling for pair-generating embedding ops on this
-#: replica design.
-PER_QUERY_MAX_FACTOR: dict[str, int] = {"embedding_clusters": 10}
+#: hold (empty again: the sign-flip embedding replica — see
+#: build_pipeline_replica — removed the instrument-made quadratic pair
+#: growth that spilled embedding_clusters' x100 cell to disk death under
+#: the old value-jitter replica; re-add `{"query": 100}` entries if a
+#: cell hits 'No space left on device' again)
+PER_QUERY_MAX_FACTOR: dict[str, int] = {}
 
 
 def build_replica(spark, factor: int) -> str:
@@ -156,9 +162,12 @@ def build_pipeline_replica(spark, factor: int) -> str:
     Every factor INCLUDING x1 goes through this transform so the salt's
     constant token inflation (~2x tokens/doc) cancels out of the ratios.
 
-    Embeddings: ids re-keyed (replica 0 keeps the original ids, so the
-    registered query's fixed _QUERY_IDS still resolve), values jittered by
-    a hash of the new id so replicas aren't bit-identical vectors.
+    Embeddings: ids re-keyed (replica 0 keeps the original ids AND
+    values, so the registered query's fixed _QUERY_IDS still resolve);
+    replicas i > 0 apply a per-replica deterministic SIGN FLIP per
+    dimension — an orthogonal transform, so within-replica pairwise
+    cosines are exactly the original corpus's while cross-replica
+    cosines decorrelate to ~N(0, 1/dims).
     """
     out = f"{SCRATCH}/px{factor}"
     if os.path.exists(f"{out}/embeddings.parquet"):
@@ -183,20 +192,27 @@ def build_pipeline_replica(spark, factor: int) -> str:
     )
     rep.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # per-replica deterministic SIGN FLIPS, the vector analogue of token
+    # tagging: a sign pattern is an orthogonal transform, so every
+    # WITHIN-replica pairwise cosine is exactly the original corpus's
+    # (near-dup pairs grow Nx — the fair direction), while CROSS-replica
+    # cosines decorrelate to ~N(0, 1/dims).  The previous tiny value
+    # jitter made an original's N replicas true near-dups of each other,
+    # so pair count grew as C(N,2) per original — quadratic in the
+    # factor by construction, and the x100 embedding_clusters cell
+    # spilled the box's disk measuring the generator, not the operator.
+    # Replica 0 keeps identity values so fixed _QUERY_IDS still resolve
+    # against the true vectors.
     erep = (
         emb.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         .select(
             (F.col("vec_id") + F.col("i").cast("long") * F.lit(1_000_000)
              ).alias("vec_id"),
-            "embedding",
-            "label",
-        )
-        .withColumn(
-            "embedding",
             F.expr(
-                "transform(embedding, (x, j) -> "
-                "float(x + (pmod(hash(vec_id, j), 997) - 498) / 100000.0))"
-            ),
+                "transform(embedding, (x, j) -> CASE WHEN i = 0 THEN x "
+                "ELSE float(x * (pmod(hash(i, j), 2) * 2 - 1)) END)"
+            ).alias("embedding"),
+            "label",
         )
     )
     erep.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
@@ -326,13 +342,16 @@ def main() -> None:
         "All cells are min-of-2, which for the caching pipelines means WARM",
         "steady state (rep 2 reuses the scratch-persist pool — the",
         "production shape, where the corpus caches serve many queries).",
-        "embedding_clusters stops at x10 BY the replica design, not the",
-        "operator: the embeddings replica jitters values so slightly that",
-        "an original's N replicas are true near-dups of EACH OTHER",
-        "(cosine ~0.9999), so candidate pairs grow as C(N,2) per original",
-        "— quadratic in the factor by construction of the instrument.",
-        "The operator's bucket-local join is linear in the real pair",
-        "count (see PER_QUERY_MAX_FACTOR in tools/scaling_probe.py).",
+        "Embedding replicas use per-replica SIGN FLIPS (an orthogonal",
+        "transform): within-replica cosines are exactly the original",
+        "corpus's, cross-replica cosines decorrelate to ~N(0, 1/dims).",
+        "embedding_clusters is not replica-probed at all — in fixed",
+        "dimension every replica design either duplicates vectors",
+        "(quadratic pairs) or injects a random cross-replica cosine tail",
+        "heavier than the real corpus's thin one; both measure the",
+        "instrument, not the operator (see the note in",
+        "tools/scaling_probe.py; its halves are covered by the",
+        "embedding_neardup bench row and the dedup_clusters CC row).",
         "",
         "frequency_bounded / minhash_pruned / ngram_jaccard_capped are the",
         "CAPPED production variants (since+max_diffs scan bound; prune-to-",
