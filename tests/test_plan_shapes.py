@@ -182,6 +182,14 @@ def test_mixture_token_sample_single_stratum_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in shuffles[0], shuffles
 
 
+def test_embedding_clusters_no_cartesian(spark, sf_dir):
+    # candidate generation must stay the bucket-local LSH equi-join all
+    # the way through the CC composition — never an all-pairs comparison
+    plan = plan_text(spark, sf_dir, "embedding_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_unigram_logprob_no_smj_no_cartesian(spark, sf_dir):
     # the vocabulary scoring join must stay hash/broadcast (one row per
     # distinct token on the build side; probe is distinct tokens per
