@@ -138,3 +138,68 @@ def salted_join(
         .join(dim_exp, [key, "_salt"], how)
         .drop("_salt")
     )
+
+
+def funnel_counts(
+    fact: DataFrame,
+    steps: list[str],
+    window: int | None = None,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: how many users complete each prefix of
+    ``steps`` in order — the product-analytics staple (view -> click ->
+    purchase) the reference's fixed query surface never grew but an
+    events table immediately invites.
+
+    Semantics: a user completes step 1 at their EARLIEST step-1 event;
+    step k at the earliest step-k event STRICTLY AFTER their step-(k-1)
+    completion; with ``window``, every completion must also fall within
+    ``window`` seconds of the step-1 time (the classic "converted within
+    N minutes" constraint).  Earliest-completion semantics makes the
+    funnel monotone (n_users never increases with step) and
+    deterministic.
+
+    Distributed shape: ONE filter + per-key min-aggregate per step, each
+    map-side combinable and keyed on the user — no per-user event-list
+    collection, no window sort over the whole fact; k steps = k small
+    hash aggregates joined key-to-key, and the k per-step counts are
+    single-row aggregates unioned into a k-row result.  At 100 TB the
+    dominant cost is the k filtered scans, each of which prunes on the
+    type predicate.
+
+    Output: (step, step_name, n_users), one row per step, in step order.
+    """
+    outs = []
+    cur = None  # (key, _t = step-k completion ts, _t1 = step-1 ts)
+    for i, s in enumerate(steps):
+        ev = fact.where(F.col(type_col) == s).select(key, ts_col)
+        if cur is None:
+            cur = (
+                ev.groupBy(key)
+                .agg(F.min(ts_col).alias("_t"))
+                .withColumn("_t1", F.col("_t"))
+            )
+        else:
+            j = ev.join(cur.select(key, "_t", "_t1"), key).where(
+                F.col(ts_col) > F.col("_t")
+            )
+            if window is not None:
+                j = j.where(F.col(ts_col) <= F.col("_t1") + int(window))
+            cur = (
+                j.groupBy(key, "_t1")
+                .agg(F.min(ts_col).alias("_t"))
+                .select(key, "_t", "_t1")
+            )
+        outs.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                "n_users",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

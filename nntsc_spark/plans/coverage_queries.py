@@ -429,4 +429,53 @@ REGISTRY["skew_join"] = (q_skew_join, SQL_SKEW_JOIN)
 # registered from plans.queries AFTER the ingest block: smoke_array is a
 # variant check (smoke + most_array both driver-verified) and can live in
 # the driver's unchecked tail — see the 50-query-window note in queries.py
-TAIL_REGISTRY = {"smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY)}
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel within an hour of the
+    first view, over the bounded events window: k per-user min-aggregates
+    joined key-to-key — no per-user event collection, no global sort."""
+    from ..operators.sessions import funnel_counts
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    return funnel_counts(
+        time_filter(fact, START, STOP),
+        steps=["view", "click", "purchase"],
+        window=3600,
+    )
+
+
+# Earliest-completion funnel semantics step by step: s1 = min view ts per
+# user; s_k = min step-k ts strictly after s_{k-1} and within 3600 s of
+# s1; counts are single-row aggregates unioned in step order.
+SQL_FUNNEL = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_type FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), s1 AS (
+  SELECT stream_id, min(timestamp) AS t, min(timestamp) AS t1
+  FROM bounded WHERE event_type = 'view' GROUP BY stream_id
+), s2 AS (
+  SELECT b.stream_id, min(b.timestamp) AS t, s1.t1
+  FROM bounded b JOIN s1 ON b.stream_id = s1.stream_id
+  WHERE b.event_type = 'click' AND b.timestamp > s1.t
+    AND b.timestamp <= s1.t1 + 3600
+  GROUP BY b.stream_id, s1.t1
+), s3 AS (
+  SELECT b.stream_id, min(b.timestamp) AS t, s2.t1
+  FROM bounded b JOIN s2 ON b.stream_id = s2.stream_id
+  WHERE b.event_type = 'purchase' AND b.timestamp > s2.t
+    AND b.timestamp <= s2.t1 + 3600
+  GROUP BY b.stream_id, s2.t1
+)
+SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
+TAIL_REGISTRY = {
+    "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
+    "funnel": (q_funnel, SQL_FUNNEL),
+}

@@ -319,3 +319,33 @@ def test_salted_join_matches_plain_join(spark):
     left = salted_join(big, dim, "k", salts=8, how="left")
     assert left.where("k = 9").count() == 1
     assert left.count() == big.count()
+
+
+def test_funnel_counts_ordered_semantics(spark):
+    """Earliest-completion ordered funnel on a hand-built event log:
+    out-of-order steps don't count, the window bound drops late
+    conversions, and counts are monotone non-increasing."""
+    from nntsc_spark.operators.sessions import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel inside the window
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # user 2: purchase BEFORE click -> stops after click
+        (2, 100, "view"), (2, 150, "purchase"), (2, 200, "click"),
+        # user 3: click outside the 500 s window -> stops after view
+        (3, 100, "view"), (3, 700, "click"),
+        # user 4: never views -> not in the funnel at all
+        (4, 100, "click"), (4, 200, "purchase"),
+        # user 5: duplicate views, earliest counts; click after FIRST view
+        (5, 100, "view"), (5, 400, "view"), (5, 250, "click"),
+    ]
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, event_type string"
+    )
+    out = {r.step: r for r in funnel_counts(
+        fact, ["view", "click", "purchase"], window=500).collect()}
+    assert [out[s].step_name for s in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert out[1].n_users == 4   # users 1, 2, 3, 5
+    assert out[2].n_users == 3   # users 1, 2, 5 (3's click too late)
+    assert out[3].n_users == 1   # only user 1 purchases AFTER clicking
+    assert out[1].n_users >= out[2].n_users >= out[3].n_users
