@@ -203,3 +203,47 @@ def funnel_counts(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def cohort_retention(
+    fact: DataFrame,
+    cohort_type: str = "signup",
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    type_col: str = "event_type",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort retention: for each signup-day cohort, how many users are
+    active again k days later — the third leg of the events-analytics
+    trio (sessionize, funnel, retention).
+
+    A user's cohort day is the UTC day of their EARLIEST ``cohort_type``
+    event; activity is any event on any later-or-equal day.  Distributed
+    shape: one per-user min-aggregate (the cohort table), one distinct
+    over (user, day) — both map-side combinable and keyed on the user —
+    then an equi-join and a (cohort_day, day_offset) count.  Output is
+    bounded by days x offsets regardless of corpus size; no windows, no
+    sorts.
+
+    Output: (cohort_day, day_offset, n_active) with day_offset 0 =
+    signup-day activity (n_active at offset 0 == cohort size, since the
+    signup event itself is activity).
+    """
+    # integer DIV, not double-divide-then-cast: exact on any epoch and
+    # identical to the oracle's // floor division
+    day = F.expr(f"{ts_col} DIV 86400")
+    cohorts = (
+        fact.where(F.col(type_col) == cohort_type)
+        .groupBy(key)
+        .agg(F.min(day).alias("_cday"))
+    )
+    active = fact.select(key, day.alias("_aday")).dropDuplicates()
+    joined = active.join(cohorts, key).where(F.col("_aday") >= F.col("_cday"))
+    if max_offset_days is not None:
+        joined = joined.where(
+            F.col("_aday") - F.col("_cday") <= int(max_offset_days)
+        )
+    return joined.groupBy(
+        F.col("_cday").alias("cohort_day"),
+        (F.col("_aday") - F.col("_cday")).alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active"))

@@ -475,7 +475,41 @@ SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-day cohorts x activity-day offsets (7-day horizon) over the
+    bounded events window — per-user min + distinct-day join, no windows."""
+    from ..operators.sessions import cohort_retention
+
+    fact = events_fact(spark, sf_dir, START, STOP)
+    return cohort_retention(
+        time_filter(fact, START, STOP), max_offset_days=7
+    )
+
+
+# Same shape relationally: cohort day = min signup day per user (UTC
+# epoch//86400), activity = distinct (user, day), count per (cohort_day,
+# offset <= 7).
+SQL_COHORT_RETENTION = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_type FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), cohorts AS (
+  SELECT stream_id, min(timestamp // 86400) AS cday
+  FROM bounded WHERE event_type = 'signup' GROUP BY stream_id
+), active AS (
+  SELECT DISTINCT stream_id, timestamp // 86400 AS aday FROM bounded
+)
+SELECT c.cday AS cohort_day, a.aday - c.cday AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM active a JOIN cohorts c ON a.stream_id = c.stream_id
+WHERE a.aday >= c.cday AND a.aday - c.cday <= 7
+GROUP BY c.cday, a.aday - c.cday
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }

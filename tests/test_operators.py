@@ -349,3 +349,33 @@ def test_funnel_counts_ordered_semantics(spark):
     assert out[2].n_users == 3   # users 1, 2, 5 (3's click too late)
     assert out[3].n_users == 1   # only user 1 purchases AFTER clicking
     assert out[1].n_users >= out[2].n_users >= out[3].n_users
+
+
+def test_cohort_retention_known_values(spark):
+    """Hand-built log: cohort day from earliest signup, offsets count
+    distinct active days, horizon bound applies, non-signups excluded."""
+    from nntsc_spark.operators.sessions import cohort_retention
+
+    D = 86_400
+    rows = [
+        # user 1 signs up day 0, active days 0, 1, 3
+        (1, 10, "signup"), (1, D + 5, "view"), (1, 3 * D + 5, "click"),
+        # user 2 signs up day 0 (second signup day 2 ignored), active 0, 2
+        (2, 20, "signup"), (2, 2 * D + 9, "signup"),
+        # user 3 never signs up -> excluded entirely
+        (3, 30, "view"), (3, D + 30, "view"),
+        # user 4 signs up day 1, active day 1 and day 9 (beyond horizon 5)
+        (4, D + 40, "signup"), (4, 9 * D + 1, "purchase"),
+    ]
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, event_type string"
+    )
+    out = {(r.cohort_day, r.day_offset): r.n_active
+           for r in cohort_retention(fact, max_offset_days=5).collect()}
+    assert out == {
+        (0, 0): 2,  # users 1 and 2 active on their signup day
+        (0, 1): 1,  # user 1
+        (0, 2): 1,  # user 2's second signup is day-2 activity
+        (0, 3): 1,  # user 1
+        (1, 0): 1,  # user 4
+    }

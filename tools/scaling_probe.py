@@ -29,7 +29,8 @@ from nntsc_spark.session import get_spark
 SF_DIR = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/sparktsc-scaling"
 QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
-           "frequency", "sessionize", "stream_stats", "funnel"]
+           "frequency", "sessionize", "stream_stats", "funnel",
+           "cohort_retention"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
