@@ -165,12 +165,18 @@ def funnel_counts(
     map-side combinable and keyed on the user — no per-user event-list
     collection, no window sort over the whole fact; k steps = k small
     hash aggregates joined key-to-key, and the k per-step counts are
-    single-row aggregates unioned into a k-row result.  At 100 TB the
-    dominant cost is the k filtered scans, each of which prunes on the
-    type predicate.
+    single-row aggregates unioned into a k-row result.  Each step's
+    per-user completion table is persisted (bounded by the scratch pool)
+    before it feeds BOTH its own count and the next step's join — step
+    k's chain embeds steps 1..k-1, so without the persist the k unioned
+    counts would recompute the filtered scans O(k^2) times in one action
+    (r7 advice finding).  At 100 TB the dominant cost is then genuinely
+    the k filtered scans, each of which prunes on the type predicate.
 
     Output: (step, step_name, n_users), one row per step, in step order.
     """
+    from ..pipeline.dedup import scratch_persist
+
     outs = []
     cur = None  # (key, _t = step-k completion ts, _t1 = step-1 ts)
     for i, s in enumerate(steps):
@@ -192,6 +198,7 @@ def funnel_counts(
                 .agg(F.min(ts_col).alias("_t"))
                 .select(key, "_t", "_t1")
             )
+        cur = scratch_persist(cur)
         outs.append(
             cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
                 F.lit(i + 1).alias("step"),
@@ -229,9 +236,14 @@ def cohort_retention(
     signup-day activity (n_active at offset 0 == cohort size, since the
     signup event itself is activity).
     """
-    # integer DIV, not double-divide-then-cast: exact on any epoch and
-    # identical to the oracle's // floor division
-    day = F.expr(f"{ts_col} DIV 86400")
+    # exact integer FLOOR division on any epoch (Spark DIV truncates
+    # toward zero, so bare DIV would bucket pre-1970 timestamps one day
+    # late vs DuckDB's flooring //; the remainder adjustment restores
+    # floor semantics without a double round-trip)
+    day = F.expr(
+        f"({ts_col} DIV 86400) - (CASE WHEN {ts_col} % 86400 < 0"
+        " THEN 1 ELSE 0 END)"
+    )
     cohorts = (
         fact.where(F.col(type_col) == cohort_type)
         .groupBy(key)

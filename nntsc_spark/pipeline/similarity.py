@@ -785,6 +785,59 @@ def ivf_build_index(
     assigned.unpersist()
 
 
+def _corpus_layout_is_legacy(spark: SparkSession, corpus_root: str) -> bool:
+    """True if the IVF corpus at ``corpus_root`` predates the
+    ``append_batch`` partition level (partitioned by ``cell`` only).
+
+    Appending cell=N/append_batch=M directories into such a layout mixes
+    bare parquet files and partition subdirectories under one cell, and
+    Spark's partition discovery then fails with 'conflicting directory
+    structures' on every subsequent read — so the mismatch must be caught
+    BEFORE the first append write.  Local paths are probed with a cheap
+    single-cell directory listing (no full-corpus file listing); remote
+    URIs fall back to a partition-discovery schema read.
+    """
+    from pathlib import Path
+
+    local = corpus_root.removeprefix("file://")
+    root = Path(local)
+    if "://" not in local and root.exists():
+        first_cell = next(iter(root.glob("cell=*")), None)
+        if first_cell is None:
+            return False
+        return next(iter(first_cell.glob(f"{APPEND_BATCH_COL}=*")), None) is None
+    return APPEND_BATCH_COL not in spark.read.parquet(corpus_root).columns
+
+
+def ivf_migrate_legacy_layout(path: str) -> int:
+    """Migrate a legacy cell-only IVF corpus in place: move each cell's
+    bare build files into a ``cell=N/append_batch=0`` subdirectory (0 is
+    the build batch, exactly where :func:`ivf_build_index` puts them
+    today).  Idempotent — already-migrated cells are skipped.  Local
+    filesystem paths only (same contract as the compactors); for object
+    stores, rebuild with :func:`ivf_build_index` instead.  Returns the
+    number of files moved.
+    """
+    import os
+    from pathlib import Path
+
+    root = Path(path.removeprefix("file://")) / "corpus"
+    moved = 0
+    for cell in root.glob("cell=*"):
+        files = [f for f in cell.iterdir() if f.suffix == ".parquet"]
+        if not files:
+            continue
+        dest = cell / f"{APPEND_BATCH_COL}=0"
+        dest.mkdir(exist_ok=True)
+        for f in files:
+            os.rename(f, dest / f.name)
+            crc = cell / f".{f.name}.crc"  # local-FS checksum sidecar
+            if crc.exists():
+                os.rename(crc, dest / crc.name)
+            moved += 1
+    return moved
+
+
 def ivf_append(
     new: DataFrame,
     path: str,
@@ -826,6 +879,15 @@ def ivf_append(
     if int(batch_id) <= 0:
         raise ValueError("batch_id must be > 0 (0 is the build batch)")
     spark = new.sparkSession
+    if _corpus_layout_is_legacy(spark, f"{path}/corpus"):
+        raise ValueError(
+            f"{path}/corpus uses the legacy cell-only layout (no "
+            f"{APPEND_BATCH_COL}= partition level); appending would mix "
+            "bare files and partition dirs under one cell and break every "
+            "subsequent read with 'conflicting directory structures'. "
+            "Run ivf_migrate_legacy_layout(path) (local paths) or rebuild "
+            "with ivf_build_index first."
+        )
     cents = [
         (int(r["cell_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids")

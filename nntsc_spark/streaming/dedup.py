@@ -58,14 +58,23 @@ def compact_batched_table(
     target_bytes: int = 128 << 20,
 ) -> bool:
     """Collapse a ``{parent}/{name}/batch=N`` table's accumulated per-batch
-    partitions into ~target-size files under a single ``batch=0`` — the
+    partitions into ~target-size files under a single ``batch=-1`` — the
     streaming-state counterpart of :func:`~..storage.compact_fact` (per-
     commit micro-batches leave one file set per batch forever; every
     index probe then pays the file-listing tax on ALL of history).
 
-    ``batch=0`` keeps the merged rows visible to every future epoch's
-    ``batch < id`` prior-filter (epochs are monotonically increasing, so
-    0 is always prior).  Run with the stream STOPPED: Structured
+    The sentinel is ``-1`` (mirroring ``storage.COMPACTED_BATCH``), NOT 0:
+    foreachBatch epochs start at 0 and each epoch OVERWRITES its own
+    ``batch=N`` directory for idempotent retries, so a stream restarted
+    with a fresh checkpoint (epoch ids reset to 0) would silently wipe a
+    ``batch=0`` merge — every real epoch id is >= 0, so -1 can never
+    collide, while still satisfying every epoch's ``batch < id``
+    prior-filter.  Corollary: ALWAYS compact before restarting a stream
+    with a FRESH checkpoint — uncompacted ``batch>=0`` partitions are
+    invisible to the restarted epochs' prior-filter and are overwritten
+    one by one as the new epoch ids climb past them; folding them into
+    the sentinel first preserves both the state and the dedup guarantee.
+    Run with the stream STOPPED: Structured
     Streaming's checkpoint guarantees committed epochs never replay,
     which is what makes merging them safe — same contract as the other
     compactors.  Idempotent (single-batch tables at the file target are
@@ -81,7 +90,11 @@ def compact_batched_table(
     import uuid
     from pathlib import Path
 
-    from ..storage import _partition_parquet_files, _recover_compaction
+    from ..storage import (
+        COMPACTED_BATCH,
+        _partition_parquet_files,
+        _recover_compaction,
+    )
 
     proot = Path(parent)
     if not proot.exists():
@@ -102,7 +115,7 @@ def compact_batched_table(
     df = reader.parquet(str(root)).drop("batch")
     stage = proot / f".compact-stage-{uuid.uuid4().hex[:8]}"
     df.coalesce(goal).write.mode("overwrite").parquet(str(stage / "data"))
-    dest = stage / "part" / "batch=0"
+    dest = stage / "part" / f"batch={COMPACTED_BATCH}"
     dest.mkdir(parents=True)
     for f in (stage / "data").glob("*.parquet"):
         os.rename(f, dest / f.name)
@@ -280,7 +293,7 @@ class IncrementalDeduper:
 
     def compact_index(self, target_bytes: int = 128 << 20) -> list[str]:
         """Merge the per-batch band/signature/corpus partitions into
-        single ``batch=0`` tables (see :func:`compact_batched_table`).
+        single ``batch=-1`` tables (see :func:`compact_batched_table`).
         Run with the stream stopped; returns the tables rewritten."""
         from pathlib import Path
 
@@ -446,7 +459,7 @@ class IncrementalSpanIndex:
 
     def compact_index(self, target_bytes: int = 128 << 20) -> list[str]:
         """Merge the per-batch fingerprint/span partitions into single
-        ``batch=0`` tables (see :func:`compact_batched_table`).  Run with
+        ``batch=-1`` tables (see :func:`compact_batched_table`).  Run with
         the stream stopped; returns the tables rewritten."""
         from pathlib import Path
 

@@ -379,3 +379,20 @@ def test_cohort_retention_known_values(spark):
         (0, 3): 1,  # user 1
         (1, 0): 1,  # user 4
     }
+
+
+def test_cohort_retention_pre_epoch_timestamps_floor(spark):
+    """r7 advice: day bucketing must FLOOR (DuckDB // semantics), not
+    truncate toward zero — a pre-1970 signup at ts=-10 is day -1, and
+    activity at ts=5 (day 0) is offset 1, not 0."""
+    from nntsc_spark.operators.sessions import cohort_retention
+
+    fact = spark.createDataFrame(
+        [(1, -10, "signup"), (1, 5, "view"),
+         # exact midnight boundary: -86400 is day -1 exactly (no remainder)
+         (2, -86_400, "signup"), (2, -1, "view")],
+        "stream_id long, timestamp long, event_type string",
+    )
+    out = {(r.cohort_day, r.day_offset): r.n_active
+           for r in cohort_retention(fact).collect()}
+    assert out == {(-1, 0): 2, (-1, 1): 1}

@@ -708,6 +708,56 @@ def test_ivf_append_exactly_once_and_rebuild_resets_stats(spark, sf_dir, tmp_pat
     assert res["build_mean_best_cosine"] is not None
 
 
+def test_ivf_append_rejects_then_migrates_legacy_layout(spark, sf_dir, tmp_path):
+    """r7 advice: an index built before the append_batch partition level
+    (cell-only layout) must be REJECTED at append time — appending would
+    mix bare files and partition dirs under one cell and break partition
+    discovery on every later read — and ivf_migrate_legacy_layout must
+    bring it forward in place, after which appends and queries work."""
+    import glob as _glob
+
+    from nntsc_spark.pipeline.similarity import (
+        centroid_rows,
+        ivf_append,
+        ivf_build_index,
+        ivf_migrate_legacy_layout,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    cents = centroid_rows(half_a, nlist=8)
+    path = str(tmp_path / "legacy")
+    ivf_build_index(half_a, path, nlist=8, centroids=cents)
+    # devolve to the pre-r7 layout: hoist every build file up one level
+    import os
+
+    for d in _glob.glob(f"{path}/corpus/cell=*/append_batch=0"):
+        for f in os.listdir(d):
+            os.rename(os.path.join(d, f), os.path.join(os.path.dirname(d), f))
+        os.rmdir(d)
+
+    with pytest.raises(ValueError, match="legacy cell-only layout"):
+        ivf_append(half_b, path, batch_id=1)
+    # nothing was written by the rejected append: layout still legacy-clean
+    assert not _glob.glob(f"{path}/corpus/cell=*/append_batch=*")
+
+    moved = ivf_migrate_legacy_layout(path)
+    assert moved > 0
+    assert ivf_migrate_legacy_layout(path) == 0  # idempotent
+    ivf_append(half_b, path, batch_id=1)
+
+    full = str(tmp_path / "full")
+    ivf_build_index(emb, full, nlist=8, centroids=cents)
+    qids = list(range(6))
+    got = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+           for r in ivf_query_index(spark, path, qids, k=5, nprobe=2).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+            for r in ivf_query_index(spark, full, qids, k=5, nprobe=2).collect()}
+    assert got == want and got
+
+
 def test_embedding_dedup_clusters_semantic_groups(spark):
     """Vector-space dedup: two planted near-identical groups resolve to
     two clusters with min-id survivors; the isolated vector is absent."""

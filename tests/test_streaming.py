@@ -469,9 +469,9 @@ def test_watermarked_rollup_late_data_and_restart(spark, tmp_path):
 
 def test_streaming_dedup_index_compaction_preserves_rejections(spark, tmp_path):
     """compact_index merges the per-batch band/sig/corpus partitions into
-    batch=0 without changing corpus contents, and a LATER batch still
-    dedups correctly against the merged index (batch=0 is prior to every
-    future epoch)."""
+    the batch=-1 sentinel without changing corpus contents, and a LATER
+    batch still dedups correctly against the merged index (-1 is prior to
+    every real epoch, and can never be overwritten by one)."""
     import glob as _glob
 
     from nntsc_spark.streaming.dedup import IncrementalDeduper
@@ -491,8 +491,8 @@ def test_streaming_dedup_index_compaction_preserves_rejections(spark, tmp_path):
     done = ded.compact_index(target_bytes=1 << 30)
     assert set(done) == {"bands", "sigs", "corpus"}
     assert len(_glob.glob(f"{tmp_path}/idx/bands/*/*.parquet")) < n_files
-    assert _glob.glob(f"{tmp_path}/idx/bands/batch=0/*.parquet")
-    assert not _glob.glob(f"{tmp_path}/idx/bands/batch=[!0]*")
+    assert _glob.glob(f"{tmp_path}/idx/bands/batch=-1/*.parquet")
+    assert not _glob.glob(f"{tmp_path}/idx/bands/batch=[!-]*")
     assert {r.doc_id for r in ded.corpus().collect()} == before
     # idempotent: already merged and under the size target -> no-op
     assert ded.compact_index(target_bytes=1 << 30) == []
@@ -501,6 +501,16 @@ def test_streaming_dedup_index_compaction_preserves_rejections(spark, tmp_path):
         mk([(9, base), (10, "genuinely new words appearing for the first time")]), 3
     )
     assert {r.doc_id for r in accepted.collect()} == {10}
+    # FRESH-CHECKPOINT RESTART: a new stream's epoch ids reset to 0, and
+    # epoch 0's idempotent overwrite targets batch=0 — the compacted
+    # merge must live where no real epoch can clobber it (batch=-1), so
+    # the restarted stream still dedups against the full pre-restart
+    # corpus AND the corpus itself survives the overwrite.
+    accepted = ded.process_batch(
+        mk([(11, base), (12, "post restart document with novel content")]), 0
+    )
+    assert {r.doc_id for r in accepted.collect()} == {12}
+    assert {r.doc_id for r in ded.corpus().collect()} >= before
 
 
 def test_span_index_compaction_preserves_detection(spark, tmp_path):
