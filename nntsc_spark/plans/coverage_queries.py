@@ -508,8 +508,232 @@ GROUP BY c.cday, a.aday - c.cday
 """
 
 
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the latest
+    at-or-before view on its stream (within a day) — union-tag + one
+    per-key ordered window, no range-join explosion.  The right side is
+    pre-aggregated to one row per (stream, ts) per the operator's
+    determinism contract."""
+    from ..operators.timeseries import asof_join
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    left = fact.where(F.col("event_type") == "purchase").select(
+        "stream_id",
+        "timestamp",
+        "event_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    right = (
+        fact.where(F.col("event_type") == "view")
+        .groupBy("stream_id", "timestamp")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    out = asof_join(left, right, tolerance=DAY)
+    return out.select(
+        "stream_id",
+        "timestamp",
+        "event_id",
+        "purchase_value",
+        "view_value",
+        F.col("timestamp_r").alias("view_ts"),
+    )
+
+
+# DuckDB has native ASOF LEFT JOIN (inclusive >=, latest match) — the
+# tolerance bound is applied post-join exactly like the operator does.
+SQL_EVENT_ASOF = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, event_type, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), purchases AS (
+  SELECT stream_id, timestamp, event_id, round(value, 2) AS purchase_value
+  FROM bounded WHERE event_type = 'purchase'
+), views AS (
+  SELECT stream_id, timestamp, round(max(value), 2) AS view_value
+  FROM bounded WHERE event_type = 'view' GROUP BY stream_id, timestamp
+)
+SELECT p.stream_id, p.timestamp, p.event_id, p.purchase_value,
+       CASE WHEN p.timestamp - v.timestamp <= {DAY} THEN v.view_value END
+         AS view_value,
+       CASE WHEN p.timestamp - v.timestamp <= {DAY} THEN v.timestamp END
+         AS view_ts
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.stream_id = v.stream_id AND p.timestamp >= v.timestamp
+"""
+
+
+_GF_BIN = 6 * HOUR
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized 6-hour grid per stream over the full window with
+    last-observation-carried-forward fill — distributed sequence()
+    scaffold + one per-key window, output bounded by keys x bins."""
+    from ..operators.timeseries import gapfill
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    # exact-integer-cents average: sparse bins (1-2 events) make
+    # round(avg(double), 2) land exactly on .xx5 boundaries, where Spark
+    # (shortest decimal repr, HALF_UP) and DuckDB (binary value) disagree;
+    # avg over longs is an exact sum + one IEEE division — bit-identical
+    cents = F.round(F.col("value") * 100).cast("long")
+    binned = (
+        fact.groupBy(
+            "stream_id",
+            (F.col("timestamp") - F.col("timestamp") % _GF_BIN).alias(
+                "binstart"
+            ),
+        )
+        .agg((F.avg(cents) / 100.0).alias("avg_value"))
+    )
+    return gapfill(binned, _GF_BIN, START, STOP, method="locf")
+
+
+SQL_GAPFILL_LOCF = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), binned AS (
+  SELECT stream_id, timestamp - timestamp % {_GF_BIN} AS binstart,
+         avg(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS avg_value
+  FROM bounded GROUP BY 1, 2
+), grid AS (
+  SELECT stream_id,
+         unnest(generate_series({(START // _GF_BIN) * _GF_BIN},
+                                {(STOP // _GF_BIN) * _GF_BIN},
+                                {_GF_BIN})) AS binstart
+  FROM (SELECT DISTINCT stream_id FROM binned)
+), joined AS (
+  SELECT g.stream_id, g.binstart, b.avg_value,
+         b.binstart IS NULL AS filled
+  FROM grid g LEFT JOIN binned b
+    ON g.stream_id = b.stream_id AND g.binstart = b.binstart
+)
+SELECT stream_id, binstart,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY stream_id ORDER BY binstart
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       filled
+FROM joined
+"""
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRD COUNTER-style rate derivation over a synthetic per-stream
+    counter (integer cumulative value, exact on both engines): one lag
+    window; resets (negative deltas) take the post-reset value as the
+    delta.  Cross-engine exactness comes from integer accumulation —
+    float cumsums would make near-zero deltas' reset flag
+    engine-dependent."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import counter_rate
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    w = (
+        Window.partitionBy("stream_id")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = fact.select(
+        "stream_id",
+        "timestamp",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias(
+            "counter"
+        ),
+    )
+    out = counter_rate(
+        ctr, value_col="counter", order_cols=["event_id"]
+    )
+    return out.select(
+        "stream_id",
+        "timestamp",
+        "event_id",
+        F.round("rate", 4).alias("rate"),
+        "reset",
+    )
+
+
+SQL_COUNTER_RATE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), ctr AS (
+  SELECT stream_id, timestamp, event_id,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY stream_id ORDER BY timestamp, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS counter
+  FROM bounded
+), lagged AS (
+  SELECT stream_id, timestamp, event_id, counter,
+         lag(counter) OVER w AS pv, lag(timestamp) OVER w AS pt
+  FROM ctr
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp, event_id)
+)
+SELECT stream_id, timestamp, event_id,
+       round(CASE WHEN timestamp > pt THEN
+         (CASE WHEN counter - pv < 0 THEN counter ELSE counter - pv END)
+           / CAST(timestamp - pt AS DOUBLE) END, 4) AS rate,
+       counter - pv < 0 AS reset
+FROM lagged WHERE pv IS NOT NULL
+"""
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (20 preceding points, |z| > 3)
+    aggregated per stream — the latency-event detection the reference's
+    ecosystem runs downstream, as one window plan + one hash aggregate."""
+    from ..operators.timeseries import rolling_zscore
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    scored = rolling_zscore(
+        fact, order_cols=["event_id"], n=20, min_points=5, threshold=3.0
+    )
+    return scored.groupBy("stream_id").agg(
+        F.count("z").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.avg(F.abs("z")), 3).alias("mean_abs_z"),
+    )
+
+
+SQL_ANOMALY_ZSCORE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), scored AS (
+  SELECT stream_id, value,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS sd,
+         count(value) OVER w AS c
+  FROM bounded
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT stream_id,
+         CASE WHEN c >= 5 AND sd > 0 THEN (value - m) / sd END AS z
+  FROM scored
+)
+SELECT stream_id, CAST(count(z) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(avg(abs(z)), 3) AS mean_abs_z
+FROM z GROUP BY stream_id
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_asof": (q_event_asof, SQL_EVENT_ASOF),
+    "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
+    "counter_rate": (q_counter_rate, SQL_COUNTER_RATE),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
 }

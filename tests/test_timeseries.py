@@ -1,0 +1,145 @@
+"""Unit tests for operators/timeseries.py (as-of join, gapfill,
+counter rates, rolling z-scores) on hand-built series."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nntsc_spark.operators.timeseries import (
+    asof_join,
+    counter_rate,
+    gapfill,
+    rolling_zscore,
+)
+
+
+def test_asof_join_backward_inclusive_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 3), (1, 5), (1, 10), (2, 1), (3, 7)],
+        "stream_id long, timestamp long",
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 100.0), (1, 9, 200.0), (2, 1, 5.0)],
+        "stream_id long, timestamp long, v double",
+    )
+    out = {
+        (r.stream_id, r.timestamp): (r.v, r.timestamp_r)
+        for r in asof_join(left, right).collect()
+    }
+    assert out == {
+        (1, 3): (None, None),   # nothing at-or-before -> left-join NULLs
+        (1, 5): (100.0, 4),
+        (1, 10): (200.0, 9),
+        (2, 1): (5.0, 1),       # equal timestamp matches (inclusive)
+        (3, 7): (None, None),   # key absent from right entirely
+    }
+    # tolerance: a match older than tolerance seconds is nulled out
+    tol = {
+        (r.stream_id, r.timestamp): r.v
+        for r in asof_join(left, right, tolerance=1).collect()
+    }
+    assert tol[(1, 5)] == 100.0     # ts-rts = 1 <= 1
+    assert tol[(1, 10)] == 200.0    # ts-rts = 1
+    assert tol[(2, 1)] == 5.0       # ts-rts = 0
+    out2 = asof_join(left, right, tolerance=0)
+    assert {r.v for r in out2.where("timestamp = 5").collect()} == {None}
+
+
+def test_asof_join_payload_name_collision_gets_suffix(spark):
+    left = spark.createDataFrame([(1, 5, 9.0)], "stream_id long, timestamp long, v double")
+    right = spark.createDataFrame([(1, 4, 1.0)], "stream_id long, timestamp long, v double")
+    row = asof_join(left, right).collect()[0]
+    assert row.v == 9.0 and row.v_r == 1.0
+
+
+def test_gapfill_locf_linear_and_none(spark):
+    binned = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 30, 40.0), (2, 20, 7.0)],
+        "stream_id long, binstart long, avg_value double",
+    )
+    base = lambda m: {
+        (r.stream_id, r.binstart): (r.avg_value, r.filled)
+        for r in gapfill(binned, 10, 0, 40, method=m).collect()
+    }
+    none = base("none")
+    assert len(none) == 10  # 2 keys x 5 bins: the grid is the contract
+    assert none[(1, 10)] == (None, True)
+    assert none[(1, 30)] == (40.0, False)
+
+    locf = base("locf")
+    assert locf[(1, 10)] == (10.0, True)
+    assert locf[(1, 20)] == (10.0, True)
+    assert locf[(1, 40)] == (40.0, True)
+    assert locf[(2, 0)] == (None, True)   # nothing to carry yet
+    assert locf[(2, 40)] == (7.0, True)
+
+    lin = base("linear")
+    assert lin[(1, 10)] == (20.0, True)   # interpolated 10 -> 40
+    assert lin[(1, 20)] == (30.0, True)
+    assert lin[(1, 40)] == (40.0, True)   # trailing edge -> nearest
+    assert lin[(2, 0)] == (7.0, True)     # leading edge -> nearest
+    assert lin[(2, 20)] == (7.0, False)
+
+    with pytest.raises(ValueError, match="fill method"):
+        gapfill(binned, 10, 0, 40, method="cubic")
+
+
+def test_counter_rate_resets_and_max_rate(spark):
+    fact = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 10, 10.0), (1, 20, 40.0), (1, 30, 5.0), (2, 5, 3.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    out = {
+        r.timestamp: (r.rate, r.reset)
+        for r in counter_rate(fact).where("stream_id = 1").collect()
+    }
+    # first row per key is dropped (no predecessor); key 2 vanishes
+    assert set(out) == {10, 20, 30}
+    assert out[10] == (1.0, False)
+    assert out[20] == (3.0, False)
+    assert out[30] == (0.5, True)   # 40 -> 5: reset, delta = post-reset value
+    assert counter_rate(fact).where("stream_id = 2").count() == 0
+
+    capped = {
+        r.timestamp: r.rate
+        for r in counter_rate(fact, max_rate=2.0).where("stream_id = 1").collect()
+    }
+    assert capped[20] is None       # 3.0 exceeds the sanity bound
+    assert capped[10] == 1.0
+
+
+def test_counter_rate_zero_dt_null_rate(spark):
+    fact = spark.createDataFrame(
+        [(1, 0, 1, 0.0), (1, 0, 2, 5.0)],
+        "stream_id long, timestamp long, event_id long, value double",
+    )
+    rows = counter_rate(fact, order_cols=["event_id"]).collect()
+    assert len(rows) == 1 and rows[0].rate is None
+
+
+def test_rolling_zscore_flags_spike_not_warmup(spark):
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 100.0, 10.0]
+    fact = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "stream_id long, timestamp long, value double",
+    )
+    out = {r.timestamp: (r.z, r.is_anomaly)
+           for r in rolling_zscore(fact, n=20, min_points=5).collect()}
+    for t in range(5):  # warmup: fewer than min_points predecessors
+        assert out[t] == (None, None)
+    assert out[7][1] is True        # the spike
+    assert abs(out[7][0]) > 3
+    assert out[6][1] is False
+    # the point AFTER the spike is judged against a window containing it,
+    # but the spike inflates the stddev so a normal value stays normal
+    assert out[8][1] is False
+
+
+def test_rolling_zscore_constant_window_is_null(spark):
+    fact = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(8)] + [(1, 8, 9.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    out = {r.timestamp: r.z for r in rolling_zscore(fact, min_points=3).collect()}
+    assert all(v is None for v in out.values())  # sd = 0 everywhere
