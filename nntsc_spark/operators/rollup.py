@@ -102,3 +102,128 @@ def merge_rollup(
 def snap_down(ts: int, binsize: int) -> int:
     """Snap a timestamp down to a bin boundary (influx.py:387-394)."""
     return int(ts) - (int(ts) % int(binsize))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable percentile rollups (fixed-range histograms)
+# ---------------------------------------------------------------------------
+#
+# The algebraic rules above re-merge sum/count/avg/max/min/stddev exactly,
+# but PERCENTILES have no exact merge — which is why the reference's wide-
+# range smoke routes to a raw-data percentile fan (A11/T11) instead of its
+# rollups.  A fixed-range histogram closes that gap approximately: per-bin
+# count vectors merge EXACTLY (element-wise addition is associative and
+# commutative), and any percentile read off the merged histogram is correct
+# to within one bucket's width — a provable, configuration-chosen error
+# bound, unlike sketch families whose error depends on data order.  At
+# 100 TB this turns "p95 latency by label for last month" from a raw scan
+# into a rollup-table scan 1/binsize the size, with the same merge-anywhere
+# property the other rollup columns have (hourly -> daily -> monthly by
+# addition at every level).
+
+def bucket_expr(value_col: str, lo: float, hi: float, nbins: int) -> F.Column:
+    """Fixed-range bucket index: floor((v - lo) / width) clamped into
+    [0, nbins-1] — out-of-range values land in the edge buckets (their
+    percentile contribution stays order-correct; only their position
+    saturates at the range edge, the documented fixed-range trade)."""
+    width = (float(hi) - float(lo)) / int(nbins)
+    raw = F.floor((F.col(value_col) - float(lo)) / width).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1))
+
+
+def histogram_rollup(
+    fact: DataFrame,
+    binsize: int,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 250,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Per-(stream, bin) count-histogram rollup: (stream_id, binstart,
+    hist array<long>[nbins], n long).
+
+    Two-level build: the corpus-scale shuffle is the (stream, bin,
+    bucket) count — map-side combinable, output bounded by rollup rows x
+    nbins — and the array assembly re-aggregates THAT table (never the
+    corpus) into dense vectors via a map lookup projection.
+    """
+    b = bucket_expr(value_col, lo, hi, nbins)
+    counts = (
+        fact.where(F.col(value_col).isNotNull())
+        .groupBy(
+            "stream_id",
+            (F.col(ts_col) - (F.col(ts_col) % F.lit(int(binsize)))).alias(
+                BINSTART_COL
+            ),
+            b.alias("_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {int(nbins) - 1}), "
+        "i -> coalesce(element_at(_m, i), 0L))"
+    )
+    return (
+        counts.groupBy("stream_id", BINSTART_COL)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bucket", "_cnt"))
+            ).alias("_m")
+        )
+        .select(
+            "stream_id",
+            BINSTART_COL,
+            dense.alias("hist"),
+            F.expr(
+                "aggregate(map_values(_m), 0L, (a, x) -> a + x)"
+            ).alias("n"),
+        )
+    )
+
+
+def merged_histogram_agg(hist_col: str, nbins: int) -> F.Column:
+    """Aggregation expression merging histogram vectors element-wise —
+    the percentile counterpart of the algebraic merge rules above.
+    Per output group it folds #input-rows arrays (bins merged, e.g. 24
+    hourly rows -> 1 daily row), each fold a zip_with addition."""
+    return F.expr(
+        f"aggregate(collect_list({hist_col}), "
+        f"array_repeat(0L, {int(nbins)}), "
+        "(acc, h) -> zip_with(acc, h, (a, b) -> a + b))"
+    )
+
+
+def histogram_percentile(
+    hist_col: str, lo: float, hi: float, p: float
+) -> F.Column:
+    """Percentile estimate from a merged histogram, pure expression:
+    walk to the bucket holding the ceil(p * n)-th sample and
+    interpolate linearly inside it.  Error is bounded by ONE bucket
+    width ((hi - lo) / nbins) by construction; NULL on an empty
+    histogram.  Every step is integer/IEEE arithmetic on identical
+    inputs, so the estimate is engine-deterministic (oracle-comparable),
+    unlike order-sensitive sketches.
+    """
+    width = f"(({float(hi)}d - {float(lo)}d) / size({hist_col}))"
+    total = f"aggregate({hist_col}, 0L, (a, x) -> a + x)"
+    target = f"greatest(1L, cast(ceil({float(p)}d * {total}) as bigint))"
+    # fold to the first bucket where the running count reaches target:
+    # acc = (cum, idx, before); idx >= 0 marks "found"
+    found = (
+        f"aggregate(zip_with({hist_col}, "
+        f"sequence(0, size({hist_col}) - 1), "
+        "(c, i) -> named_struct('c', c, 'i', i)), "
+        "named_struct('cum', 0L, 'idx', -1, 'before', 0L), "
+        "(acc, x) -> IF(acc.idx >= 0, acc, "
+        f"IF(acc.cum + x.c >= {target}, "
+        "named_struct('cum', acc.cum + x.c, 'idx', x.i, "
+        "'before', acc.cum), "
+        "named_struct('cum', acc.cum + x.c, 'idx', -1, 'before', 0L))))"
+    )
+    return F.expr(
+        f"CASE WHEN {total} > 0 THEN "
+        f"{float(lo)}d + {width} * (({found}).idx + "
+        f"cast({target} - ({found}).before as double) / "
+        f"element_at({hist_col}, ({found}).idx + 1)) END"
+    )

@@ -728,6 +728,73 @@ FROM z GROUP BY stream_id
 """
 
 
+def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles served from MERGED histogram rollups (the mergeable
+    extension of A10's algebraic re-merge): per-(stream, 6h-bin) count
+    vectors merge element-wise per stream, and p50/p95 read off the
+    merged vector — the estimate is engine-deterministic (pure integer
+    walks + one IEEE division), so it oracle-compares exactly."""
+    from ..operators.rollup import (
+        histogram_percentile,
+        histogram_rollup,
+        merged_histogram_agg,
+    )
+
+    nbins, lo, hi = 250, 0.0, 500.0
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    hr = histogram_rollup(fact, 6 * HOUR, "value", lo, hi, nbins)
+    merged = hr.groupBy("stream_id").agg(
+        merged_histogram_agg("hist", nbins).alias("hist")
+    )
+    return merged.select(
+        "stream_id",
+        F.expr("aggregate(hist, 0L, (a, x) -> a + x)").alias("n"),
+        histogram_percentile("hist", lo, hi, 0.5).alias("p50"),
+        histogram_percentile("hist", lo, hi, 0.95).alias("p95"),
+    )
+
+
+# The oracle skips the per-bin level entirely: histogram merge is EXACT
+# (element-wise addition), so per-stream bucket counts computed directly
+# equal the merged rollup vectors — that equality is the operator's
+# pytest contract (test_histogram_rollup_merge_matches_direct_build),
+# and the percentile walk here mirrors the expression arithmetic 1:1.
+_HP = (
+    "2.0 * (bucket + CAST(greatest(1, CAST(ceil({p} * total) AS BIGINT)) "
+    "- (cum - cnt) AS DOUBLE) / cnt)"
+)
+_HP_PICK = """
+  SELECT stream_id, {est} AS {name}
+  FROM cum
+  WHERE cum >= greatest(1, CAST(ceil({p} * total) AS BIGINT))
+  QUALIFY row_number() OVER (PARTITION BY stream_id ORDER BY bucket) = 1
+"""
+SQL_ROLLUP_PERCENTILE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+    AND value IS NOT NULL
+), counts AS (
+  SELECT stream_id,
+         least(greatest(CAST(floor(value / 2.0) AS INT), 0), 249) AS bucket,
+         count(*) AS cnt
+  FROM bounded GROUP BY 1, 2
+), cum AS (
+  SELECT stream_id, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY stream_id ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY stream_id) AS total
+  FROM counts
+), p50 AS ({_HP_PICK.format(est=_HP.format(p=0.5), name="p50", p=0.5)}),
+p95 AS ({_HP_PICK.format(est=_HP.format(p=0.95), name="p95", p=0.95)}),
+totals AS (
+  SELECT stream_id, CAST(sum(cnt) AS BIGINT) AS n FROM counts GROUP BY 1
+)
+SELECT t.stream_id, t.n, p50.p50, p95.p95
+FROM totals t JOIN p50 USING (stream_id) JOIN p95 USING (stream_id)
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -736,4 +803,5 @@ TAIL_REGISTRY = {
     "gapfill_locf": (q_gapfill_locf, SQL_GAPFILL_LOCF),
     "counter_rate": (q_counter_rate, SQL_COUNTER_RATE),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
+    "rollup_percentile": (q_rollup_percentile, SQL_ROLLUP_PERCENTILE),
 }

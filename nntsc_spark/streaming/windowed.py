@@ -54,6 +54,7 @@ class WatermarkedRollup:
         binsize: int = 300,
         delay: int = 600,
         value_cols: list[str] | None = None,
+        hist_spec: tuple[str, float, float, int] | None = None,
     ) -> None:
         self.spark = spark
         self.raw_dir = raw_dir
@@ -63,6 +64,17 @@ class WatermarkedRollup:
         self.binsize = binsize
         self.delay = delay
         self.value_cols = value_cols or ["value"]
+        #: (value_col, lo, hi, nbins): also emit a mergeable fixed-range
+        #: count histogram per finalized bin (operators/rollup.py's
+        #: percentile-rollup vectors, maintained by the stream).  The
+        #: streaming aggregate can't run the batch builder's two-level
+        #: shape (one aggregation per stream), so each bucket is its own
+        #: conditional-sum aggregate — state per open window grows by
+        #: nbins longs and the agg holds nbins expressions, which is why
+        #: the streaming default belongs at ~64 bins, not the batch 250
+        #: (quantile error is (hi-lo)/nbins either way, merge stays
+        #: EXACT and batch/stream vectors stay bit-identical).
+        self.hist_spec = hist_spec
 
     def aggregated(self, src: DataFrame) -> DataFrame:
         evt = src.withColumn(
@@ -77,6 +89,25 @@ class WatermarkedRollup:
                 F.stddev(c).alias(f"sd_{c}"),
             ]
         aggs.append(F.count(F.lit(1)).alias("magiccount"))
+        hist_cols = []
+        if self.hist_spec is not None:
+            from ..operators.rollup import bucket_expr
+
+            hc, lo, hi, nbins = self.hist_spec
+            b = F.when(
+                F.col(hc).isNotNull(), bucket_expr(hc, lo, hi, nbins)
+            )
+            aggs += [
+                F.sum(F.when(b == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"_h{i}")
+                for i in range(nbins)
+            ]
+            hist_cols = [
+                F.array(*[f"_h{i}" for i in range(nbins)]).alias(
+                    f"hist_{hc}"
+                )
+            ]
         win = F.window("event_time", f"{self.binsize} seconds")
         return (
             evt.withWatermark("event_time", f"{self.delay} seconds")
@@ -89,6 +120,7 @@ class WatermarkedRollup:
                   [f"{p}_{v}" for v in self.value_cols
                    for p in ("avg", "min", "max", "sd")]],
                 "magiccount",
+                *hist_cols,
             )
         )
 

@@ -924,3 +924,84 @@ def test_write_fact_zorder_empty_batch_is_noop(spark, tmp_path):
     )
     write_fact_zorder(empty, str(tmp_path / "zfact"))  # must not raise
     assert not (tmp_path / "zfact").exists()
+
+
+def test_watermarked_rollup_streaming_histograms_match_batch(spark, tmp_path):
+    """hist_spec: the stream-maintained per-bin count vectors must be
+    BIT-IDENTICAL to the batch histogram_rollup over the same rows, and
+    percentiles read off stream-built merged vectors work unchanged —
+    batch and streaming percentile rollups are one machinery."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_rollup,
+        merged_histogram_agg,
+    )
+    from nntsc_spark.streaming.windowed import WatermarkedRollup
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [
+        {"stream_id": s, "timestamp": 600 + 13 * i, "value": float((7 * i + s) % 90)}
+        for s in (1, 2) for i in range(40)
+    ]
+    (raw / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    # a far-future row pushes the watermark so every data bin finalizes
+    late = [{"stream_id": 1, "timestamp": 99_000, "value": 1.0}]
+    p = raw / "b.json"
+    p.write_text("\n".join(_json.dumps(r) for r in late))
+    t = _time.time() + 10
+    os.utime(p, (t, t))
+
+    nbins, lo, hi = 32, 0.0, 96.0
+    wr = WatermarkedRollup(
+        spark,
+        str(raw),
+        "stream_id long, timestamp long, value double",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        binsize=300,
+        delay=300,
+        hist_spec=("value", lo, hi, nbins),
+    )
+    wr.run_available()
+    wr.run_available()  # flush batch applies the advanced watermark
+
+    streamed = {
+        (r.stream_id, r.binstart): list(r.hist_value)
+        for r in wr.finalized().collect()
+    }
+    fact = spark.createDataFrame(
+        [(r["stream_id"], r["timestamp"], r["value"]) for r in rows],
+        "stream_id long, timestamp long, value double",
+    )
+    batch = {
+        (r.stream_id, r.binstart): list(r.hist)
+        for r in histogram_rollup(fact, 300, "value", lo, hi, nbins).collect()
+    }
+    assert set(batch).issubset(set(streamed))
+    for k, h in batch.items():
+        assert streamed[k] == h, k
+    # percentiles off the stream-built vectors, merged per stream
+    merged = (
+        wr.finalized()
+        .where(F.col("binstart") < 90_000)
+        .groupBy("stream_id")
+        .agg(merged_histogram_agg("hist_value", nbins).alias("hist"))
+        .select(
+            "stream_id",
+            histogram_percentile("hist", lo, hi, 0.5).alias("p50"),
+        )
+    )
+    for r in merged.collect():
+        exact = sorted(
+            x["value"] for x in rows if x["stream_id"] == r.stream_id
+        )
+        import math
+        want = exact[max(0, math.ceil(0.5 * len(exact)) - 1)]
+        assert abs(r.p50 - want) <= (hi - lo) / nbins + 1e-9

@@ -143,3 +143,118 @@ def test_rolling_zscore_constant_window_is_null(spark):
     )
     out = {r.timestamp: r.z for r in rolling_zscore(fact, min_points=3).collect()}
     assert all(v is None for v in out.values())  # sd = 0 everywhere
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram percentiles (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_rollup_merge_matches_direct_build(spark):
+    """Merging per-bin histograms element-wise must equal building one
+    histogram over the raw rows directly — the exact-merge property that
+    makes percentile rollups composable hourly -> daily -> monthly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.rollup import (
+        bucket_expr,
+        histogram_rollup,
+        merged_histogram_agg,
+    )
+
+    rng = random.Random(7)
+    rows = [(i % 3, i * 60, round(rng.uniform(0, 100), 2))
+            for i in range(600)]
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    per_bin = histogram_rollup(fact, 3600, "value", 0.0, 100.0, nbins=50)
+    merged = {
+        r.stream_id: r.hist
+        for r in per_bin.groupBy("stream_id")
+        .agg(merged_histogram_agg("hist", 50).alias("hist"))
+        .collect()
+    }
+    direct = {
+        r.stream_id: r.hist
+        for r in fact.groupBy(
+            "stream_id", bucket_expr("value", 0.0, 100.0, 50).alias("_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("stream_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        .select(
+            "stream_id",
+            F.expr(
+                "transform(sequence(0, 49), i -> coalesce(element_at(_m, i), 0L))"
+            ).alias("hist"),
+        )
+        .collect()
+    }
+    assert merged == direct
+    # counts conserved
+    assert sum(sum(h) for h in merged.values()) == 600
+
+
+def test_histogram_percentile_within_one_bucket_of_exact(spark):
+    """The percentile estimate read off a histogram must sit within one
+    bucket width of the exact order statistic, at every probed p."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.rollup import (
+        histogram_rollup,
+        histogram_percentile,
+        merged_histogram_agg,
+    )
+
+    rng = random.Random(11)
+    vals = [round(rng.gauss(50, 18) % 100, 3) for i in range(5000)]
+    fact = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)],
+        "stream_id long, timestamp long, value double",
+    )
+    nbins, lo, hi = 200, 0.0, 100.0
+    width = (hi - lo) / nbins
+    merged = (
+        histogram_rollup(fact, 600, "value", lo, hi, nbins=nbins)
+        .groupBy("stream_id")
+        .agg(merged_histogram_agg("hist", nbins).alias("hist"))
+    )
+    row = merged.select(
+        *[
+            histogram_percentile("hist", lo, hi, p).alias(f"p{int(p*100)}")
+            for p in (0.05, 0.5, 0.95, 0.99, 1.0)
+        ]
+    ).collect()[0]
+    svals = sorted(vals)
+    import math
+
+    for p in (0.05, 0.5, 0.95, 0.99, 1.0):
+        exact = svals[max(0, math.ceil(p * len(svals)) - 1)]
+        got = row[f"p{int(p*100)}"]
+        assert abs(got - exact) <= width + 1e-9, (p, got, exact)
+
+
+def test_histogram_edge_clamping_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.operators.rollup import (
+        histogram_rollup,
+        histogram_percentile,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 0, -5.0), (1, 1, 250.0)],  # both outside [0, 100)
+        "stream_id long, timestamp long, value double",
+    )
+    r = histogram_rollup(fact, 3600, "value", 0.0, 100.0, nbins=10).collect()[0]
+    assert r.hist[0] == 1 and r.hist[9] == 1 and r.n == 2
+    # empty histogram -> NULL percentile
+    empty = spark.createDataFrame(
+        [([0] * 10,)], "hist array<bigint>"
+    ).select(histogram_percentile("hist", 0.0, 100.0, 0.5).alias("p"))
+    assert empty.collect()[0].p is None
