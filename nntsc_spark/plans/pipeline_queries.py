@@ -1373,6 +1373,89 @@ WHERE q.quality_score >= 0.3 AND lng.pred_lang = 'en'
 """
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus (KL + JS) —
+    the mixture-health dashboard row; one (source, word) count shuffle,
+    #sources output rows."""
+    from ..pipeline.vocab import source_divergence
+
+    return source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+# KL(s||c) over the source's vocabulary (q > 0 wherever p > 0 since
+# every source token is in the corpus); JS adds the exact closed-form
+# missing-mass term (1 - sum_q) * ln2 / 2 for corpus tokens the source
+# lacks (p = 0 -> m = q/2) rather than materializing those rows.
+SQL_SOURCE_DIVERGENCE = """
+WITH toks AS (
+  SELECT source, t.tok
+  FROM (SELECT source, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), sw AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok
+), corpus AS (
+  SELECT tok, sum(cnt) AS ccnt FROM sw GROUP BY tok
+), totals AS (
+  SELECT source, sum(cnt) AS stot FROM sw GROUP BY source
+), grand AS (SELECT sum(ccnt) AS g FROM corpus)
+SELECT sw.source,
+       CAST(sum(sw.cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       round(sum((sw.cnt / t.stot)
+             * ln((sw.cnt / t.stot) / (c.ccnt / grand.g))), 4)
+         AS kl_vs_corpus,
+       round(sum((sw.cnt / t.stot) / 2
+               * ln((sw.cnt / t.stot)
+                    / ((sw.cnt / t.stot + c.ccnt / grand.g) / 2))
+             + (c.ccnt / grand.g) / 2
+               * ln((c.ccnt / grand.g)
+                    / ((sw.cnt / t.stot + c.ccnt / grand.g) / 2)))
+             + (1 - sum(c.ccnt / grand.g)) * 0.5 * ln(2), 4)
+         AS js_vs_corpus
+FROM sw
+JOIN corpus c ON sw.tok = c.tok
+JOIN totals t ON sw.source = t.source
+CROSS JOIN grand
+GROUP BY sw.source
+"""
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair statistics over the word dictionary (BPE's
+    first merge iteration), top 100 by weight — the corpus-scale pass of
+    tokenizer induction as a queryable table."""
+    from ..pipeline.vocab import bpe_pair_counts
+
+    return (
+        bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.desc("pair_count"), "left", "right")
+        .limit(100)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH toks AS (
+  SELECT t.tok AS w
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), wc AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), idx AS (
+  SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc
+), pairs AS (
+  SELECT c, substring(w, i, 1) AS l,
+         CASE WHEN i = length(w) - 1
+              THEN substring(w, i + 1, 1) || '</w>'
+              ELSE substring(w, i + 1, 1) END AS r
+  FROM idx
+)
+SELECT l AS "left", r AS "right", CAST(sum(c) AS BIGINT) AS pair_count
+FROM pairs GROUP BY l, r
+ORDER BY pair_count DESC, "left", "right"
+LIMIT 100
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -1404,4 +1487,8 @@ TAIL_PIPELINE_REGISTRY = {
     "source_vocab_stats": (q_source_vocab_stats, SQL_SOURCE_VOCAB_STATS),
     "curated_mixture": (q_curated_mixture, SQL_CURATED_MIXTURE),
     "embedding_clusters": (q_embedding_clusters, SQL_EMBEDDING_CLUSTERS),
+    # round-8: vocabulary-level corpus tooling — source drift (KL/JS vs
+    # the corpus marginal) and BPE tokenizer induction's pair statistics
+    "source_divergence": (q_source_divergence, SQL_SOURCE_DIVERGENCE),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
 }
