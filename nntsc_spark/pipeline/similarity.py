@@ -969,6 +969,100 @@ def embedding_dedup_clusters(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    nlist: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then drop within-cluster *semantic* duplicates —
+    pairs whose exact cosine >= ``threshold`` — keeping the member LESS
+    similar to its cluster centroid (the paper's keep-low-centroid-sim
+    rule: peripheral examples carry more information than prototypical
+    ones).
+
+    Keep policy, made one-pass and deterministic: a vector is dropped iff
+    SOME duplicate partner in its cell has strictly lower
+    ``(centroid_sim, vec_id)`` — i.e. only locally-least-central members
+    of the duplicate relation survive.  (The paper's sequential greedy
+    keeps a maximal independent set; this relational variant never needs
+    an ordered scan, and on pairwise-complete duplicate groups — the
+    common case at high thresholds — the two agree: the single lowest-sim
+    member survives.)  ``centroid_sim`` is rounded to 4 before comparison
+    so the tie-break is engine-exact.
+
+    Scale shape: assignment is the IVF map-only projection (inlined
+    quantizer literals, zero corpus shuffle); the candidate join is a
+    cell-local self-equi-join — never all-pairs — whose per-cell cost is
+    the paper's own cost model: ``nlist`` scales as N / target_cell_size
+    (LAION-scale runs used ~1e5 clusters), keeping cells bounded and the
+    pairwise step cell-partition-parallel.  ``centroids`` injects a
+    production quantizer (:func:`kmeans_parallel_centroids`); the default
+    deterministic lowest-id sampler is what the DuckDB oracle re-derives.
+
+    Output: one row per vector — (vec_id, cell, centroid_sim, kept).
+    """
+    cents = centroids if centroids is not None else centroid_rows(
+        emb, nlist, id_col, vec_col
+    )
+    pre = emb.select(
+        id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
+    )
+    withcs = pre.select(
+        id_col,
+        vec_col,
+        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+    )
+    assigned = withcs.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max("_cs").alias("centroid_sim"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            F.round(
+                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+            )
+            >= threshold
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("v1"),
+            F.col("a.centroid_sim").alias("s1"),
+            F.col(f"b.{id_col}").alias("v2"),
+            F.col("b.centroid_sim").alias("s2"),
+        )
+    )
+    # the pair's loser: higher centroid_sim, ties -> higher id (v1 < v2)
+    losers = pairs.select(
+        F.when(F.col("s1") <= F.col("s2"), F.col("v2"))
+        .otherwise(F.col("v1"))
+        .alias(id_col)
+    ).distinct()
+    return (
+        assigned.drop(vec_col)
+        .join(losers.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_requantize(
     spark,
     path: str,

@@ -1456,6 +1456,57 @@ LIMIT 100
 """
 
 
+_SEMDEDUP_NLIST, _SEMDEDUP_TAU = 8, 0.45
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: IVF-style deterministic cells,
+    within-cell exact-cosine duplicate pairs, keep-low-centroid-sim
+    survivors.  tau=0.45 is the synthetic-corpus probe threshold (these
+    embeddings have no true near-dups — max pair cosine ~0.6; production
+    default is 0.95); the oracle re-derives the identical quantizer,
+    assignment, pair set, and keep rule relationally."""
+    from ..pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        nlist=_SEMDEDUP_NLIST,
+        threshold=_SEMDEDUP_TAU,
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_NLIST}),
+scored AS (
+  SELECT e.vec_id, c.cell, {_COS.format(a="e.v", b="c.cv")} AS cs
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, cs AS centroid_sim FROM (
+    SELECT vec_id, cell, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS v1, a.centroid_sim AS s1,
+         b.vec_id AS v2, b.centroid_sim AS s2
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_COS.format(a="ea.v", b="eb.v")} >= {_SEMDEDUP_TAU}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN s1 <= s2 THEN v2 ELSE v1 END AS vec_id
+  FROM pairs
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.centroid_sim,
+       (l.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN losers l USING (vec_id)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -1491,4 +1542,7 @@ TAIL_PIPELINE_REGISTRY = {
     # the corpus marginal) and BPE tokenizer induction's pair statistics
     "source_divergence": (q_source_divergence, SQL_SOURCE_DIVERGENCE),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    # round-8: SemDeDup — cluster-local semantic duplicate pruning with
+    # keep-low-centroid-sim survivors (Abbas et al. 2023)
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }

@@ -786,6 +786,32 @@ def test_embedding_dedup_clusters_semantic_groups(spark):
     assert not any(out[i].is_survivor for i in (1, 2, 11))
 
 
+def test_semantic_dedup_keeps_least_central_member(spark):
+    """SemDeDup keep rule: of a within-cell duplicate pair, the member
+    MORE similar to the centroid drops; non-duplicates and other-cell
+    vectors are untouched."""
+    from nntsc_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),    # centroid of cell 0
+            (1, [0.0, 0.0, 1.0, 0.0]),    # centroid of cell 1
+            (2, [1.0, 0.30, 0.0, 0.0]),   # cell 0, csim ~0.958
+            (3, [1.0, 0.32, 0.0, 0.0]),   # cell 0, csim ~0.952; cos(2,3)~0.9998
+            (10, [0.0, 0.0, 1.0, 0.35]),  # cell 1, csim ~0.944 < tau: no dup
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, nlist=2, threshold=0.98).collect()}
+    assert {v: r.cell for v, r in out.items()} == {
+        0: 0, 2: 0, 3: 0, 1: 1, 10: 1}
+    assert out[0].centroid_sim == 1.0
+    # (2, 3) is the only pair above tau; 2 is more central -> dropped
+    assert not out[2].kept
+    assert all(out[v].kept for v in (0, 1, 3, 10))
+
+
 def test_ivf_requantize_clears_drift_atomically(spark, tmp_path):
     """The drift loop closes: after a distribution shift flags
     needs_requantization, ivf_requantize re-learns the quantizer from
