@@ -1456,6 +1456,54 @@ LIMIT 100
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: train the NB token model with
+    lang='en' as the curated-positive seed (the synthetic corpus's one
+    real token-distribution signal), then score every document.
+    Self-train-then-score is the oracle probe; production trains on a
+    held-out curated seed and scores the crawl."""
+    from ..pipeline.classifier import nb_score, nb_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = nb_train(docs, F.col("lang") == "en")
+    return nb_score(docs, model)
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos, t.tok AS token
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+  WHERE t.tok != ''
+), counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) AS cpos,
+         CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS cneg
+  FROM toks GROUP BY token
+  HAVING (CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+          + CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE)) >= 2.0
+), tot AS (
+  SELECT sum(cpos) AS np, sum(cneg) AS nn,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM counts
+), model AS (
+  SELECT token,
+         ln((cpos + 1.0) / (np + 1.0 * v))
+           - ln((cneg + 1.0) / (nn + 1.0 * v)) AS llr
+  FROM counts CROSS JOIN tot
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_model_tokens, sum(m.llr) AS s
+  FROM toks t JOIN model m USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_model_tokens, 0) AS n_model_tokens,
+       round(s.s / s.n_model_tokens, 4) AS score,
+       (s.s / s.n_model_tokens > 0) AS pred
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 _SEMDEDUP_NLIST, _SEMDEDUP_TAU = 8, 0.45
 
 
@@ -1545,4 +1593,7 @@ TAIL_PIPELINE_REGISTRY = {
     # round-8: SemDeDup — cluster-local semantic duplicate pruning with
     # keep-low-centroid-sim survivors (Abbas et al. 2023)
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    # round-8: fastText-style model-based quality filtering (closed-form
+    # NB train + length-normalized scoring, both single-shuffle)
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }

@@ -1362,3 +1362,44 @@ def test_despan_keep_first_canonical_policy(spark):
     r = despan_keep_first(solo, w=5).collect()[0]
     assert r.text == phrase + " middle filler words"
     assert r.n_removed_tokens == 5
+
+
+def test_nb_classifier_learns_planted_token_signal(spark):
+    """NB train/score: tokens exclusive to the positive seed get
+    positive llr, scoring separates the classes, a doc with no
+    in-vocabulary token gets the honest NULL, and min_df prunes
+    singleton tokens out of the model."""
+    import math
+
+    from nntsc_spark.pipeline.classifier import nb_score, nb_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, True, "good good clean prose here"),
+            (2, True, "good clean prose again here"),
+            (3, False, "bad spam junk words here"),
+            (4, False, "bad spam junk noise here"),
+            (5, False, "zzz_unique_once xqj"),  # singletons -> pruned
+        ],
+        "doc_id long, pos boolean, text string",
+    )
+    model = {r.token: r.llr for r in nb_train(
+        docs, F.col("pos"), min_df=2).collect()}
+    # positive-exclusive tokens score > 0, negative-exclusive < 0,
+    # shared ones ~0 (exact value depends only on class totals)
+    assert model["good"] > 0 and model["clean"] > 0
+    assert model["bad"] < 0 and model["spam"] < 0
+    assert "zzz_unique_once" not in model and "xqj" not in model
+    model_df = nb_train(docs, F.col("pos"), min_df=2)
+
+    scored = {r.doc_id: r for r in nb_score(docs, model_df).collect()}
+    assert scored[1].pred and scored[2].pred
+    assert not scored[3].pred and not scored[4].pred
+    # doc 5's only tokens were pruned: no evidence -> NULLs, n = 0
+    assert scored[5].n_model_tokens == 0
+    assert scored[5].score is None and scored[5].pred is None
+    # score is the length-normalized mean: recompute doc 3 by hand
+    toks3 = "bad spam junk words here".split()
+    in_vocab = [t for t in toks3 if t in model]
+    want = sum(model[t] for t in in_vocab) / len(in_vocab)
+    assert math.isclose(scored[3].score, round(want, 4), abs_tol=1e-9)
