@@ -274,3 +274,174 @@ def rolling_zscore(
             F.when(F.col("z").isNotNull(), F.abs("z") > float(threshold)),
         )
     )
+
+
+def ewma(
+    fact: DataFrame,
+    alpha: float = 0.25,
+    keys: tuple[str, ...] = ("stream_id",),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    lookback: int | None = 64,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series — the smoothing
+    primitive under RRD-style consolidation and the level term of
+    Holt-Winters detectors (the reference's downstream eventing family
+    runs exactly this class of smoother over exported NNTSC series).
+
+    Semantics: the weight-renormalized form (pandas ``ewm(alpha,
+    adjust=True).mean()``) over the last ``lookback`` observations —
+    ``s_t = sum_j beta^j x_{t-j} / sum_j beta^j`` with ``beta = 1 -
+    alpha``.  ``lookback=None`` uses the full per-key history (exact
+    classic EWMA, since truncated weights < ``beta^lookback`` are
+    renormalized away anyway: the bounded default's error is provably
+    < ``beta^64`` ~ 1e-8 at alpha=0.25 while keeping per-row state
+    CONSTANT — the same bound-the-history move as frequency's
+    ``max_diffs``).
+
+    Spark-first shape: one shuffle into a per-key ordered window;
+    both folds (numerator and weight mass) are JVM ``aggregate`` HOFs
+    over the frame-ordered ``collect_list`` — the recursion ``acc*beta
+    + x`` IS the exponential weighting, so no ``pow`` calls appear and
+    the arithmetic is a deterministic left-to-right chain both engines
+    reproduce bit-for-bit.  NULL values are dropped up front (a NULL
+    observation has no place in either the history or the output).
+
+    Output: input rows (keys, ts, order_cols, value) + ``out_col``
+    rounded to 4.
+    """
+    beta = 1.0 - float(alpha)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
+    w = (
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if lookback is None
+        else w.rowsBetween(-(int(lookback) - 1), Window.currentRow)
+    )
+    hist = (
+        fact.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            ts_col,
+            *(order_cols or []),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .withColumn("_h", F.collect_list(value_col).over(w))
+    )
+    num = f"aggregate(_h, 0D, (acc, x) -> acc * {beta!r}D + x)"
+    wsum = f"aggregate(_h, 0D, (acc, x) -> acc * {beta!r}D + 1D)"
+    return hist.select(
+        *keys,
+        ts_col,
+        *(order_cols or []),
+        value_col,
+        F.round(F.expr(num) / F.expr(wsum), 4).alias(out_col),
+    )
+
+
+def holt_winters(
+    fact: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.4,
+    season_length: int = 24,
+    nsigma: float = 4.0,
+    resid_window: int = 50,
+    keys: tuple[str, ...] = ("stream_id",),
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Additive Holt-Winters smoothing + residual-band anomaly flags per
+    series — the triple-exponential detector the reference's downstream
+    eventing stack (the AMP ecosystem's event monitor) runs over exported
+    latency series; here it's pushed into the engine as a distributed
+    operator.
+
+    Model (additive, standard form):
+      forecast_t = l + b + s[t-m]
+      l' = alpha*(x_t - s[t-m]) + (1-alpha)*(l + b)
+      b' = beta*(l' - l) + (1-beta)*b
+      s' = gamma*(x_t - l') + (1-gamma)*s[t-m]
+    Deterministic warmup over the first two seasons: l = mean(season 1),
+    b = (mean(season 2) - mean(season 1)) / m, s = season-1 deviations
+    from its mean; rows in the warmup window emit NULL forecast.  A row
+    is anomalous when |residual| > nsigma * stddev of the trailing
+    ``resid_window`` residuals (population stddev; needs >= 5 residuals).
+
+    Spark-first shape: the recursion is genuinely sequential PER SERIES,
+    so this is the sanctioned Arrow seam — ``applyInPandas`` grouped on
+    ``keys``, a plain-float loop per series (bounded history per key is
+    the contract at 100 TB: millions of independent series, each loop
+    O(points-per-series), parallel across series).  No driver collect,
+    no cross-series state.
+
+    Output: keys + (ts, order_cols, value, forecast, residual,
+    is_anomaly), floats rounded to 4.
+    """
+    import math
+
+    m = int(season_length)
+    ocols = list(order_cols or [])
+    a, bb, g = float(alpha), float(beta), float(gamma)
+    out_fields = ", ".join(
+        f"`{k}` {t}"
+        for k, t in fact.select(*keys, ts_col, *ocols).dtypes
+    )
+    schema = (
+        f"{out_fields}, {value_col} double, forecast double, "
+        "residual double, is_anomaly boolean"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col, *ocols], kind="mergesort")
+        xs = [float(v) for v in pdf[value_col]]
+        n = len(xs)
+        fc: list[float | None] = [None] * n
+        res: list[float | None] = [None] * n
+        flag: list[bool | None] = [None] * n
+        if n >= 2 * m:
+            m1 = sum(xs[:m]) / m
+            m2 = sum(xs[m : 2 * m]) / m
+            lvl, tr = m1, (m2 - m1) / m
+            seas = [x - m1 for x in xs[:m]]
+            hist: list[float] = []
+            for t in range(m, n):
+                s_i = seas[t % m]
+                f = lvl + tr + s_i
+                r = xs[t] - f
+                if t >= 2 * m:
+                    fc[t], res[t] = f, r
+                    tail = hist[-int(resid_window):]
+                    if len(tail) >= 5:
+                        mu = sum(tail) / len(tail)
+                        # (v-mu)*(v-mu), not **2: C pow() is not required
+                        # to round like the multiply, and the oracle
+                        # replays this chain operation-for-operation
+                        sd = math.sqrt(
+                            sum((v - mu) * (v - mu) for v in tail)
+                            / len(tail)
+                        )
+                        flag[t] = abs(r) > float(nsigma) * sd if sd > 0 else abs(r) > 0
+                    hist.append(r)
+                else:
+                    hist.append(r)
+                prev = lvl
+                lvl = a * (xs[t] - s_i) + (1 - a) * (lvl + tr)
+                tr = bb * (lvl - prev) + (1 - bb) * tr
+                seas[t % m] = g * (xs[t] - lvl) + (1 - g) * s_i
+        out = pdf[[*keys, ts_col, *ocols]].copy()
+        out[value_col] = [round(x, 4) for x in xs]
+        out["forecast"] = [None if v is None else round(v, 4) for v in fc]
+        out["residual"] = [None if v is None else round(v, 4) for v in res]
+        out["is_anomaly"] = pd.array(flag, dtype="boolean")
+        return out
+
+    return (
+        fact.where(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .applyInPandas(run, schema)
+    )

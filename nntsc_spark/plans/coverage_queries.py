@@ -728,6 +728,50 @@ FROM z GROUP BY stream_id
 """
 
 
+_EWMA_ALPHA, _EWMA_LOOKBACK = 0.25, 32
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream EWMA smoothing over the events fact: one per-key
+    ordered window, numerator and weight mass as left-to-right
+    ``acc*beta + x`` folds (no pow calls — both engines reproduce the
+    chain bit-for-bit).  alpha=0.25 makes beta=0.75 exact in binary;
+    lookback=32 is the constant-state production bound (truncation
+    error < 0.75^32 ~ 1e-4 of the weight mass, renormalized away)."""
+    from ..operators.timeseries import ewma
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    return ewma(
+        fact,
+        alpha=_EWMA_ALPHA,
+        order_cols=["event_id"],
+        lookback=_EWMA_LOOKBACK,
+    )
+
+
+SQL_EWMA_SMOOTH = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, CAST(value AS DOUBLE) AS value
+  FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+    AND value IS NOT NULL
+), h AS (
+  SELECT stream_id, timestamp, event_id, value,
+         list(value) OVER (
+           PARTITION BY stream_id ORDER BY timestamp, event_id
+           ROWS BETWEEN {_EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW
+         ) AS hist
+  FROM bounded
+)
+SELECT stream_id, timestamp, event_id, value,
+       round(list_reduce(hist, (acc, x) -> acc * 0.75 + x) /
+             list_reduce(list_transform(hist, x -> CAST(1 AS DOUBLE)),
+                         (acc, x) -> acc * 0.75 + x), 4) AS ewma
+FROM h
+"""
+
+
 def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentiles served from MERGED histogram rollups (the mergeable
     extension of A10's algebraic re-merge): per-(stream, 6h-bin) count
@@ -795,6 +839,109 @@ FROM totals t JOIN p50 USING (stream_id) JOIN p95 USING (stream_id)
 """
 
 
+# Holt-Winters probe sizing: season 8 bins fits the sf0.01 per-stream
+# history (~30-50 filtered events) with room past the two-season warmup;
+# production uses the series' real seasonality (e.g. 24 hourly bins).
+_HW_M, _HW_RW = 8, 50
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters + residual-band anomaly flags per stream.
+    The recursion is genuinely sequential per series (applyInPandas on
+    the Spark side), and the oracle replays the IDENTICAL float chain —
+    init means, level/trend/seasonal updates, trailing-residual stddev —
+    as a DuckDB recursive CTE carrying (level, trend, seasonal-vector,
+    residual-history) state, so even this non-relational operator is
+    hash-verified, not rows-only."""
+    from ..operators.timeseries import holt_winters
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    return holt_winters(
+        fact, season_length=_HW_M, order_cols=["event_id"]
+    )
+
+
+def _hw_sql() -> str:
+    # every constant enters arithmetic as CAST(x AS DOUBLE) so the SQL
+    # reproduces the Python operator's IEEE chain exactly (a bare 0.3
+    # is DECIMAL in DuckDB: (1 - 0.3) would round differently)
+    A, B, G = (
+        "CAST(0.3 AS DOUBLE)",
+        "CAST(0.05 AS DOUBLE)",
+        "CAST(0.4 AS DOUBLE)",
+    )
+    M, RW = _HW_M, _HW_RW
+    SI = f"(s[(t % {M}) + 1])"
+    X = "(xs[t + 1])"
+    F_ = f"(l + b + {SI})"
+    R_ = f"({X} - {F_})"
+    LN = f"({A} * ({X} - {SI}) + (1 - {A}) * (l + b))"
+    BN = f"({B} * ({LN} - l) + (1 - {B}) * b)"
+    SN = f"({G} * ({X} - {LN}) + (1 - {G}) * {SI})"
+    SNEW = f"(s[1:(t % {M})] || [{SN}] || s[((t % {M}) + 2):{M}])"
+    TAIL = f"(rh[greatest(1, len(rh) - {RW - 1}):len(rh)])"
+    MU = f"(list_reduce({TAIL}, (acc, v) -> acc + v) / len({TAIL}))"
+    SD = (
+        f"(sqrt(list_reduce(list_transform({TAIL}, "
+        f"v -> (v - {MU}) * (v - {MU})), (acc, v) -> acc + v) "
+        f"/ len({TAIL})))"
+    )
+    FLAG = (
+        f"(CASE WHEN len({TAIL}) >= 5 THEN "
+        f"(CASE WHEN {SD} > 0 THEN abs({R_}) > 4.0 * {SD} "
+        f"ELSE abs({R_}) > 0 END) END)"
+    )
+    OUTS = (
+        f"CASE WHEN t >= {2 * M} THEN list_append(outs, "
+        f"{{'i': t + 1, 'f': {F_}, 'r': {R_}, 'fl': {FLAG}}}) "
+        "ELSE outs END"
+    )
+    M1 = f"(list_reduce(xs[1:{M}], (acc, v) -> acc + v) / {M})"
+    M2 = f"(list_reduce(xs[{M + 1}:{2 * M}], (acc, v) -> acc + v) / {M})"
+    return f"""
+WITH RECURSIVE {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY stream_id
+                            ORDER BY timestamp, event_id) AS rn
+  FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+    AND value IS NOT NULL
+), series AS (
+  SELECT stream_id, list(value ORDER BY timestamp, event_id) AS xs
+  FROM bounded GROUP BY stream_id
+), init AS (
+  SELECT stream_id, xs, CAST({M} AS BIGINT) AS t,
+         {M1} AS l, ({M2} - {M1}) / {M} AS b,
+         list_transform(xs[1:{M}], v -> v - {M1}) AS s,
+         []::DOUBLE[] AS rh,
+         []::STRUCT(i BIGINT, f DOUBLE, r DOUBLE, fl BOOLEAN)[] AS outs
+  FROM series WHERE len(xs) >= {2 * M}
+), rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT stream_id, xs, t + 1, {LN}, {BN}, {SNEW},
+         list_append(rh, {R_}), {OUTS}
+  FROM rec WHERE t < len(xs)
+), fin AS (
+  SELECT stream_id, outs FROM rec WHERE t = len(xs)
+), ov AS (
+  SELECT stream_id, u.o.i AS i, u.o.f AS f, u.o.r AS r, u.o.fl AS fl
+  FROM fin, LATERAL (SELECT unnest(outs) AS o) u
+)
+SELECT bd.stream_id, bd.timestamp, bd.event_id,
+       round(bd.value, 4) AS value,
+       round(ov.f, 4) AS forecast,
+       round(ov.r, 4) AS residual,
+       ov.fl AS is_anomaly
+FROM bounded bd
+LEFT JOIN ov ON ov.stream_id = bd.stream_id AND ov.i = bd.rn
+"""
+
+
+SQL_HOLT_WINTERS = _hw_sql()
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -804,4 +951,10 @@ TAIL_REGISTRY = {
     "counter_rate": (q_counter_rate, SQL_COUNTER_RATE),
     "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_ZSCORE),
     "rollup_percentile": (q_rollup_percentile, SQL_ROLLUP_PERCENTILE),
+    # round-8: bounded-lookback EWMA smoothing (the level term of the
+    # downstream eventing family's detectors)
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+    # round-8: the recursive triple-exponential detector, oracle-pinned
+    # via a recursive-CTE state machine
+    "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
 }

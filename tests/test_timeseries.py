@@ -258,3 +258,86 @@ def test_histogram_edge_clamping_and_empty(spark):
         [([0] * 10,)], "hist array<bigint>"
     ).select(histogram_percentile("hist", 0.0, 100.0, 0.5).alias("p"))
     assert empty.collect()[0].p is None
+
+
+# ---------------------------------------------------------------------------
+# EWMA (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_pandas_and_bounds_truncation(spark):
+    """Full-history ewma(lookback=None) equals pandas ewm(adjust=True)
+    exactly; the bounded default differs from it by less than the
+    beta^lookback renormalization bound; NULL observations are dropped."""
+    import pandas as pd
+
+    from nntsc_spark.operators.timeseries import ewma
+
+    vals = [float((7 * i) % 23 + (i % 5)) for i in range(60)]
+    rows = [(1, 100 + i, v) for i, v in enumerate(vals)]
+    rows.append((1, 95, None))   # NULL observation -> dropped entirely
+    rows += [(2, 100 + i, 50.0) for i in range(3)]  # constant series
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+
+    full = {
+        (r.stream_id, r.timestamp): r.ewma
+        for r in ewma(fact, alpha=0.25, lookback=None).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.25, adjust=True).mean()
+    for i, w in enumerate(want):
+        assert abs(full[(1, 100 + i)] - round(w, 4)) < 1e-9, i
+    # constant series smooths to itself
+    assert all(full[(2, 100 + i)] == 50.0 for i in range(3))
+    # the NULL row is absent from the output
+    assert (1, 95) not in full
+
+    bounded = {
+        (r.stream_id, r.timestamp): r.ewma
+        for r in ewma(fact, alpha=0.25, lookback=32).collect()
+    }
+    # beta^32 of the weight mass is the truncation ceiling
+    bound = 0.75 ** 32 * max(vals) + 2e-4  # + rounding slack at 4dp
+    assert all(
+        abs(bounded[k] - full[k]) <= bound for k in full if k[0] == 1
+    )
+
+
+def test_holt_winters_flags_spike_on_seasonal_series(spark):
+    """On a noiseless level+seasonal series the deterministic two-season
+    warmup is exact (zero residuals), a planted spike is the flagged
+    anomaly, and warmup rows emit NULL forecasts."""
+    from nntsc_spark.operators.timeseries import holt_winters
+
+    m, n = 8, 64
+    seas = [3.0, -1.0, 4.0, 0.0, -3.0, 2.0, -4.0, -1.0]  # sums to 0
+    def x(t):
+        return 100.0 + seas[t % m]
+    spike_at = 40
+    rows = [
+        (1, 1000 + t, x(t) + (50.0 if t == spike_at else 0.0))
+        for t in range(n)
+    ]
+    # second stream too short for warmup -> all-NULL forecasts
+    rows += [(2, 1000 + t, 5.0) for t in range(m)]
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = {
+        (r.stream_id, r.timestamp): r
+        for r in holt_winters(fact, season_length=m).collect()
+    }
+    s1 = [out[(1, 1000 + t)] for t in range(n)]
+    # warmup: first two seasons have no forecast
+    assert all(r.forecast is None for r in s1[: 2 * m])
+    # clean rows after warmup forecast exactly (zero residual)
+    clean = [r for t, r in enumerate(s1) if 2 * m <= t and t != spike_at]
+    pre_spike = [r for t, r in enumerate(s1) if 2 * m <= t < spike_at]
+    assert all(r.residual == 0.0 and r.forecast == r.value for r in pre_spike)
+    # exactly the spike is flagged
+    flagged = [t for t in range(n) if s1[t].is_anomaly]
+    assert spike_at in flagged and len(flagged) <= 3
+    assert s1[spike_at].residual == 50.0
+    # short stream: never enough history
+    assert all(out[(2, 1000 + t)].forecast is None for t in range(m))
