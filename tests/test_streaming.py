@@ -1005,3 +1005,69 @@ def test_watermarked_rollup_streaming_histograms_match_batch(spark, tmp_path):
         import math
         want = exact[max(0, math.ceil(0.5 * len(exact)) - 1)]
         assert abs(r.p50 - want) <= (hi - lo) / nbins + 1e-9
+
+
+def test_streaming_anomaly_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState anomaly scorer: the EW mean/variance
+    learned in batch 1 scores batch 2's spike (state survived the
+    micro-batch boundary), warmup rows are NULL, and a restart-free
+    two-batch run equals the same recursion replayed in plain Python."""
+    import math
+
+    from nntsc_spark.streaming.anomaly import streaming_anomaly_scores
+
+    src = tmp_path / "events"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    out = tmp_path / "scores"
+    schema = "stream_id long, timestamp long, value double"
+
+    def run_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ("stream_id", "timestamp", "value"), r))) + "\n")
+        q = (
+            streaming_anomaly_scores(
+                spark.readStream.schema(schema).json(str(src)),
+                alpha=0.25, nsigma=3.0, min_points=5)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8]
+    b1 = [(1, 1000 + i, v) for i, v in enumerate(base)]
+    run_batch("b1.json", b1)
+    b2 = [(1, 2000, 10.1), (1, 2001, 99.0), (1, 2002, 10.0)]
+    run_batch("b2.json", b2)
+
+    got = {r.timestamp: r for r in spark.read.parquet(str(out)).collect()}
+    assert len(got) == len(b1) + len(b2)
+    # warmup: first 5 observations carry NULL flag/score
+    assert all(got[1000 + i].is_anomaly is None for i in range(5))
+    # the batch-2 spike is flagged off batch-1 state; neighbors are not
+    assert got[2001].is_anomaly and got[2001].score > 3.0
+    assert got[2000].is_anomaly is False and got[2002].is_anomaly is False
+
+    # replay the recursion in plain Python: streaming == batch-replayed
+    mean, var, n = 0.0, 0.0, 0
+    for ts, x in [(t, v) for _, t, v in b1] + [(t, v) for _, t, v in b2]:
+        if n >= 5:
+            sd = math.sqrt(var) if var > 0 else 0.0
+            score = round((x - mean) / sd, 4) if sd > 0 else None
+        else:
+            score = None
+        delta = x - mean if n else 0.0
+        incr = 0.25 * delta
+        if n:
+            mean, var = mean + incr, 0.75 * (var + delta * incr)
+        else:
+            mean, var = x, 0.0
+        n += 1
+        assert got[ts].ewma == round(mean, 4), ts
+        assert got[ts].score == score, ts
