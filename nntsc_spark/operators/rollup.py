@@ -125,10 +125,22 @@ def bucket_expr(value_col: str, lo: float, hi: float, nbins: int) -> F.Column:
     """Fixed-range bucket index: floor((v - lo) / width) clamped into
     [0, nbins-1] — out-of-range values land in the edge buckets (their
     percentile contribution stays order-correct; only their position
-    saturates at the range edge, the documented fixed-range trade)."""
+    saturates at the range edge, the documented fixed-range trade).
+
+    The VALUE is clamped into [lo, hi] BEFORE the divide/floor/cast, so
+    an arbitrarily large finite value (or +/-Infinity) can never push
+    the intermediate past the int range — clamping only after the cast
+    would ANSI-fail (or, with ANSI off, wrap into the WRONG edge bucket)
+    once ``(v - lo) / width`` exceeds 2^31.  NaN maps to NULL (no
+    ordered position exists for it) and is dropped by the rollup build.
+    """
     width = (float(hi) - float(lo)) / int(nbins)
-    raw = F.floor((F.col(value_col) - float(lo)) / width).cast("int")
-    return F.least(F.greatest(raw, F.lit(0)), F.lit(int(nbins) - 1))
+    v = F.col(value_col).cast("double")
+    clamped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    idx = F.least(
+        F.floor((clamped - float(lo)) / width), F.lit(int(nbins) - 1)
+    ).cast("int")
+    return F.when(F.isnan(v), F.lit(None).cast("int")).otherwise(idx)
 
 
 def histogram_rollup(
@@ -150,7 +162,10 @@ def histogram_rollup(
     """
     b = bucket_expr(value_col, lo, hi, nbins)
     counts = (
-        fact.where(F.col(value_col).isNotNull())
+        fact.where(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(
             "stream_id",
             (F.col(ts_col) - (F.col(ts_col) % F.lit(int(binsize)))).alias(

@@ -45,7 +45,11 @@ def asof_join(
     then a single per-key ordered window carries the most recent right
     payload forward onto each left row (``last(..., ignorenulls)``) —
     one shuffle, linear work, no pair blowup.  At equal timestamps the
-    right row sorts first, making the match inclusive.
+    right row sorts first, making the match inclusive.  The whole right
+    payload travels as ONE struct (not per-column carries), so a NULL
+    payload value in the matched right row stays NULL instead of being
+    back-filled from an older right row — the carried columns always
+    come from the same physical right row, matching ``merge_asof``.
 
     ``tolerance`` (seconds) nulls out matches older than ``left.ts -
     tolerance`` (pandas ``merge_asof`` semantics).  The matched right
@@ -62,20 +66,20 @@ def asof_join(
     }
     rts = ts_col + suffix
 
-    l2 = left.withColumn("_side", F.lit(1))
-    for c in payload:
-        l2 = l2.withColumn(out_names[c], F.lit(None).cast(dict(right.dtypes)[c]))
-    l2 = l2.withColumn(rts, F.lit(None).cast(dict(right.dtypes)[ts_col]))
     r2 = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(out_names[c]) for c in payload],
-        F.col(ts_col).alias(rts),
+        F.struct(
+            *[F.col(c).alias(out_names[c]) for c in payload],
+            F.col(ts_col).alias(rts),
+        ).alias("_r"),
     )
-    extra = [c for c in l2.columns if c not in r2.columns]
-    for c in extra:
-        r2 = r2.withColumn(c, F.lit(None).cast(dict(l2.dtypes)[c]))
+    l2 = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r2.schema["_r"].dataType)
+    )
+    for c in [c for c in l2.columns if c not in r2.columns]:
+        r2 = r2.withColumn(c, F.lit(None).cast(l2.schema[c].dataType))
     u = l2.select(*l2.columns).unionByName(r2.select(*l2.columns))
 
     w = (
@@ -83,19 +87,19 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1).drop("_side", "_r")
     carried = [out_names[c] for c in payload] + [rts]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = u.where(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
-        stale = F.col(rts).isNull() | (
-            F.col(ts_col) - F.col(rts) > int(tolerance)
+        stale = F.col("_m").isNull() | (
+            F.col(ts_col) - F.col("_m")[rts] > int(tolerance)
         )
-        for c in carried:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
-    return out
+        out = out.withColumn(
+            "_m", F.when(stale, F.lit(None)).otherwise(F.col("_m"))
+        )
+    for c in carried:
+        out = out.withColumn(c, F.col("_m")[c])
+    return out.drop("_m")
 
 
 def gapfill(
@@ -163,26 +167,28 @@ def gapfill(
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(back))
         return out
 
+    # Each value column interpolates between its OWN surrounding non-null
+    # observations: the (x, y) pair travels as one struct so the
+    # coordinate and the value always come from the same row — an
+    # observed bin carrying a NULL value is a gap for that column, never
+    # an interpolation anchor (pandas interpolate() semantics).
     fwd = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    prev_bin = F.last(
-        F.when(~F.col("filled"), F.col(bin_col)), ignorenulls=True
-    ).over(back)
-    next_bin = F.first(
-        F.when(~F.col("filled"), F.col(bin_col)), ignorenulls=True
-    ).over(fwd)
-    out = out.withColumn("_pb", prev_bin).withColumn("_nb", next_bin)
     for c in value_cols:
-        pv = F.last(F.col(c), ignorenulls=True).over(back)
-        nv = F.first(F.col(c), ignorenulls=True).over(fwd)
-        frac = (F.col(bin_col) - F.col("_pb")) / (F.col("_nb") - F.col("_pb"))
+        pair = F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.col(bin_col).alias("b"), F.col(c).alias("v")),
+        )
+        p = F.last(pair, ignorenulls=True).over(back)
+        nx = F.first(pair, ignorenulls=True).over(fwd)
+        frac = (F.col(bin_col) - p["b"]) / (nx["b"] - p["b"])
         interp = (
-            F.when(~F.col("filled"), F.col(c))
-            .when(F.col("_pb").isNull(), nv)  # leading edge
-            .when(F.col("_nb").isNull(), pv)  # trailing edge
-            .otherwise(pv + (nv - pv) * frac)
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(p.isNull(), nx["v"])  # leading edge
+            .when(nx.isNull(), p["v"])  # trailing edge
+            .otherwise(p["v"] + (nx["v"] - p["v"]) * frac)
         )
         out = out.withColumn(c, interp)
-    return out.drop("_pb", "_nb")
+    return out
 
 
 def counter_rate(

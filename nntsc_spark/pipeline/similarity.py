@@ -802,10 +802,16 @@ def _corpus_layout_is_legacy(spark: SparkSession, corpus_root: str) -> bool:
     local = corpus_root.removeprefix("file://")
     root = Path(local)
     if "://" not in local and root.exists():
-        first_cell = next(iter(root.glob("cell=*")), None)
-        if first_cell is None:
-            return False
-        return next(iter(first_cell.glob(f"{APPEND_BATCH_COL}=*")), None) is None
+        # A corpus is legacy if ANY cell still holds bare parquet files
+        # directly under cell=N — including a migration interrupted
+        # midway, where some cells are done and others aren't; probing
+        # only one cell would pass exactly the mixed layout this guard
+        # exists to reject.  One readdir per cell, no recursive listing.
+        return any(
+            f.is_file() and f.suffix == ".parquet"
+            for cell in root.glob("cell=*")
+            for f in cell.iterdir()
+        )
     return APPEND_BATCH_COL not in spark.read.parquet(corpus_root).columns
 
 

@@ -1403,3 +1403,38 @@ def test_nb_classifier_learns_planted_token_signal(spark):
     in_vocab = [t for t in toks3 if t in model]
     want = sum(model[t] for t in in_vocab) / len(in_vocab)
     assert math.isclose(scored[3].score, round(want, 4), abs_tol=1e-9)
+
+
+def test_legacy_layout_guard_catches_partial_migration(spark, sf_dir, tmp_path):
+    """r8 advice: a migration interrupted midway (some cells moved, some
+    still bare) must still read as legacy — probing only the first cell
+    passes exactly the mixed layout the guard exists to reject."""
+    import glob as _glob
+    import os
+
+    from nntsc_spark.pipeline.similarity import (
+        _corpus_layout_is_legacy,
+        centroid_rows,
+        ivf_build_index,
+        ivf_migrate_legacy_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_rows(emb, nlist=8)
+    path = str(tmp_path / "partial")
+    ivf_build_index(emb, path, nlist=8, centroids=cents)
+    assert not _corpus_layout_is_legacy(spark, f"{path}/corpus")
+
+    # devolve ONLY the last cell (lexically after cell=0, so a
+    # first-cell probe would see a migrated corpus and pass)
+    cells = sorted(_glob.glob(f"{path}/corpus/cell=*"))
+    assert len(cells) > 1
+    d = os.path.join(cells[-1], "append_batch=0")
+    for f in os.listdir(d):
+        os.rename(os.path.join(d, f), os.path.join(cells[-1], f))
+    os.rmdir(d)
+
+    assert _corpus_layout_is_legacy(spark, f"{path}/corpus")
+    # migration completes the stragglers and the guard clears
+    assert ivf_migrate_legacy_layout(path) > 0
+    assert not _corpus_layout_is_legacy(spark, f"{path}/corpus")

@@ -341,3 +341,66 @@ def test_holt_winters_flags_spike_on_seasonal_series(spark):
     assert s1[spike_at].residual == 50.0
     # short stream: never enough history
     assert all(out[(2, 1000 + t)].forecast is None for t in range(m))
+
+
+# ---------------------------------------------------------------------------
+# r8 advice regressions
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """r8 advice: the carried payload must come from the MATCHED right
+    row, even when that row's payload value is NULL — per-column carries
+    would stitch an older row's value under the newer row's timestamp."""
+    left = spark.createDataFrame(
+        [(1, 10)], "stream_id long, timestamp long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0, "a"), (1, 9, None, "b")],
+        "stream_id long, timestamp long, v double, tag string",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.timestamp_r == 9
+    assert row.v is None          # the ts=9 row's v, not ts=5's 100.0
+    assert row.tag == "b"         # all columns from the same right row
+
+
+def test_gapfill_linear_null_value_is_a_gap_not_an_anchor(spark):
+    """r8 advice: an observed bin carrying a NULL value must not serve
+    as an interpolation x-coordinate; each column interpolates between
+    its own non-null neighbors, and the NULL bin itself gets filled."""
+    binned = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 20, None), (1, 30, 40.0)],
+        "stream_id long, binstart long, avg_value double",
+    )
+    out = {
+        r.binstart: r.avg_value
+        for r in gapfill(binned, 10, 0, 30, method="linear").collect()
+    }
+    # anchors are (0, 5.0) and (30, 40.0); bin 20's NULL is skipped over
+    assert out[10] == pytest.approx(5.0 + 35.0 * 10 / 30)
+    assert out[20] == pytest.approx(5.0 + 35.0 * 20 / 30)
+    assert out[0] == 5.0 and out[30] == 40.0
+
+
+def test_bucket_expr_extreme_values_saturate_not_overflow(spark):
+    """r8 advice: values whose scaled offset exceeds int range (1e15,
+    +/-Infinity) must land in the edge buckets — clamping only after the
+    int cast ANSI-fails or wraps into the wrong bucket.  NaN -> NULL."""
+    from nntsc_spark.operators.rollup import bucket_expr, histogram_rollup
+
+    fact = spark.createDataFrame(
+        [(1, 0, 1e15), (1, 1, -1e15), (1, 2, float("inf")),
+         (1, 3, float("-inf")), (1, 4, float("nan")), (1, 5, 250.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    got = [
+        r.b
+        for r in fact.orderBy("timestamp")
+        .select(bucket_expr("value", 0.0, 500.0, 250).alias("b"))
+        .collect()
+    ]
+    assert got == [249, 0, 249, 0, None, 125]
+    # and the rollup build drops the NaN row instead of erroring
+    r = histogram_rollup(fact, 3600, "value", 0.0, 500.0, nbins=250).collect()[0]
+    assert r.n == 5 and r.hist[249] == 2 and r.hist[0] == 2 and r.hist[125] == 1
