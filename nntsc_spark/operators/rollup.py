@@ -242,3 +242,71 @@ def histogram_percentile(
         f"cast({target} - ({found}).before as double) / "
         f"element_at({hist_col}, ({found}).idx + 1)) END"
     )
+
+
+def histogram_percentiles(
+    df: DataFrame,
+    hist_col: str,
+    lo: float,
+    hi: float,
+    ps: dict[str, float],
+    total_col: str | None = None,
+) -> DataFrame:
+    """Staged multi-percentile read: adds one column per ``ps`` entry
+    (name -> p), plus optionally the histogram total as ``total_col``.
+
+    Same estimate, same float chain as :func:`histogram_percentile` —
+    but staged across projections instead of one self-contained
+    expression.  The single-expression form syntactically inlines its
+    O(nbins) walk three times (idx twice, before once) and — worse —
+    re-derives the O(nbins) TOTAL fold inside the walk's per-step
+    predicate, O(nbins^2) interpreted work per percentile per row;
+    higher-order functions never enter codegen, so no subexpression
+    elimination rescues it.  Here total, target, and the walk each
+    become their OWN projected column (CollapseProject keeps non-cheap
+    expressions un-inlined), so every fold evaluates exactly once:
+    O(nbins) per percentile per row.  Use this on rollup-scale outputs;
+    the expression form stays for one-off single-column reads.
+    """
+    tcol = "_hp_total"
+    width = f"(({float(hi)}d - {float(lo)}d) / size({hist_col}))"
+    df = df.withColumn(
+        tcol, F.expr(f"aggregate({hist_col}, 0L, (a, x) -> a + x)")
+    )
+    temps = [tcol]
+    for name, p in ps.items():
+        tg, fd = f"_hp_tg_{name}", f"_hp_f_{name}"
+        temps += [tg, fd]
+        df = df.withColumn(
+            tg,
+            F.expr(
+                f"greatest(1L, cast(ceil({float(p)}d * {tcol}) as bigint))"
+            ),
+        )
+        df = df.withColumn(
+            fd,
+            F.expr(
+                f"aggregate(zip_with({hist_col}, "
+                f"sequence(0, size({hist_col}) - 1), "
+                "(c, i) -> named_struct('c', c, 'i', i)), "
+                "named_struct('cum', 0L, 'idx', -1, 'before', 0L), "
+                "(acc, x) -> IF(acc.idx >= 0, acc, "
+                f"IF(acc.cum + x.c >= {tg}, "
+                "named_struct('cum', acc.cum + x.c, 'idx', x.i, "
+                "'before', acc.cum), "
+                "named_struct('cum', acc.cum + x.c, 'idx', -1, "
+                "'before', 0L))))"
+            ),
+        )
+        df = df.withColumn(
+            name,
+            F.expr(
+                f"CASE WHEN {tcol} > 0 THEN "
+                f"{float(lo)}d + {width} * ({fd}.idx + "
+                f"cast({tg} - {fd}.before as double) / "
+                f"element_at({hist_col}, {fd}.idx + 1)) END"
+            ),
+        )
+    if total_col is not None:
+        df = df.withColumn(total_col, F.col(tcol))
+    return df.drop(*temps)

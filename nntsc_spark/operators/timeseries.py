@@ -377,11 +377,17 @@ def holt_winters(
     ``resid_window`` residuals (population stddev; needs >= 5 residuals).
 
     Spark-first shape: the recursion is genuinely sequential PER SERIES,
-    so this is the sanctioned Arrow seam — ``applyInPandas`` grouped on
-    ``keys``, a plain-float loop per series (bounded history per key is
-    the contract at 100 TB: millions of independent series, each loop
-    O(points-per-series), parallel across series).  No driver collect,
-    no cross-series state.
+    so this is the sanctioned Arrow seam — but NOT ``applyInPandas``:
+    with millions of short series, grouped-map ships one tiny Arrow
+    batch and builds one pandas frame PER GROUP, and that per-group
+    overhead dominates the arithmetic (measured ~2.5x the whole job on
+    1500-series probes).  Instead the input is hash-repartitioned on
+    ``keys`` and sorted within partitions, and ``mapInPandas`` walks the
+    partition's batches, stitching each series across batch boundaries
+    (memory held: ONE series + one batch, the same bound grouped-map
+    has) and emitting output a BATCH at a time.  The per-series float
+    loop is byte-identical either way — only the batching changes.  No
+    driver collect, no cross-series state.
 
     Output: keys + (ts, order_cols, value, forecast, residual,
     is_anomaly), floats rounded to 4.
@@ -400,11 +406,11 @@ def holt_winters(
         "residual double, is_anomaly boolean"
     )
 
-    def run(pdf):
-        import pandas as pd
+    id_cols = [*keys, ts_col, *ocols]
 
-        pdf = pdf.sort_values([ts_col, *ocols], kind="mergesort")
-        xs = [float(v) for v in pdf[value_col]]
+    def run_series(xs):
+        """The HW recursion over one sorted series — the float chain the
+        oracle replays operation-for-operation."""
         n = len(xs)
         fc: list[float | None] = [None] * n
         res: list[float | None] = [None] * n
@@ -439,15 +445,51 @@ def holt_winters(
                 lvl = a * (xs[t] - s_i) + (1 - a) * (lvl + tr)
                 tr = bb * (lvl - prev) + (1 - bb) * tr
                 seas[t % m] = g * (xs[t] - lvl) + (1 - g) * s_i
-        out = pdf[[*keys, ts_col, *ocols]].copy()
-        out[value_col] = [round(x, 4) for x in xs]
-        out["forecast"] = [None if v is None else round(v, 4) for v in fc]
-        out["residual"] = [None if v is None else round(v, 4) for v in res]
-        out["is_anomaly"] = pd.array(flag, dtype="boolean")
-        return out
+        return fc, res, flag
+
+    def run_partition(batches):
+        import pandas as pd
+
+        out_rows: list = []  # accumulated per-series frames
+        out_n = 0
+        pend_key = None
+        pend: list = []  # chunks of the series straddling batch edges
+
+        def finish():
+            nonlocal pend_key, pend
+            g = pend[0] if len(pend) == 1 else pd.concat(pend)
+            xs = [float(v) for v in g[value_col]]
+            fc, res, flag = run_series(xs)
+            out = g[id_cols].copy()
+            out[value_col] = [round(x, 4) for x in xs]
+            out["forecast"] = [None if v is None else round(v, 4) for v in fc]
+            out["residual"] = [None if v is None else round(v, 4) for v in res]
+            out["is_anomaly"] = pd.array(flag, dtype="boolean")
+            out_rows.append(out)
+            pend_key, pend = None, []
+            return len(out)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # rows arrive key-clustered and time-sorted (repartition +
+            # sortWithinPartitions); contiguous runs ARE the series
+            for key, g in pdf.groupby(list(keys), sort=False):
+                if pend_key is not None and key != pend_key:
+                    out_n += finish()
+                pend_key = key
+                pend.append(g)
+            if out_n >= 10_000:
+                yield pd.concat(out_rows)
+                out_rows, out_n = [], 0
+        if pend:
+            finish()
+        if out_rows:
+            yield pd.concat(out_rows)
 
     return (
         fact.where(F.col(value_col).isNotNull())
-        .groupBy(*keys)
-        .applyInPandas(run, schema)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, ts_col, *ocols)
+        .mapInPandas(run_partition, schema)
     )

@@ -1020,11 +1020,13 @@ def semantic_dedup(
     withcs = pre.select(
         id_col,
         vec_col,
+        "_vn",
         F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
     )
     assigned = withcs.select(
         id_col,
         vec_col,
+        "_vn",
         (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
         .cast("int")
         .alias("cell"),
@@ -1032,6 +1034,12 @@ def semantic_dedup(
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
+    # the pair cosine reuses each row's precomputed norm (`_vn`, the
+    # exact sqrt(fold) norm_expr would evaluate): the per-pair cost in
+    # the cell-local candidate loop drops from three HOF folds to one
+    # dot product, and the float chain — dot / (sqrt(na) * sqrt(nb)) —
+    # is operation-identical, so the rounded-to-4 values (and the
+    # oracle hashes) are unchanged.
     pairs = (
         a.join(
             b,
@@ -1040,7 +1048,9 @@ def semantic_dedup(
         )
         .where(
             F.round(
-                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._vn") * F.col("b._vn")),
+                4,
             )
             >= threshold
         )

@@ -779,7 +779,7 @@ def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged vector — the estimate is engine-deterministic (pure integer
     walks + one IEEE division), so it oracle-compares exactly."""
     from ..operators.rollup import (
-        histogram_percentile,
+        histogram_percentiles,
         histogram_rollup,
         merged_histogram_agg,
     )
@@ -790,12 +790,9 @@ def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = hr.groupBy("stream_id").agg(
         merged_histogram_agg("hist", nbins).alias("hist")
     )
-    return merged.select(
-        "stream_id",
-        F.expr("aggregate(hist, 0L, (a, x) -> a + x)").alias("n"),
-        histogram_percentile("hist", lo, hi, 0.5).alias("p50"),
-        histogram_percentile("hist", lo, hi, 0.95).alias("p95"),
-    )
+    return histogram_percentiles(
+        merged, "hist", lo, hi, {"p50": 0.5, "p95": 0.95}, total_col="n"
+    ).select("stream_id", "n", "p50", "p95")
 
 
 # The oracle skips the per-bin level entirely: histogram merge is EXACT

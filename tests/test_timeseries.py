@@ -404,3 +404,39 @@ def test_bucket_expr_extreme_values_saturate_not_overflow(spark):
     # and the rollup build drops the NaN row instead of erroring
     r = histogram_rollup(fact, 3600, "value", 0.0, 500.0, nbins=250).collect()[0]
     assert r.n == 5 and r.hist[249] == 2 and r.hist[0] == 2 and r.hist[125] == 1
+
+
+def test_histogram_percentiles_staged_equals_expression_form(spark):
+    """The staged multi-percentile read must produce bit-identical
+    estimates to the self-contained expression form (same float chain,
+    just evaluated once per fold instead of O(nbins^2) inlined)."""
+    import random
+
+    from nntsc_spark.operators.rollup import (
+        histogram_percentile,
+        histogram_percentiles,
+        histogram_rollup,
+    )
+
+    rng = random.Random(7)
+    fact = spark.createDataFrame(
+        [(i % 5, i, rng.uniform(-20.0, 520.0)) for i in range(2000)],
+        "stream_id long, timestamp long, value double",
+    )
+    hr = histogram_rollup(fact, 10**9, "value", 0.0, 500.0, nbins=50)
+    expr_form = {
+        r.stream_id: (r.p50, r.p95, r.n)
+        for r in hr.select(
+            "stream_id",
+            histogram_percentile("hist", 0.0, 500.0, 0.5).alias("p50"),
+            histogram_percentile("hist", 0.0, 500.0, 0.95).alias("p95"),
+            "n",
+        ).collect()
+    }
+    staged = {
+        r.stream_id: (r.p50, r.p95, r.n)
+        for r in histogram_percentiles(
+            hr, "hist", 0.0, 500.0, {"p50": 0.5, "p95": 0.95}, total_col="n2"
+        ).select("stream_id", "p50", "p95", F.col("n2").alias("n")).collect()
+    }
+    assert expr_form == staged and len(staged) == 5
