@@ -462,8 +462,17 @@ def holt_winters(
             fc, res, flag = run_series(xs)
             out = g[id_cols].copy()
             out[value_col] = [round(x, 4) for x in xs]
-            out["forecast"] = [None if v is None else round(v, 4) for v in fc]
-            out["residual"] = [None if v is None else round(v, 4) for v in res]
+            # nullable dtypes (not object-with-None): an all-NA warmup
+            # series would otherwise destabilize concat dtypes, and the
+            # masked NA converts to a true SQL NULL through Arrow
+            out["forecast"] = pd.array(
+                [None if v is None else round(v, 4) for v in fc],
+                dtype="Float64",
+            )
+            out["residual"] = pd.array(
+                [None if v is None else round(v, 4) for v in res],
+                dtype="Float64",
+            )
             out["is_anomaly"] = pd.array(flag, dtype="boolean")
             out_rows.append(out)
             pend_key, pend = None, []

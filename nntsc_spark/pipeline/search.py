@@ -1,0 +1,93 @@
+"""Corpus retrieval: BM25 keyword search over the documents table.
+
+A training-data pipeline needs retrieval for corpus exploration, targeted
+decontamination ("find everything that looks like this eval prompt"), and
+curation audits — the same ranked keyword search an index server provides,
+expressed as one Spark plan instead of a sidecar search cluster.  (The
+reference exposes no text retrieval; its closest surface is the catalog
+probes, catalog.py.)
+
+Scale shape: the corpus-side work is ONE explode filtered to the query's
+terms BEFORE the shuffle (selectivity |terms| / vocab), one
+map-side-combinable (doc, term) count, and a broadcast join against the
+<= |terms|-row term-statistics table.  Nothing corpus-scale is sorted:
+the top-k is a TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count_expr, tokens_expr
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25 (the
+    Lucene/Robertson formulation): per matched term,
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        tfn(t)  = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    and ``score = sum_t idf * tfn`` over the query's terms, rounded to 4
+    (the rounding also absorbs engine-order differences in the per-doc
+    float sum — the established oracle-parity argument).  Ranking and the
+    k-boundary use the ROUNDED score with ``id_col`` as the
+    deterministic tie-break, so the returned set is engine-stable.
+
+    Collected driver-side: exactly two scalars (N, avgdl) from one
+    map-side-combinable aggregate — bounded at any corpus size.
+
+    Output: (doc_id, n_terms_matched, score), rank-ordered.
+    """
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    terms = sorted(set(terms))
+
+    # avgdl as exact-integer-sum / count (not avg()) so the oracle's
+    # CAST(sum AS DOUBLE) / count reproduces the identical double
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(token_count_expr(text_col)).alias("s"),
+    ).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = float(row["s"] or 0) / float(n_docs or 1)
+
+    tf = (
+        docs.select(
+            id_col,
+            token_count_expr(text_col).alias("_dl"),
+            F.explode(tokens_expr(text_col)).alias("_t"),
+        )
+        .where(F.col("_t").isin(terms))
+        .groupBy(id_col, "_dl", "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_stats = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        + 1.0
+    )
+    tfn = (F.col("_tf") * (float(k1) + 1.0)) / (
+        F.col("_tf")
+        + float(k1)
+        * (1.0 - float(b) + float(b) * F.col("_dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(F.broadcast(df_stats), "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(F.sum(idf * tfn), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -1,0 +1,151 @@
+"""Mergeable frequency sketches: count-min over a key column.
+
+The exact token/count tables elsewhere in the pipeline (vocab.py,
+text.py) are right when the vocabulary fits a shuffle; at open-web scale
+the long tail of near-unique keys makes "count everything exactly" a
+corpus-sized shuffle for answers that only need the HEAVY keys.  A
+count-min sketch (Cormode & Muthukrishnan 2005) bounds the state at
+``depth x width`` counters with a one-sided error guarantee
+(overestimate only, within eps = e/width of the stream mass whp), and —
+the property that matters on a cluster — sketches MERGE by element-wise
+addition: per-partition sketches, per-day sketches, and per-source
+sketches all combine into exact sums of themselves, the same
+merge-anywhere discipline as the histogram rollups
+(operators/rollup.py).
+
+Determinism: the hash family is the repo's portable md5-prefix bigint
+(dedup.md5_long) salted with the row index, so Spark and the DuckDB
+oracle derive IDENTICAL bucket assignments and therefore identical
+estimates — the sketch is engine-exact even though it is approximate
+with respect to the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+
+def _bucket(col: F.Column, row: int, width: int) -> F.Column:
+    return (md5_long(F.concat(F.lit(f"{row}:"), col)) % int(width)).cast(
+        "int"
+    )
+
+
+def cms_build(
+    items: DataFrame, col: str = "tok", depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Build a count-min sketch over ``items[col]`` (one input row = one
+    occurrence).  Output: (row int, bucket int, cnt long) — at most
+    ``depth * width`` rows regardless of input size.
+
+    One pass, one shuffle: each occurrence explodes into its ``depth``
+    (row, bucket) cells map-side, and the groupBy count combines
+    partially before the exchange — the shuffle carries at most
+    ``depth * width`` distinct keys' partial sums per partition, never
+    the raw occurrences.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(col), r, width).alias("bucket"),
+            )
+            for r in range(int(depth))
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("_c"))
+        .groupBy(
+            F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (depth, width): element-wise
+    addition — the result is exactly the sketch of the concatenated
+    inputs (the property pinned by test_cms_merge_equals_whole)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "tok",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-estimate each probe key's frequency: min over the sketch's
+    ``depth`` cells for that key (never an underestimate; overestimates
+    only on hash collisions).  The sketch side is bounded at
+    ``depth * width`` rows, so the join broadcasts; probes are never
+    shuffled beyond their own distinct().
+
+    Output: probes' columns + ``cms_cnt`` (long).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(col), r, width).alias("bucket"),
+            )
+            for r in range(int(depth))
+        ]
+    )
+    probed = probes.select(col).distinct().select(
+        col, F.explode(cells).alias("_c")
+    )
+    return (
+        probed.join(
+            F.broadcast(sketch),
+            (F.col("_c.row") == F.col("row"))
+            & (F.col("_c.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    topk: int = 25,
+    depth: int = 4,
+    width: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """The sketch exercised end-to-end on the document corpus: exact
+    top-``topk`` tokens by occurrence count, each with its count-min
+    estimate alongside — the pair a capacity audit reads to pick
+    ``width`` (estimate inflation = collision pressure).  ``cms_cnt >=
+    exact_cnt`` always (one-sided error), with equality whenever none of
+    the token's ``depth`` cells collides with another token.
+
+    Output: (tok, exact_cnt, cms_cnt), heaviest first, tok tie-break.
+    """
+    from .text import tokens_expr
+
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("tok"))
+    from .dedup import scratch_persist
+
+    toks = scratch_persist(toks)
+    sketch = cms_build(toks, "tok", depth, width)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(int(topk))
+    )
+    est = cms_estimate(sketch, exact, "tok", depth, width)
+    return (
+        exact.join(F.broadcast(est), "tok")
+        .select("tok", "exact_cnt", "cms_cnt")
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+    )

@@ -699,3 +699,127 @@ def token_budget_sample(
         .where(F.col("cum_tokens") <= budget_tokens)
         .select(key_col, strata_col, "n_tokens", "cum_tokens")
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    train_rate: float = 0.8,
+    backoff: float = 0.4,
+    salt: str = "blm",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a stupid-backoff
+    LM (Brants et al. 2007) trained on a deterministic ``train_rate``
+    split of the corpus — the bigram upgrade of
+    :func:`unigram_logprob_scores` and the closest public-knowledge
+    stand-in for the KenLM perplexity filters of the CCNet family (a
+    real LM slots in by swapping the count tables).
+
+    Score of position i (i >= 2):
+
+        S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})   if bigram seen,
+                           backoff * c(w_i) / T          else if w_i seen,
+                           backoff * 1 / T               else (OOV floor)
+
+    with all counts from the TRAIN split and T its token total.  Held-out
+    documents genuinely exercise the backoff path (training on everything
+    would make "bigram seen" a tautology).  The split is the repo's
+    deterministic md5 priority on ``key_col`` — engine-portable, so the
+    DuckDB oracle re-derives the identical LM.
+
+    Distributed shape: the train tables are two map-side-combinable
+    counts (bigram, unigram — vocabulary-sized, never corpus-sized); T
+    is the ONE driver-side scalar.  Scoring is the per-(doc, bigram)
+    count table left-joined against both (AQE broadcasts them when they
+    fit), then a per-doc sum — the DSIR join discipline, selection.py.
+
+    Output: (doc_id, n_bigrams, avg_logprob, backoff_rate), rounded 4;
+    single-token documents score NULL (no bigram positions).
+    """
+    bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
+    tagged = docs.select(
+        key_col,
+        tokens_expr(text_col).alias("_l"),
+        (bucket < int(round(float(train_rate) * SAMPLE_MOD))).alias(
+            "_is_train"
+        ),
+    )
+    # guard: sequence(1, 0) is DESCENDING in Spark, so a 1-token doc
+    # would probe element_at(_l, 0) and ANSI-fail — emit no bigrams
+    big = F.expr(
+        "CASE WHEN size(_l) >= 2 THEN "
+        "transform(sequence(1, size(_l) - 1), "
+        "i -> named_struct('w1', element_at(_l, i), "
+        "'w2', element_at(_l, i + 1))) "
+        "ELSE array() END"
+    )
+    doc_big = tagged.select(
+        key_col, "_is_train", F.explode(big).alias("_b")
+    ).select(
+        key_col,
+        "_is_train",
+        F.col("_b.w1").alias("w1"),
+        F.col("_b.w2").alias("w2"),
+    )
+    from .dedup import scratch_persist
+
+    doc_big = scratch_persist(
+        doc_big.groupBy(key_col, "_is_train", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    train_uni = (
+        tagged.where("_is_train")
+        .select(F.explode("_l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    train_big = (
+        doc_big.where("_is_train")
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c12"))
+    )
+    total = train_uni.agg(F.sum("c1")).collect()[0][0] or 0
+
+    j = (
+        doc_big.join(train_big, ["w1", "w2"], "left")
+        .join(
+            train_uni.select(
+                F.col("w").alias("w1"), F.col("c1").alias("c_w1")
+            ),
+            "w1",
+            "left",
+        )
+        .join(
+            train_uni.select(
+                F.col("w").alias("w2"), F.col("c1").alias("c_w2")
+            ),
+            "w2",
+            "left",
+        )
+    )
+    t = F.lit(float(total))
+    lnp = F.when(
+        F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c_w1"))
+    ).otherwise(
+        F.log(
+            F.lit(float(backoff))
+            * F.coalesce(F.col("c_w2").cast("double"), F.lit(1.0))
+            / t
+        )
+    )
+    return (
+        j.groupBy(key_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * lnp) / F.sum("cnt"), 4).alias(
+                "avg_logprob"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c12").isNull(), F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
+                4,
+            ).alias("backoff_rate"),
+        )
+    )

@@ -275,3 +275,49 @@ def bpe_encode(
             yield pdf
 
     return docs.mapInPandas(run, out_schema)
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame, max_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-source distinct-n diversity (the distinct-1/2/3 metrics of
+    Li et al. 2016): for each n, the share of n-gram OCCURRENCES that
+    are distinct within the source — low values flag template-heavy or
+    self-repetitive sources before they flood a training mix (the
+    corpus-level sibling of the per-doc Gopher repetition gates,
+    text.repetition_features).
+
+    One pass: each document explodes its (n, gram) occurrences for all
+    n <= max_n, one map-side-combinable count per (source, n, gram) —
+    vocabulary-sized after combine — then a per-(source, n) rollup.
+    Nothing is sorted; nothing collects.
+
+    Output: (source, n, total_ngrams, distinct_ngrams, distinct_ratio
+    rounded 4), one row per source per n.
+    """
+    # per-n guard: sequence(1, 0) is DESCENDING in Spark, so a doc
+    # shorter than n would slice from position 0 and fail — emit none
+    grams = F.expr(
+        "flatten(transform(sequence(1, {mx}), "
+        "n -> CASE WHEN size(_l) >= n THEN "
+        "transform(sequence(1, size(_l) - n + 1), "
+        "i -> named_struct('n', n, 'g', array_join(slice(_l, i, n), ' '))) "
+        "ELSE array() END))".format(mx=int(max_n))
+    )
+    occ = (
+        docs.select(
+            "source", F.split(F.col(text_col), " ").alias("_l")
+        )
+        .select("source", F.explode(grams).alias("_g"))
+        .select("source", F.col("_g.n").alias("n"), F.col("_g.g").alias("g"))
+    )
+    per_gram = occ.groupBy("source", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_gram.groupBy("source", "n").agg(
+        F.sum("cnt").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4
+        ).alias("distinct_ratio"),
+    )

@@ -1555,6 +1555,168 @@ FROM assign a LEFT JOIN losers l USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-9: retrieval, sketches, bigram LM, corpus diversity
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["join", "query", "table", "vector"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.search import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+# BM25 (Lucene formulation) re-derived relationally: exact-sum avgdl (so
+# both engines divide the same integers), per-(doc, term) tf, |terms|-row
+# df table, score summed per doc and rounded to 4 (the rounding absorbs
+# per-doc float-sum order).  Ranking and the k-boundary use the rounded
+# score with doc_id tie-break, so the top-k SET is engine-stable.
+SQL_BM25_SEARCH = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, len(l) AS dl, t.tok, count(*) AS tf
+  FROM d, LATERAL (SELECT unnest(l) AS tok) t
+  WHERE t.tok IN ('join', 'query', 'table', 'vector')
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       round(sum(
+         ln((s.n - g.df + 0.5::DOUBLE) / (g.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         * (f.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+           / (f.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+              + 0.75::DOUBLE * f.dl / s.avgdl))
+       ), 4) AS score
+FROM tf f JOIN dfs g USING (tok), s
+GROUP BY f.doc_id
+ORDER BY score DESC, f.doc_id
+LIMIT 20
+"""
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), topk=25, depth=4, width=2048
+    )
+
+
+# Count-min: the bucket family is the portable md5-prefix bigint salted
+# with the row index, so both engines derive IDENTICAL cells and the
+# min-over-rows estimate is engine-exact (integer arithmetic only).
+SQL_CMS_TOPK = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 25
+),
+cells AS (
+  SELECT r.r AS row,
+         ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+           % 2048 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN range(4) r(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT e.tok, min(coalesce(c.cnt, 0)) AS cms_cnt
+  FROM exact e CROSS JOIN range(4) r(r)
+  LEFT JOIN cells c ON c.row = r.r
+   AND c.bucket = ('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' || e.tok), 1, 15))::BIGINT % 2048
+  GROUP BY e.tok
+)
+SELECT e.tok, e.exact_cnt, CAST(m.cms_cnt AS BIGINT) AS cms_cnt
+FROM exact e JOIN est m USING (tok)
+"""
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import bigram_logprob_scores
+
+    return bigram_logprob_scores(
+        load_table(spark, sf_dir, "documents"), train_rate=0.05
+    )
+
+
+# Stupid-backoff bigram LM: 5% deterministic train split (so held-out
+# docs exercise the backoff path — at 80% this 31-word corpus covers
+# every bigram and the CASE never fires), same md5 priority as every
+# sampler; ln of identical IEEE quotients, per-doc sums rounded to 4.
+SQL_BIGRAM_LOGPROB = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         ('0x' || substring(md5('blm' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 < 500 AS is_train
+  FROM documents
+),
+db AS (
+  SELECT doc_id, is_train, l[i.i] AS w1, l[i.i + 1] AS w2, count(*) AS cnt
+  FROM d, LATERAL (SELECT unnest(range(1, len(l))) AS i) i
+  GROUP BY 1, 2, 3, 4
+),
+uni AS (
+  SELECT t.tok AS w, count(*) AS c1
+  FROM d, LATERAL (SELECT unnest(l) AS tok) t
+  WHERE d.is_train GROUP BY 1
+),
+big AS (SELECT w1, w2, sum(cnt) AS c12 FROM db WHERE is_train GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+sc AS (
+  SELECT db.doc_id, db.cnt,
+         CASE WHEN b.c12 IS NOT NULL THEN ln(b.c12 / CAST(u1.c1 AS DOUBLE))
+              ELSE ln(0.4::DOUBLE * coalesce(CAST(u2.c1 AS DOUBLE), 1.0::DOUBLE) / tt.t)
+         END AS lnp,
+         (b.c12 IS NULL) AS bo
+  FROM db
+  LEFT JOIN big b ON db.w1 = b.w1 AND db.w2 = b.w2
+  LEFT JOIN uni u1 ON db.w1 = u1.w
+  LEFT JOIN uni u2 ON db.w2 = u2.w, tot tt
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       round(sum(cnt * lnp) / sum(cnt), 4) AS avg_logprob,
+       round(sum(CASE WHEN bo THEN cnt ELSE 0 END) / sum(cnt), 4) AS backoff_rate
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.vocab import distinct_ngram_diversity
+
+    return distinct_ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# distinct-1/2/3 per source: pure integer counting plus one rounded
+# integer-ratio division — engine-exact.
+SQL_NGRAM_DIVERSITY = """
+WITH d AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+occ AS (
+  SELECT source, 1 AS n, t.g FROM d, LATERAL (SELECT unnest(l) AS g) t
+  UNION ALL
+  SELECT source, 2 AS n, b.g FROM d, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2]
+                   FOR i IN range(len(l) - 1)]) AS g) b
+  UNION ALL
+  SELECT source, 3 AS n, c.g FROM d, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                   FOR i IN range(len(l) - 2)]) AS g) c
+),
+pg AS (SELECT source, n, g, count(*) AS cnt FROM occ GROUP BY 1, 2, 3)
+SELECT source, n, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       round(count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS distinct_ratio
+FROM pg GROUP BY 1, 2
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -1596,4 +1758,10 @@ TAIL_PIPELINE_REGISTRY = {
     # round-8: fastText-style model-based quality filtering (closed-form
     # NB train + length-normalized scoring, both single-shuffle)
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    # round-9: corpus retrieval (BM25), mergeable count-min heavy
+    # hitters, stupid-backoff bigram LM scoring, distinct-n diversity
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
 }

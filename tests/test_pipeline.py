@@ -1438,3 +1438,156 @@ def test_legacy_layout_guard_catches_partial_migration(spark, sf_dir, tmp_path):
     # migration completes the stragglers and the guard clears
     assert ivf_migrate_legacy_layout(path) > 0
     assert not _corpus_layout_is_legacy(spark, f"{path}/corpus")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operators: BM25, count-min sketch, bigram LM, distinct-n
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """Hand-checkable corpus: the doc repeating the query term scores
+    highest; a doc without any query term is absent; idf discounts a
+    term present everywhere relative to a rare one."""
+    import math
+
+    from nntsc_spark.pipeline.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog", "s"),
+            (2, "cat dog dog dog", "s"),
+            (3, "fish fish fish fish", "s"),
+            (4, "bird bird cat bird", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = bm25_topk(docs, ["cat", "fish"], k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every doc matches some term
+    # doc 3 monopolizes the rarer term (df=1 vs cat's df=3) -> top score
+    order = [r.doc_id for r in out.collect()]
+    assert order[0] == 3
+    # tf monotonicity within the common term: 3x cat > 1x cat
+    assert rows[1].score > rows[2].score
+    assert rows[1].n_terms_matched == 1 and rows[3].n_terms_matched == 1
+    # spot-check doc 3 against the closed form (N=4, df=1, tf=4, dl=4=avgdl)
+    idf = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    tfn = 4 * 2.2 / (4 + 1.2 * (0.25 + 0.75))
+    assert rows[3].score == round(idf * tfn, 4)
+
+
+def test_cms_overestimates_only_and_merges(spark, sf_dir):
+    """CMS invariants: estimate >= exact for EVERY token (one-sided
+    error), and per-split sketches merged equal the whole-corpus sketch
+    (the merge-anywhere property the rollups share)."""
+    from nntsc_spark.pipeline.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).persist()
+    # tight width forces collisions so the overestimate case is real
+    sketch = cms_build(toks, "tok", depth=3, width=16)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sketch, exact, "tok", depth=3, width=16)
+    j = exact.join(est, "tok").collect()
+    assert j and all(r.cms_cnt >= r.exact for r in j)
+    assert any(r.cms_cnt > r.exact for r in j)  # width=16 must collide
+
+    half_a = toks.where(F.length("tok") <= 4)
+    half_b = toks.where(F.length("tok") > 4)
+    merged = cms_merge(
+        cms_build(half_a, "tok", depth=3, width=16),
+        cms_build(half_b, "tok", depth=3, width=16),
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+    toks.unpersist()
+
+
+def test_bigram_lm_known_values_and_backoff(spark):
+    """Tiny corpus with a hand-computed LM: train doc fixes the counts;
+    a held-out doc containing an unseen bigram and an OOV token walks
+    the backoff ladder exactly."""
+    import math
+
+    from nntsc_spark.pipeline.text import (
+        bigram_logprob_scores,
+        hash_priority_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b a b c", "s") for i in range(40)]
+        + [(100, "a b", "s"), (101, "b z", "s"), (102, "q a", "s")],
+        "doc_id long, text string, source string",
+    )
+    # pick a rate that puts at least one repeated doc in train and the
+    # probe docs out: find the actual split the hash induces
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", (hash_priority_expr("doc_id", "blm") % 10000).alias("b")
+        ).collect()
+    }
+    cut = 5000
+    train_ids = {d for d, b in buckets.items() if b < cut}
+    assert any(d < 100 for d in train_ids)
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob_scores(docs, train_rate=cut / 10000).collect()
+    }
+    n_train = len([d for d in train_ids if d < 100]) + (
+        1 if 100 in train_ids else 0
+    )
+    # LM counts from train docs only ("a b a b c" x k [+ maybe "a b"])
+    k = len([d for d in train_ids if d < 100])
+    c = {"a": 2 * k, "b": 2 * k, "c": k}
+    c12 = {("a", "b"): 2 * k, ("b", "a"): k, ("b", "c"): k}
+    for d in ({100, 101, 102} & train_ids):
+        for w in {100: ["a", "b"], 101: ["b", "z"], 102: ["q", "a"]}[d]:
+            c[w] = c.get(w, 0) + 1
+        pair = {100: ("a", "b"), 101: ("b", "z"), 102: ("q", "a")}[d]
+        c12[pair] = c12.get(pair, 0) + 1
+    total = float(sum(c.values()))
+
+    def S(w1, w2):
+        if (w1, w2) in c12:
+            return math.log(c12[(w1, w2)] / float(c[w1]))
+        return math.log(0.4 * float(c.get(w2, 1.0)) / total)
+
+    # doc 101 "b z": bigram (b,z) and token z unseen unless 101 trained
+    want = round(S("b", "z"), 4)
+    assert out[101].avg_logprob == want
+    assert out[101].backoff_rate == (0.0 if (101 in train_ids) else 1.0)
+    # the repeated doc: all bigrams in-model, zero backoff
+    assert out[0].backoff_rate == 0.0
+    want0 = round(
+        (2 * S("a", "b") + S("b", "a") + S("b", "c")) / 4.0, 4
+    )
+    assert out[0].avg_logprob == want0
+
+
+def test_distinct_ngram_diversity_flags_repetitive_source(spark):
+    """A template-stamped source scores far lower distinct-2 than a
+    varied one; counts match hand enumeration."""
+    from nntsc_spark.pipeline.vocab import distinct_ngram_diversity
+
+    docs = spark.createDataFrame(
+        [(i, "spam spam spam spam", "dull") for i in range(5)]
+        + [(10, "a b c d", "varied"), (11, "e f g h", "varied")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source, r.n): r for r in distinct_ngram_diversity(docs).collect()
+    }
+    assert out[("dull", 1)].total_ngrams == 20
+    assert out[("dull", 1)].distinct_ngrams == 1
+    assert out[("dull", 2)].distinct_ngrams == 1  # "spam spam" only
+    assert out[("varied", 2)].distinct_ratio == 1.0
+    assert out[("varied", 3)].total_ngrams == 4

@@ -35,7 +35,12 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            # per-key volume grows Nx here (the hard direction for
            # per-key ordered windows)
            "event_asof", "gapfill_locf", "counter_rate",
-           "anomaly_zscore"]
+           "anomaly_zscore",
+           # r9: EWMA's bounded collect_list window, the mapInPandas
+           # Holt-Winters seam (per-key volume grows Nx — the stitched
+           # series get LONGER, the hard direction for a sequential
+           # recursion), and the mergeable histogram percentile read
+           "ewma_smooth", "holt_winters", "rollup_percentile"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -51,7 +56,20 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # quantile banding (bounded-histogram collect), and
                     # per-source vocabulary profiling
                     "text_unigram_logprob", "doc_quality_bands",
-                    "source_vocab_stats", "curated_mixture"]
+                    "source_vocab_stats", "curated_mixture",
+                    # r8: corpus drift, BPE pair stats, NB classifier
+                    "source_divergence", "bpe_pair_counts",
+                    "quality_classifier",
+                    # r9: BM25 retrieval, count-min heavy hitters,
+                    # stupid-backoff bigram LM, distinct-n diversity
+                    "bm25_search", "cms_topk", "bigram_logprob",
+                    "ngram_diversity"]
+# semantic_dedup shares embedding_clusters' exclusion (below): vector
+# replicas are either mutual near-dups (quadratic by construction) or
+# carry a synthetic cosine tail — both measure the instrument, not the
+# operator.  Its two stages have probed proxies: map-only cell
+# assignment (similarity_ivf_topk) and a cell-local pair join
+# (embedding_neardup, benched).
 # embedding_clusters is deliberately NOT replica-probed: in fixed
 # dimension, any replica construction either duplicates vectors (the old
 # value-jitter: an original's N copies are near-dups of each other,
@@ -132,9 +150,35 @@ def _capped_queries():
             F.sum(F.col("reset").cast("int")).alias("n_resets"),
         )
 
+    def holt_winters_summary(spark, d):
+        # same driver-result-size instrument limit as counter_rate: the
+        # registered query returns one row per event, so x1000 can't come
+        # back through one driver; identical derivation, bounded rollup
+        from nntsc_spark.operators.timeseries import holt_winters
+
+        fact = time_filter(events_fact(spark, d, START, STOP), START, STOP)
+        hw = holt_winters(fact, season_length=8, order_cols=["event_id"])
+        return hw.groupBy("stream_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_anomaly").cast("int")).alias("n_anomalies"),
+            F.round(F.avg(F.abs("residual")), 4).alias("mean_abs_resid"),
+        )
+
+    def ewma_summary(spark, d):
+        from nntsc_spark.operators.timeseries import ewma
+
+        fact = time_filter(events_fact(spark, d, START, STOP), START, STOP)
+        sm = ewma(fact, order_cols=["event_id"])
+        return sm.groupBy("stream_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("ewma"), 4).alias("mean_ewma"),
+        )
+
     return (
         {"frequency_bounded": frequency_bounded,
-         "counter_rate_summary": counter_rate_summary},
+         "counter_rate_summary": counter_rate_summary,
+         "holt_winters_summary": holt_winters_summary,
+         "ewma_summary": ewma_summary},
         {
             "minhash_pruned": lambda spark, d: minhash_near_duplicates(
                 load_table(spark, d, "documents"), verify_prune=True
