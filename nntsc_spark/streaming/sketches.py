@@ -1,0 +1,103 @@
+"""Streaming count-min maintenance: heavy-hitter state over a document
+stream.
+
+The batch sketch (pipeline/sketches.py) answers "what's heavy in this
+corpus"; a live ingest pipeline needs the same answer continuously —
+trending tokens, hot stream labels, burst detection — without re-scanning
+history per micro-batch.  Count-min is the right state for that because
+merge is element-wise addition: each micro-batch contributes its OWN
+bounded ``depth x width`` sketch, and the current estimate is the sum of
+all batches' cells — never a read-modify-write of shared state.
+
+Write discipline is the streaming-dedup contract (streaming/dedup.py):
+every epoch OVERWRITES exactly its own ``batch=N`` partition, so
+foreachBatch retries re-run the same deterministic build and land on the
+same directory — a crash cannot double-count a batch.  Accumulated
+per-batch partitions fold into the ``batch=-1`` sentinel via the shared
+:func:`~.dedup.compact_batched_table` (stream stopped, same caveats).
+
+Merged reads stay cheap at any stream age: the read is at most
+``n_batches x depth x width`` rows and the combine is one bounded
+groupBy — but compact anyway; the file-listing tax is the real cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.sketches import cms_build, cms_estimate
+
+SKETCH_SCHEMA = "row int, bucket int, cnt long"
+
+
+class SketchMaintainer:
+    """Maintains one count-min sketch table for one keyed stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        col: str = "tok",
+        depth: int = 4,
+        width: int = 2048,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.col = col
+        self.depth = int(depth)
+        self.width = int(width)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One epoch: build this batch's sketch, overwrite batch=N.
+
+        Deterministic in the batch's rows, so a foreachBatch retry
+        rewrites identical cells — idempotent by construction.
+        """
+        sketch = cms_build(batch, self.col, self.depth, self.width)
+        sketch.write.mode("overwrite").parquet(
+            f"{self.path}/batch={int(batch_id)}"
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Wire onto a streaming DataFrame (one column: ``self.col``)."""
+        return (
+            stream.writeStream.foreachBatch(
+                lambda b, i: self.process_batch(b, i)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def merged(self) -> DataFrame:
+        """The stream-lifetime sketch: all batches summed cell-wise.
+
+        Explicit schema (not inference) so a crash-left empty partition
+        reads as zero rows, the streaming-dedup lesson.
+        """
+        return (
+            self.spark.read.schema(SKETCH_SCHEMA + ", batch int")
+            .parquet(self.path)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def estimate(self, probes: DataFrame) -> DataFrame:
+        """Point estimates against the merged sketch — same one-sided
+        error contract as the batch reader (pipeline/sketches.py)."""
+        return cms_estimate(
+            self.merged(), probes, self.col, self.depth, self.width
+        )
+
+    def compact(self, target_bytes: int = 128 << 20) -> bool:
+        """Fold per-batch partitions into the batch=-1 sentinel (run with
+        the stream STOPPED; see compact_batched_table's contract)."""
+        import os
+
+        from .dedup import compact_batched_table
+
+        parent, name = os.path.split(self.path.rstrip("/"))
+        return compact_batched_table(
+            self.spark, parent, name, SKETCH_SCHEMA, target_bytes
+        )

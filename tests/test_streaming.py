@@ -1071,3 +1071,93 @@ def test_streaming_anomaly_state_carries_across_batches(spark, tmp_path):
         n += 1
         assert got[ts].ewma == round(mean, 4), ts
         assert got[ts].score == score, ts
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min maintenance (streaming/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_batches_merge_to_whole_and_retry_idempotent(
+    spark, tmp_path
+):
+    """Two epochs' sketches summed == the one-shot batch sketch of the
+    union (the merge-anywhere contract), and re-running an epoch (a
+    foreachBatch retry) changes nothing."""
+    from nntsc_spark.pipeline.sketches import cms_build
+    from nntsc_spark.streaming.sketches import SketchMaintainer
+
+    words = ["spark", "scan", "join", "agg", "sort", "row"]
+    rows = [(words[i % len(words)],) for i in range(300)]
+    all_toks = spark.createDataFrame(rows, "tok string")
+    b1 = spark.createDataFrame(rows[:180], "tok string")
+    b2 = spark.createDataFrame(rows[180:], "tok string")
+
+    sm = SketchMaintainer(spark, str(tmp_path / "cms"), depth=3, width=32)
+    sm.process_batch(b1, 0)
+    sm.process_batch(b2, 1)
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(all_toks, "tok", 3, 32).collect()
+    }
+    got = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert got == whole
+
+    sm.process_batch(b2, 1)  # retry: same epoch, same partition
+    again = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert again == whole
+
+    est = {
+        r.tok: r.cms_cnt
+        for r in sm.estimate(all_toks.select("tok").distinct()).collect()
+    }
+    exact = {
+        r.tok: r.c
+        for r in all_toks.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_streaming_cms_compaction_preserves_estimates(spark, tmp_path):
+    """Folding per-batch partitions into the batch=-1 sentinel leaves
+    the merged sketch (and so every estimate) identical."""
+    from nntsc_spark.streaming.sketches import SketchMaintainer
+
+    sm = SketchMaintainer(spark, str(tmp_path / "cms"), depth=3, width=32)
+    for i in range(4):
+        sm.process_batch(
+            spark.createDataFrame([(f"t{j % 5}",) for j in range(50)], "tok string"),
+            i,
+        )
+    before = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert sm.compact()
+    import glob
+
+    assert glob.glob(str(tmp_path / "cms" / "batch=-1"))
+    assert not glob.glob(str(tmp_path / "cms" / "batch=[0-9]*"))
+    after = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert after == before
+
+
+def test_streaming_cms_attach_file_stream(spark, tmp_path):
+    """End-to-end through a real file-source stream with availableNow:
+    the maintained sketch equals the batch sketch of everything fed."""
+    from nntsc_spark.pipeline.sketches import cms_build
+    from nntsc_spark.streaming.sketches import SketchMaintainer
+
+    src = tmp_path / "src"
+    rows = [(f"w{i % 7}",) for i in range(200)]
+    spark.createDataFrame(rows, "tok string").write.parquet(str(src))
+    stream = spark.readStream.schema("tok string").parquet(str(src))
+
+    sm = SketchMaintainer(spark, str(tmp_path / "cms"), depth=3, width=32)
+    q = sm.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    whole = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(
+            spark.createDataFrame(rows, "tok string"), "tok", 3, 32
+        ).collect()
+    }
+    got = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert got == whole
