@@ -292,24 +292,41 @@ def distinct_ngram_diversity(
     vocabulary-sized after combine — then a per-(source, n) rollup.
     Nothing is sorted; nothing collects.
 
+    Only COUNTS survive, so the gram text never needs to cross the
+    wire: occurrences are keyed on the portable 60-bit md5 long (the
+    shuffle-bytes move proven on the exact-Jaccard intersection joins,
+    dedup.py) — for high-n grams the distinct set is nearly
+    occurrence-sized, so an 8-byte key vs a gram string is most of the
+    shuffle.  Collision risk at 2^60 is birthday-negligible below ~1e9
+    distinct grams per (source, n) and would only merge two gram
+    counts, nudging distinct_ngrams down by one.
+
     Output: (source, n, total_ngrams, distinct_ngrams, distinct_ratio
     rounded 4), one row per source per n.
     """
+    from .dedup import HASH_HEX_LEN
+
     # per-n guard: sequence(1, 0) is DESCENDING in Spark, so a doc
     # shorter than n would slice from position 0 and fail — emit none
     grams = F.expr(
         "flatten(transform(sequence(1, {mx}), "
         "n -> CASE WHEN size(_l) >= n THEN "
         "transform(sequence(1, size(_l) - n + 1), "
-        "i -> named_struct('n', n, 'g', array_join(slice(_l, i, n), ' '))) "
-        "ELSE array() END))".format(mx=int(max_n))
+        "i -> named_struct('n', n, 'g', "
+        "conv(substring(md5(array_join(slice(_l, i, n), ' ')), 1, {hx}), "
+        "16, 10))) "
+        "ELSE array() END))".format(mx=int(max_n), hx=int(HASH_HEX_LEN))
     )
     occ = (
         docs.select(
             "source", F.split(F.col(text_col), " ").alias("_l")
         )
         .select("source", F.explode(grams).alias("_g"))
-        .select("source", F.col("_g.n").alias("n"), F.col("_g.g").alias("g"))
+        .select(
+            "source",
+            F.col("_g.n").alias("n"),
+            F.col("_g.g").cast("long").alias("g"),
+        )
     )
     per_gram = occ.groupBy("source", "n", "g").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -1698,7 +1698,7 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer-ratio division — engine-exact.
 SQL_NGRAM_DIVERSITY = """
 WITH d AS (SELECT source, string_split(text, ' ') AS l FROM documents),
-occ AS (
+raw AS (
   SELECT source, 1 AS n, t.g FROM d, LATERAL (SELECT unnest(l) AS g) t
   UNION ALL
   SELECT source, 2 AS n, b.g FROM d, LATERAL (
@@ -1708,6 +1708,11 @@ occ AS (
   SELECT source, 3 AS n, c.g FROM d, LATERAL (
     SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
                    FOR i IN range(len(l) - 2)]) AS g) c
+),
+occ AS (
+  SELECT source, n,
+         ('0x' || substring(md5(g), 1, 15))::BIGINT AS g
+  FROM raw
 ),
 pg AS (SELECT source, n, g, count(*) AS cnt FROM occ GROUP BY 1, 2, 3)
 SELECT source, n, CAST(sum(cnt) AS BIGINT) AS total_ngrams,

@@ -195,12 +195,19 @@ def _capped_queries():
 MAX_CAPPED_FACTOR = 1000
 
 #: per-query factor ceilings for cells this single box physically cannot
-#: hold (empty again: the sign-flip embedding replica — see
-#: build_pipeline_replica — removed the instrument-made quadratic pair
-#: growth that spilled embedding_clusters' x100 cell to disk death under
-#: the old value-jitter replica; re-add `{"query": 100}` entries if a
-#: cell hits 'No space left on device' again)
-PER_QUERY_MAX_FACTOR: dict[str, int] = {}
+#: hold (the sign-flip embedding replica — see build_pipeline_replica —
+#: removed the instrument-made quadratic pair growth that spilled
+#: embedding_clusters' x100 cell to disk death under the old value-jitter
+#: replica; re-add entries if a cell hits 'No space left on device').
+#: The three per-event-OUTPUT queries stop at x100: their x1000 result
+#: (46.8M rows) exceeds spark.driver.maxResultSize — an instrument limit,
+#: not the operators'; the *_summary capped variants run the identical
+#: derivations to x1000 with bounded rollups on top.
+PER_QUERY_MAX_FACTOR: dict[str, int] = {
+    "counter_rate": 100,
+    "ewma_smooth": 100,
+    "holt_winters": 100,
+}
 
 
 def build_replica(spark, factor: int) -> str:
@@ -416,16 +423,20 @@ def main() -> None:
         "slice, which is why its curve stays near-flat where the unbounded",
         "row climbs.",
         "",
-        "Row-per-event outputs (select_raw, counter_rate, event_asof) are",
-        "RESULT-DELIVERY-bound at x1000: the probe materializes through one",
-        "driver, so their large cells measure Arrow transfer of a",
-        "corpus-sized result, not the derivation (event_asof's window",
-        "compute alone is ~6 s of its 29 s cell; counter_rate's full result",
-        "exceeds spark.driver.maxResultSize outright — the '—').  The",
-        "counter_rate_summary row runs the identical window derivation",
-        "with a bounded per-stream rollup on top: its near-linear curve is",
-        "the operator's; on a cluster the full results would land in a",
-        "distributed sink, never one driver.",
+        "Row-per-event outputs (select_raw, counter_rate, event_asof,",
+        "ewma_smooth, holt_winters) are RESULT-DELIVERY-bound at x1000:",
+        "the probe materializes through one driver, so their large cells",
+        "measure Arrow transfer of a corpus-sized result, not the",
+        "derivation (event_asof's window compute alone is ~6 s of its",
+        "29 s cell); the three whose full x1000 result exceeds",
+        "spark.driver.maxResultSize stop at x100 (the '—',",
+        "PER_QUERY_MAX_FACTOR).  The *_summary rows run the IDENTICAL",
+        "window/recursion derivations with a bounded per-stream rollup on",
+        "top: their near-linear curves are the operators' (holt_winters's",
+        "x1000 summary cell is 46.8M points through the stitched",
+        "mapInPandas seam — ~8x per decade, the Python-loop cost scaling",
+        "with points, parallel across series); on a cluster the full",
+        "results would land in a distributed sink, never one driver.",
         "",
         f"The last {len(PIPELINE_QUERIES)} rows are the pipeline heavies over Nx-replicated",
         "documents/embeddings with LINEAR duplicate structure (per-replica",
