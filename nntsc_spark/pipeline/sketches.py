@@ -149,3 +149,119 @@ def cms_heavy_hitters(
         .select("tok", "exact_cnt", "cms_cnt")
         .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketches
+# ---------------------------------------------------------------------------
+
+#: md5_long yields 60-bit hashes; p index bits leave L = 60 - p rank bits
+HLL_HASH_BITS = 60
+
+
+def _hll_alpha_numerator(p: int) -> float:
+    """The constant part of the HLL estimator, alpha_m * m^2 * 2^(L+1),
+    computed once driver-side and inlined as a literal in BOTH engines so
+    the only runtime float ops are one division and one comparison —
+    bitwise identical between Spark and the DuckDB oracle."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2 ** (HLL_HASH_BITS - p + 1))
+
+
+def hll_build(
+    items: DataFrame,
+    col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Build per-group HLL register tables (Flajolet et al. 2007) over
+    ``items[col]``: 2^p registers, each holding the max leading-zero rank
+    seen in its hash bucket.
+
+    Output: (*group_cols, register int, max_rho int) — at most
+    ``2^p`` rows per group regardless of input size, and MERGEABLE by
+    element-wise max (:func:`hll_merge`), the same merge-anywhere
+    discipline as the count-min and histogram sketches.
+
+    One shuffle with map-side partial max; the shuffle carries at most
+    ``groups * 2^p`` keys' partials per partition, never the raw rows.
+
+    Determinism: the hash is the portable md5-prefix bigint, the rank is
+    derived from the minimal-width binary string (``bin`` exists with
+    identical semantics in Spark and DuckDB), so both engines build
+    byte-identical registers.
+    """
+    m = 1 << int(p)
+    rank_bits = HLL_HASH_BITS - int(p)
+    h = md5_long(F.col(col).cast("string"))
+    w = F.shiftright(h, int(p))
+    rho = F.when(w == 0, F.lit(rank_bits + 1)).otherwise(
+        F.lit(rank_bits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        items.select(
+            *group_cols,
+            (h % m).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with identical p: element-wise max —
+    the result is exactly the sketch of the concatenated inputs."""
+    out = sketches[0]
+    group_cols = [c for c in out.columns if c not in ("register", "max_rho")]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """Distinct-count estimates from register tables.
+
+    The harmonic-mean denominator is accumulated as an EXACT bigint
+    (sum of ``1 << (L + 1 - max_rho)`` plus ``2^(L+1)`` per empty
+    register — max exponent L, so the sum stays far below 2^63), which
+    makes the estimate independent of summation order and therefore
+    identical on Spark and DuckDB; the small-range linear-counting
+    correction (E <= 2.5m with empty registers) applies per the original
+    paper.
+
+    Output: (*group_cols, n_registers_used long, hll_ndv double).
+    """
+    m = 1 << int(p)
+    rank_bits = HLL_HASH_BITS - int(p)
+    numerator = _hll_alpha_numerator(int(p))
+    zmax = 2 ** (rank_bits + 1)
+    grouped = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({rank_bits + 1} - max_rho AS INT))"
+            )
+        ).alias("_z_used"),
+    )
+    v = F.lit(m) - F.col("n_registers_used")
+    e_raw = F.lit(numerator) / (
+        F.col("_z_used") + v * F.lit(int(zmax)).cast("long")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return grouped.select(
+        *group_cols,
+        "n_registers_used",
+        F.round(est, 2).alias("hll_ndv"),
+    )

@@ -728,6 +728,126 @@ FROM z GROUP BY stream_id
 """
 
 
+def q_interval_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via point-in-interval join: for every purchase, the
+    same user's clicks within the following hour — the bucketed
+    equi-join strategy (operators/intervals.py) with bucket = span, so
+    intervals replicate at most twice and nothing nested-loops."""
+    from ..operators.intervals import interval_join
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    anchors = fact.where(F.col("event_type") == "purchase").select(
+        "stream_id",
+        F.col("event_id").alias("anchor_id"),
+        F.col("timestamp").alias("start"),
+        (F.col("timestamp") + 3599).alias("end"),
+    )
+    clicks = fact.where(F.col("event_type") == "click").select(
+        "stream_id", F.col("timestamp").alias("timestamp")
+    )
+    matched = interval_join(
+        clicks, anchors, ts_col="timestamp",
+        start_col="start", end_col="end",
+        on=["stream_id"], bucket=3600,
+    )
+    hits = matched.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("timestamp").alias("first_click_ts"),
+    )
+    return (
+        anchors.select("anchor_id")
+        .join(hits, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0))
+            .cast("long")
+            .alias("n_clicks"),
+            "first_click_ts",
+        )
+    )
+
+
+SQL_INTERVAL_ATTR = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_type, event_id FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+),
+p AS (
+  SELECT stream_id, event_id AS anchor_id, timestamp AS t0
+  FROM bounded WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT stream_id, timestamp FROM bounded WHERE event_type = 'click'
+)
+SELECT p.anchor_id,
+       CAST(count(c.timestamp) AS BIGINT) AS n_clicks,
+       min(c.timestamp) AS first_click_ts
+FROM p LEFT JOIN c
+  ON c.stream_id = p.stream_id
+ AND c.timestamp >= p.t0 AND c.timestamp <= p.t0 + 3599
+GROUP BY p.anchor_id
+"""
+
+
+def q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint statistics per stream (k=0.5 sd
+    slack, h=4 sd threshold), summarized per key.  The recursive
+    ``max(0, ...)`` fold is computed via its cumsum-minus-running-min
+    closed form — two ordered windows in one exchange, no recursion."""
+    from ..operators.timeseries import cusum
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    scored = cusum(fact, order_cols=["event_id"], k=0.5, h=4.0)
+    return scored.groupBy("stream_id").agg(
+        F.count("cusum_pos").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("is_change"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changes"),
+        F.round(F.max("cusum_pos"), 3).alias("max_cusum_pos"),
+        F.round(F.max("cusum_neg"), 3).alias("max_cusum_neg"),
+    )
+
+
+SQL_CUSUM_CHANGE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), base AS (
+  SELECT stream_id, timestamp, event_id, value,
+         avg(value) OVER (PARTITION BY stream_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY stream_id) AS sd
+  FROM bounded
+), zt AS (
+  SELECT stream_id, timestamp, event_id,
+         CASE WHEN sd > 0 THEN (value - mu) / sd END AS z
+  FROM base
+), c AS (
+  SELECT stream_id, timestamp, event_id,
+         sum(z - 0.5) OVER w AS c_pos,
+         sum(-z - 0.5) OVER w AS c_neg
+  FROM zt
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT stream_id,
+         c_pos - least(min(c_pos) OVER w2, 0.0) AS s_pos,
+         c_neg - least(min(c_neg) OVER w2, 0.0) AS s_neg
+  FROM c
+  WINDOW w2 AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT stream_id,
+       CAST(count(s_pos) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN s_pos > 4.0 OR s_neg > 4.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changes,
+       round(max(s_pos), 3) AS max_cusum_pos,
+       round(max(s_neg), 3) AS max_cusum_neg
+FROM s GROUP BY stream_id
+"""
+
+
 _EWMA_ALPHA, _EWMA_LOOKBACK = 0.25, 32
 
 
@@ -954,4 +1074,10 @@ TAIL_REGISTRY = {
     # round-8: the recursive triple-exponential detector, oracle-pinned
     # via a recursive-CTE state machine
     "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
+    # round-9: two-sided CUSUM changepoint detection via the
+    # cumsum-minus-running-min closed form of Page's recursion
+    "cusum_change": (q_cusum_change, SQL_CUSUM_CHANGE),
+    # round-9: point-in-interval attribution via the bucketed
+    # replicate-intervals equi-join (no nested-loop, no dedup pass)
+    "interval_attr": (q_interval_attr, SQL_INTERVAL_ATTR),
 }

@@ -1722,6 +1722,122 @@ FROM pg GROUP BY 1, 2
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via HyperLogLog registers (p=10),
+    alongside the exact count.  At this scale factor the cardinality sits
+    in the linear-counting regime (the small-range correction branch);
+    the raw-estimator branch is pinned by pytest at 20k distinct keys."""
+    from ..pipeline.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_build(ev, "user_id", ["event_type"], p=10)
+    est = hll_estimate(sk, ["event_type"], p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_ndv")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_ndv", "n_registers_used", "hll_ndv"
+    )
+
+
+def _hll_sql_numerator(p: int = 10) -> str:
+    from ..pipeline.sketches import _hll_alpha_numerator
+
+    return repr(_hll_alpha_numerator(p))
+
+
+SQL_HLL_DISTINCT = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events
+), reg AS (
+  SELECT event_type, CAST(hv % 1024 AS INT) AS register,
+         max(CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 50 - length(bin(hv >> 10)) + 1 END) AS max_rho
+  FROM h GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_registers_used,
+         sum(1::BIGINT << (51 - max_rho)) AS z_used
+  FROM reg GROUP BY 1
+), e AS (
+  SELECT event_type, n_registers_used,
+         1024 - n_registers_used AS v,
+         {_hll_sql_numerator(10)}
+           / (z_used + (1024 - n_registers_used) * (1::BIGINT << 51))
+           AS e_raw
+  FROM g
+), est AS (
+  SELECT event_type, n_registers_used,
+         round(CASE WHEN e_raw <= 2560.0 AND v > 0
+                    THEN 1024.0 * ln(1024.0 / v) ELSE e_raw END, 2)
+           AS hll_ndv
+  FROM e
+)
+SELECT x.event_type, x.exact_ndv, est.n_registers_used, est.hll_ndv
+FROM (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_ndv
+      FROM events GROUP BY 1) x
+JOIN est USING (event_type)
+"""
+
+
+def q_doc_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over the corpus: segment the single-line
+    synthetic docs into 8-token pseudo-lines, drop short (<3 word) lines
+    and lines containing the banned marker token, remove lines that
+    repeat corpus-wide (max_count=1 — catches the shared chunks of the
+    planted near-duplicate docs), and reassemble in order."""
+    from ..pipeline.cleaning import clean_lines, segment_token_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_lines(
+        docs,
+        lines=segment_token_lines(docs, line_tokens=8),
+        delim=" ",
+        min_words=3,
+        require_terminal_punct=False,
+        banned_words=("slow",),
+        max_count=1,
+    )
+
+
+SQL_DOC_CLEAN_LINES = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+seg AS (
+  SELECT doc_id, u.i AS line_idx,
+         array_to_string(l[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS line
+  FROM t, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(l) / 8.0) AS INT))) AS i) u
+),
+tot AS (SELECT doc_id, count(*) AS n_lines_total FROM seg GROUP BY doc_id),
+freq AS (
+  SELECT ('0x' || substring(md5(line), 1, 15))::BIGINT AS line_key
+  FROM seg GROUP BY 1 HAVING count(*) > 1
+),
+kept AS (
+  SELECT s.* FROM seg s
+  WHERE len(string_split(s.line, ' ')) >= 3
+    AND NOT list_contains(string_split(s.line, ' '), 'slow')
+    AND ('0x' || substring(md5(s.line), 1, 15))::BIGINT
+          NOT IN (SELECT line_key FROM freq)
+),
+agg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text_clean,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(coalesce(a.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(coalesce(t.n_lines_total, 0) AS BIGINT) AS n_lines_total
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -1769,4 +1885,9 @@ TAIL_PIPELINE_REGISTRY = {
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "ngram_diversity": (q_ngram_diversity, SQL_NGRAM_DIVERSITY),
+    # round-9: C4-style line-level cleaning (rule filters + corpus-wide
+    # repeated-line boilerplate removal + ordered reassembly)
+    "doc_clean_lines": (q_doc_clean_lines, SQL_DOC_CLEAN_LINES),
+    # round-9: mergeable HyperLogLog distinct-count registers
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
 }

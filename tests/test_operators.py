@@ -396,3 +396,52 @@ def test_cohort_retention_pre_epoch_timestamps_floor(spark):
     out = {(r.cohort_day, r.day_offset): r.n_active
            for r in cohort_retention(fact).collect()}
     assert out == {(-1, 0): 2, (-1, 1): 1}
+
+
+def test_interval_join_exactly_once_across_buckets(spark):
+    from nntsc_spark.operators.intervals import interval_join
+
+    # interval spanning 3 buckets (b=10): a point must match ONCE
+    intervals = spark.createDataFrame(
+        [(1, 5, 25), (2, 18, 22)], "iv_id long, start long, end long"
+    )
+    points = spark.createDataFrame(
+        [(100, 19), (101, 25), (102, 26), (103, 4)],
+        "pt_id long, timestamp long",
+    )
+    got = sorted(
+        (r["pt_id"], r["iv_id"])
+        for r in interval_join(
+            points, intervals, bucket=10
+        ).collect()
+    )
+    # 19 is in both; 25 only in [5,25] (inclusive end); 26/4 in neither
+    assert got == [(100, 1), (100, 2), (101, 1)]
+    # exclusive end drops the boundary match
+    got_ex = sorted(
+        (r["pt_id"], r["iv_id"])
+        for r in interval_join(
+            points, intervals, bucket=10, inclusive_end=False
+        ).collect()
+    )
+    assert got_ex == [(100, 1), (100, 2)]
+
+
+def test_interval_join_extra_equality_keys(spark):
+    from nntsc_spark.operators.intervals import interval_join
+
+    intervals = spark.createDataFrame(
+        [("a", 1, 0, 100), ("b", 2, 0, 100)],
+        "k string, iv_id long, start long, end long",
+    )
+    points = spark.createDataFrame(
+        [("a", 10, 50), ("b", 11, 50), ("c", 12, 50)],
+        "k string, pt_id long, timestamp long",
+    )
+    got = sorted(
+        (r["k"], r["pt_id"], r["iv_id"])
+        for r in interval_join(
+            points, intervals, on=["k"], bucket=64
+        ).collect()
+    )
+    assert got == [("a", 10, 1), ("b", 11, 2)]

@@ -1591,3 +1591,104 @@ def test_distinct_ngram_diversity_flags_repetitive_source(spark):
     assert out[("dull", 2)].distinct_ngrams == 1  # "spam spam" only
     assert out[("varied", 2)].distinct_ratio == 1.0
     assert out[("varied", 3)].total_ngrams == 4
+
+
+def test_c4_line_cleaning_rules_and_boilerplate(spark):
+    from nntsc_spark.pipeline.cleaning import clean_lines, doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            # kept line / short line / banned line / repeated footer
+            (0, "the quick brown fox jumps.\nok no\nenable javascript now.\nall rights reserved legal footer."),
+            (1, "another normal sentence here!\nall rights reserved legal footer."),
+            # no terminal punctuation -> dropped entirely
+            (2, "this line never ends properly\nand neither does this one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in clean_lines(
+            docs, lines=doc_lines(docs), delim="\n", max_count=1
+        ).collect()
+    }
+    assert len(out) == 3
+    # doc 0: short + javascript + repeated footer dropped, 1 of 4 kept
+    assert out[0]["text_clean"] == "the quick brown fox jumps."
+    assert out[0]["n_lines_kept"] == 1 and out[0]["n_lines_total"] == 4
+    # doc 1: footer repeats corpus-wide (count 2 > max_count 1)
+    assert out[1]["text_clean"] == "another normal sentence here!"
+    # doc 2: everything dropped but the document row survives
+    assert out[2]["text_clean"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[2]["n_lines_total"] == 2
+
+
+def test_c4_line_cleaning_preserves_order_and_segmentation(spark):
+    from nntsc_spark.pipeline.cleaning import (
+        clean_lines,
+        segment_token_lines,
+    )
+
+    toks = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(7, " ".join(toks))], "doc_id long, text string"
+    )
+    lines = segment_token_lines(docs, line_tokens=8)
+    got = sorted(
+        (r["line_idx"], r["line"]) for r in lines.collect()
+    )
+    assert got == [
+        (0, " ".join(toks[0:8])),
+        (1, " ".join(toks[8:16])),
+        (2, " ".join(toks[16:20])),
+    ]
+    # no rules fire -> reassembly must reproduce the original text
+    out = clean_lines(
+        docs,
+        lines=lines,
+        delim=" ",
+        min_words=1,
+        require_terminal_punct=False,
+        banned_words=(),
+    ).collect()[0]
+    assert out["text_clean"] == " ".join(toks)
+    assert out["n_lines_kept"] == 3 == out["n_lines_total"]
+
+
+def test_hll_merge_equals_whole_and_raw_branch_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.pipeline.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    n = 20000
+    ids = spark.range(n).select(F.col("id").alias("k"))
+    whole = hll_build(ids, "k", p=10)
+    # register table is bounded by 2^p regardless of input size
+    assert whole.count() <= 1024
+    est = hll_estimate(whole, p=10).collect()[0]
+    # 20k >> 2.5m so the raw harmonic-mean branch fires; typical error
+    # at p=10 is ~3.25%, assert a loose 10% envelope
+    assert abs(est["hll_ndv"] - n) / n < 0.10
+    # merging the two halves reproduces the whole-corpus sketch exactly
+    lo = hll_build(ids.where(F.col("k") < n // 2), "k", p=10)
+    hi = hll_build(ids.where(F.col("k") >= n // 2), "k", p=10)
+    merged = hll_merge(lo, hi)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_hll_linear_counting_branch_is_near_exact(spark):
+    from pyspark.sql import functions as F
+
+    from nntsc_spark.pipeline.sketches import hll_build, hll_estimate
+
+    ids = spark.range(100).select(F.col("id").alias("k"))
+    est = hll_estimate(hll_build(ids, "k", p=10), p=10).collect()[0]
+    # linear counting at 100/1024 occupancy is accurate to ~5%
+    assert abs(est["hll_ndv"] - 100) / 100 < 0.05
+    assert est["n_registers_used"] <= 100

@@ -440,3 +440,44 @@ def test_histogram_percentiles_staged_equals_expression_form(spark):
         ).select("stream_id", "p50", "p95", F.col("n2").alias("n")).collect()
     }
     assert expr_form == staged and len(staged) == 5
+
+
+def test_cusum_closed_form_matches_page_recursion(spark):
+    import math
+
+    from nntsc_spark.operators.timeseries import cusum
+
+    vals = [10.0, 10.5, 9.8, 10.2, 14.0, 14.5, 15.0, 14.2, 9.9, 10.1]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = {
+        r["timestamp"]: r
+        for r in cusum(df, k=0.5, h=2.0).collect()
+    }
+    # reference: Page's explicit recursion
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (len(vals) - 1))
+    sp = sn = 0.0
+    for i, v in enumerate(vals):
+        z = (v - mu) / sd
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        assert abs(out[i]["cusum_pos"] - sp) < 1e-9, i
+        assert abs(out[i]["cusum_neg"] - sn) < 1e-9, i
+        assert out[i]["is_change"] == (sp > 2.0 or sn > 2.0)
+    # the planted level shift must actually alarm
+    assert any(r["is_change"] for r in out.values())
+
+
+def test_cusum_constant_series_yields_nulls(spark):
+    from nntsc_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(4)],
+        "stream_id long, timestamp long, value double",
+    )
+    for r in cusum(df).collect():
+        assert r["cusum_pos"] is None
+        assert r["is_change"] is None
