@@ -1281,3 +1281,227 @@ def ivf_query_index(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — Jegou et al., TPAMI 2011
+# ---------------------------------------------------------------------------
+#
+# IVF-Flat (above) prunes WHICH vectors to scan; PQ compresses the
+# vectors themselves: D float32 dims become M uint8 codes (here 64*4 =
+# 256 bytes -> 8 bytes, 32x), so a 100 TB embedding corpus's scan state
+# fits in memory and distance evaluation becomes M table lookups
+# (asymmetric distance computation) instead of D multiply-adds.  The
+# composition with IVF cells is the standard billion-scale layout
+# (IVF partitions on disk, PQ codes inside each cell).
+
+
+def pq_split(dims: int, m: int) -> list[tuple[int, int]]:
+    """(start, len) of each subspace slice (1-based start for SQL)."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    d = dims // m
+    return [(mi * d + 1, d) for mi in range(m)]
+
+
+def pq_codebooks_sample(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic sampled codebooks: entry ``[mi][code]`` is the
+    ``mi``-th subvector of the row with ``id == code`` — the same
+    lowest-id convention as :func:`centroid_rows`, kept as the default
+    so the DuckDB oracle can re-derive the identical codebooks
+    relationally.  Production swaps in :func:`pq_codebooks_kmeans`;
+    every downstream stage (encode, ADC, top-k) is unchanged."""
+    rows = (
+        emb.where(F.col(id_col) < ks)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[1]] for r in rows]
+    return [
+        [v[s - 1 : s - 1 + d] for v in vecs] for (s, d) in pq_split(dims, m)
+    ]
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    train_cap: int = 100_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1,
+) -> list[list[list[float]]]:
+    """Production codebooks: per-subspace Lloyd k-means over a
+    deterministic hash-ordered sample of at most ``train_cap`` rows.
+
+    Codebook training is sample-based by design (the faiss convention:
+    the codebook needs ~100-1000 points per centroid, not the corpus),
+    so the driver-side numpy work is bounded by ``train_cap * dims``
+    floats regardless of corpus size; the distributed passes that
+    follow (encode, query) never collect.  Deterministic: the sample is
+    the lowest ``(xxhash64(id, seed), id)`` rows and k-means++ seeding
+    uses a seeded RandomState, so the same corpus + seed always yields
+    the same codebooks."""
+    import numpy as np
+
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(int(train_cap))
+        .collect()
+    )
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for s, d in pq_split(dims, m):
+        sub = x[:, s - 1 : s - 1 + d]
+        # k-means++ init
+        centers = [sub[rng.randint(len(sub))]]
+        for _ in range(1, ks):
+            d2 = np.min(
+                [((sub - c) ** 2).sum(axis=1) for c in centers], axis=0
+            )
+            prob = d2 / max(d2.sum(), 1e-30)
+            centers.append(sub[rng.choice(len(sub), p=prob)])
+        cents = np.asarray(centers)
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _pq_sub_sql(vec_col: str, start: int, length: int) -> str:
+    return (
+        f"transform(slice(`{vec_col}`, {start}, {length}), "
+        "x -> double(x))"
+    )
+
+
+def _pq_d2_sql(sub_sql: str, center: list[float]) -> str:
+    """Spark-SQL text: squared L2 distance between a subvector
+    expression and an inlined center literal (index-order fold)."""
+    arr = "array(" + ", ".join(f"{float(c)!r}D" for c in center) + ")"
+    return (
+        f"aggregate(zip_with({sub_sql}, {arr}, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its M nearest-center codes — a PURE
+    PROJECTION over the corpus scan (codebooks inlined as literals, no
+    join, no shuffle), the property that makes (re-)encoding 100 TB a
+    map-only pass.
+
+    Argmin compares ``round(d2, 4)`` with lowest-code tie-break — the
+    repo's cross-engine determinism discipline (the oracle re-derives
+    identical codes).  Output: (id, codes array<int>).
+    """
+    dims = sum(len(cb[0]) for cb in codebooks)
+    m = len(codebooks)
+    code_exprs = []
+    for mi, (s, d) in enumerate(pq_split(dims, m)):
+        sub = _pq_sub_sql(vec_col, s, d)
+        cells = ", ".join(
+            f"struct(round({_pq_d2_sql(sub, c)}, 4) AS d, {code} AS c)"
+            for code, c in enumerate(codebooks[mi])
+        )
+        code_exprs.append(F.expr(f"array_min(array({cells})).c"))
+    return emb.select(
+        F.col(id_col), F.array(*code_exprs).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): corpus vectors
+    live only as codes; each query's distance to a code is the sum of
+    per-subspace distances to the decoded centers.
+
+    The per-query LUT (ks x m distances to inlined query literals) is
+    built as constant expressions that Catalyst folds at plan time, so
+    the scan evaluates M ``element_at`` lookups + an add chain per row —
+    no vector arithmetic in the corpus pass at all.  One window for the
+    per-query rank is the only shuffle.  Distances are ``round(.., 4)``
+    per subspace and again after the (fixed left-to-right) sum, the
+    cross-engine determinism discipline.
+    """
+    if codebooks is None:
+        codebooks = pq_codebooks_sample(
+            emb, m=m, ks=ks, dims=dims, id_col=id_col, vec_col=vec_col
+        )
+    from pyspark.sql import Window
+
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    codes = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    per_query = []
+    for r in qrows:
+        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        luts = []
+        for mi, (s, d) in enumerate(pq_split(dims, m)):
+            qsub = qv[s - 1 : s - 1 + d]
+            qarr = (
+                "array(" + ", ".join(f"{x!r}D" for x in qsub) + ")"
+            )
+            ents = ", ".join(
+                f"round({_pq_d2_sql(qarr, c)}, 4)" for c in codebooks[mi]
+            )
+            luts.append(
+                f"element_at(array({ents}), codes[{mi}] + 1)"
+            )
+        chain = " + ".join(luts)
+        per_query.append(
+            f"struct(CAST({qid} AS BIGINT) AS query_id, "
+            f"round({chain}, 4) AS adc_d2)"
+        )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.expr(f"array({', '.join(per_query)})")).alias("_q"),
+    ).select("neighbor_id", "_q.query_id", "_q.adc_d2")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        exploded.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_d2",
+        )
+    )

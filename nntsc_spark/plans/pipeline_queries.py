@@ -1722,6 +1722,84 @@ FROM pg GROUP BY 1, 2
 """
 
 
+_PQ_M, _PQ_KS, _PQ_K, _PQ_SUBD = 8, 16, 10, 8
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou et al. 2011): corpus
+    vectors compressed to 8 codes each (32x), query distances evaluated
+    as constant-folded LUT lookups over the codes — the billion-scale
+    ANN memory layout.  Sampled codebooks (lowest-id rows, the
+    :func:`centroid_rows` convention) so the oracle re-derives codebooks,
+    codes, and ADC distances relationally; production uses
+    pq_codebooks_kmeans with identical downstream stages (pytest-pinned
+    recall)."""
+    from ..pipeline.similarity import pq_topk
+
+    return pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_PQ_K,
+        m=_PQ_M,
+        ks=_PQ_KS,
+    )
+
+
+def _pq_d2_duck(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 4)"
+    )
+
+
+SQL_PQ_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (SELECT unnest(range({_PQ_M})) AS mi),
+cb AS (
+  SELECT mm.mi, e.vec_id AS code,
+         list_slice(e.v, mm.mi * {_PQ_SUBD} + 1,
+                    mm.mi * {_PQ_SUBD} + {_PQ_SUBD}) AS cv
+  FROM e CROSS JOIN mm WHERE e.vec_id < {_PQ_KS}
+),
+enc0 AS (
+  SELECT e.vec_id, c.mi, c.code,
+         {_pq_d2_duck(
+             "list_slice(e.v, c.mi * " + str(_PQ_SUBD) + " + 1, "
+             "c.mi * " + str(_PQ_SUBD) + " + " + str(_PQ_SUBD) + ")",
+             "c.cv")} AS d2r
+  FROM e CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT vec_id, mi, code,
+           row_number() OVER (PARTITION BY vec_id, mi
+                              ORDER BY d2r ASC, code ASC) AS rn
+    FROM enc0) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+l AS (
+  SELECT q.query_id, en.vec_id AS neighbor_id,
+         {_pq_d2_duck(
+             "list_slice(q.qv, en.mi * " + str(_PQ_SUBD) + " + 1, "
+             "en.mi * " + str(_PQ_SUBD) + " + " + str(_PQ_SUBD) + ")",
+             "c.cv")} AS sub
+  FROM q CROSS JOIN enc en
+  JOIN cb c ON c.mi = en.mi AND c.code = en.code
+),
+adc AS (
+  SELECT query_id, neighbor_id, round(sum(sub), 4) AS adc_d2
+  FROM l WHERE neighbor_id != query_id GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, neighbor_id ASC)
+                AS rank
+      FROM adc)
+WHERE rank <= {_PQ_K}
+"""
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users via HyperLogLog registers (p=10),
     alongside the exact count.  At this scale factor the cardinality sits
@@ -1890,4 +1968,7 @@ TAIL_PIPELINE_REGISTRY = {
     "doc_clean_lines": (q_doc_clean_lines, SQL_DOC_CLEAN_LINES),
     # round-9: mergeable HyperLogLog distinct-count registers
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    # round-9: product-quantization ADC top-k (32x-compressed codes,
+    # constant-folded LUT distance evaluation)
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
 }

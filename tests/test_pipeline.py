@@ -1692,3 +1692,57 @@ def test_hll_linear_counting_branch_is_near_exact(spark):
     # linear counting at 100/1024 occupancy is accurate to ~5%
     assert abs(est["hll_ndv"] - 100) / 100 < 0.05
     assert est["n_registers_used"] <= 100
+
+
+def test_pq_kmeans_codebooks_beat_sample_and_recall(spark, sf_dir):
+    import numpy as np
+
+    from nntsc_spark.pipeline.similarity import (
+        pq_codebooks_kmeans,
+        pq_codebooks_sample,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in emb.collect()
+    )
+    X = np.array([v for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+
+    cbk = pq_codebooks_kmeans(emb, train_cap=500)
+    # deterministic: same corpus + seed -> identical codebooks
+    assert cbk == pq_codebooks_kmeans(emb, train_cap=500)
+    assert len(cbk) == 8 and all(len(b) == 16 for b in cbk)
+    cbs = pq_codebooks_sample(emb)
+
+    def distortion(cb):
+        codes = {
+            r[0]: list(r["codes"]) for r in pq_encode(emb, cb).collect()
+        }
+        tot = 0.0
+        for i, v in rows:
+            rec = np.concatenate(
+                [np.array(cb[mi][codes[i][mi]]) for mi in range(8)]
+            )
+            tot += ((np.array(v) - rec) ** 2).sum()
+        return tot / len(rows)
+
+    # trained codebooks must quantize strictly better than the sampled
+    # oracle-default ones (measured: 0.54 vs 0.76 on this corpus)
+    assert distortion(cbk) < distortion(cbs)
+
+    # ADC shortlist-then-rerank contract: exact top-10 recall inside the
+    # ADC top-50 shortlist (measured 0.71 with trained codebooks; these
+    # near-random unit vectors are PQ's worst case)
+    qids = list(range(10))
+    short = {}
+    for r in pq_topk(emb, qids, k=50, codebooks=cbk).collect():
+        short.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = 0.0
+    for q in qids:
+        d2 = ((X - X[ids == q][0]) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d2, kind="stable") if ids[i] != q]
+        recall += len(set(ids[order[:10]]) & short[q]) / 10
+    assert recall / len(qids) >= 0.6

@@ -40,7 +40,12 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            # Holt-Winters seam (per-key volume grows Nx — the stitched
            # series get LONGER, the hard direction for a sequential
            # recursion), and the mergeable histogram percentile read
-           "ewma_smooth", "holt_winters", "rollup_percentile"]
+           "ewma_smooth", "holt_winters", "rollup_percentile",
+           # r9: CUSUM's two-stacked-window plan (per-key volume grows
+           # Nx), HLL registers (state bounded at 2^p per group however
+           # many rows stream through), and point-in-interval
+           # attribution (see PER_QUERY_MAX_FACTOR note)
+           "cusum_change", "hll_distinct", "interval_attr"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -63,7 +68,13 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: BM25 retrieval, count-min heavy hitters,
                     # stupid-backoff bigram LM, distinct-n diversity
                     "bm25_search", "cms_topk", "bigram_logprob",
-                    "ngram_diversity"]
+                    "ngram_diversity",
+                    # r9: C4 line cleaning (frequent-line set stays
+                    # heavy-hitter bounded: replica lines are distinct
+                    # across replicas) and PQ ADC top-k (encode is a
+                    # map-only projection; the rank window carries
+                    # corpus x queries rows)
+                    "doc_clean_lines", "pq_topk"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
@@ -207,6 +218,13 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     "counter_rate": 100,
     "ewma_smooth": 100,
     "holt_winters": 100,
+    # the events replica densifies a FIXED time axis (jitter within the
+    # hour), so clicks-per-purchase-window grows Nx on top of Nx
+    # purchases — the match count is quadratic in N by replica
+    # construction, not by plan (real growth extends the time axis,
+    # holding matches-per-interval constant).  x10 is enough to show the
+    # join itself is linear in its output.
+    "interval_attr": 10,
 }
 
 
