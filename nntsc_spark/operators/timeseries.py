@@ -559,3 +559,77 @@ def cusum(
             ),
         )
     )
+
+
+def seasonal_decompose(
+    fact: DataFrame,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    period: int = 24,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method; Cleveland's STL is its loess refinement): value = trend +
+    seasonal + remainder, per series key.
+
+    - trend: centered moving average over ``2*(period//2)+1`` ROWS,
+      NULL until the window is full (series edges) — one ordered window.
+    - seasonal: per-(key, phase) mean of the detrended values, centered
+      by subtracting the per-key mean of the phase means so the seasonal
+      component sums to ~0 over one period — two TINY aggregations
+      (keys x period rows, then keys rows) broadcast back onto the fact;
+      the heavy side never shuffles a second time.
+    - remainder: what's left (NULL wherever trend is NULL).
+
+    Phase is positional (row_number % period), i.e. the series is
+    assumed regular — compose with :func:`gapfill` first for sparse
+    series, exactly as a forecaster would.
+
+    Every averaged intermediate (trend, phase means, their key mean) is
+    rounded to 6 decimals — the cross-engine determinism discipline
+    (textrank_keywords' per-iteration pin): group/window sums differ
+    between engines at the last ulp, and a downstream SUBTRACTION of two
+    such values would otherwise land on round-4 boundaries often enough
+    to flip output cells (observed: 10 rows per 4.6k before pinning).
+    1e-6 is far below any physical signal in the series.
+    """
+    order = [ts_col] + (order_cols or [])
+    half = int(period) // 2
+    w_ord = Window.partitionBy(key).orderBy(*order)
+    w_ma = w_ord.rowsBetween(-half, half)
+    full = 2 * half + 1
+    df = fact.withColumn(
+        "_phase", (F.row_number().over(w_ord) - 1) % int(period)
+    ).withColumn(
+        "trend",
+        F.round(
+            F.when(
+                F.count(value_col).over(w_ma) == full,
+                F.avg(value_col).over(w_ma),
+            ),
+            6,
+        ),
+    ).withColumn("_detr", F.col(value_col) - F.col("trend"))
+    phase_means = df.groupBy(key, "_phase").agg(
+        F.round(F.avg("_detr"), 6).alias("_sbar")
+    )
+    key_means = phase_means.groupBy(key).agg(
+        F.round(F.avg("_sbar"), 6).alias("_sbar0")
+    )
+    seasonal = (
+        phase_means.join(key_means, key)
+        .select(
+            key,
+            "_phase",
+            (F.col("_sbar") - F.col("_sbar0")).alias("seasonal"),
+        )
+    )
+    return (
+        df.join(F.broadcast(seasonal), [key, "_phase"])
+        .withColumn(
+            "remainder",
+            F.col(value_col) - F.col("trend") - F.col("seasonal"),
+        )
+        .drop("_phase", "_detr")
+    )

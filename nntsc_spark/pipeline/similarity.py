@@ -1392,14 +1392,29 @@ def _pq_sub_sql(vec_col: str, start: int, length: int) -> str:
     )
 
 
-def _pq_d2_sql(sub_sql: str, center: list[float]) -> str:
+def _pq_d2_sql(sub_sql: str, n2_sql: str, center: list[float]) -> str:
     """Spark-SQL text: squared L2 distance between a subvector
-    expression and an inlined center literal (index-order fold)."""
+    expression and an inlined center literal via the norm identity
+    d2 = |x|^2 - 2 x.c + |c|^2 — the same formula the DuckDB oracle
+    evaluates (list_dot_product), and one dot fold per center instead
+    of a squared-diff fold (|x|^2 comes in as ``n2_sql``, computed once
+    per subspace)."""
     arr = "array(" + ", ".join(f"{float(c)!r}D" for c in center) + ")"
-    return (
+    dot = (
         f"aggregate(zip_with({sub_sql}, {arr}, "
-        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     )
+    cn2 = sum(float(x) * float(x) for x in center)
+    return f"({n2_sql} - 2D * {dot} + {cn2!r}D)"
+
+
+def _round4_half_up(x: float) -> float:
+    """round(x, 4) with SQL HALF_UP semantics for non-negative x (Python
+    's builtin round is banker's) — used when a LUT entry is computed
+    driver-side but must equal the engines' round()."""
+    import math
+
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
 
 
 def pq_encode(
@@ -1419,15 +1434,33 @@ def pq_encode(
     """
     dims = sum(len(cb[0]) for cb in codebooks)
     m = len(codebooks)
+    # stage 1: each subspace's vector and |x|^2, computed once
+    stage = emb.select(
+        F.col(id_col),
+        *[
+            F.expr(_pq_sub_sql(vec_col, s, d)).alias(f"_s{mi}")
+            for mi, (s, d) in enumerate(pq_split(dims, m))
+        ],
+    ).select(
+        F.col(id_col),
+        *[F.col(f"_s{mi}") for mi in range(m)],
+        *[
+            F.expr(
+                f"aggregate(zip_with(_s{mi}, _s{mi}, (x, y) -> x * y), "
+                "0D, (acc, x) -> acc + x)"
+            ).alias(f"_n2{mi}")
+            for mi in range(m)
+        ],
+    )
     code_exprs = []
-    for mi, (s, d) in enumerate(pq_split(dims, m)):
-        sub = _pq_sub_sql(vec_col, s, d)
+    for mi in range(m):
         cells = ", ".join(
-            f"struct(round({_pq_d2_sql(sub, c)}, 4) AS d, {code} AS c)"
+            f"struct(round({_pq_d2_sql(f'_s{mi}', f'_n2{mi}', c)}, 4) "
+            f"AS d, {code} AS c)"
             for code, c in enumerate(codebooks[mi])
         )
         code_exprs.append(F.expr(f"array_min(array({cells})).c"))
-    return emb.select(
+    return stage.select(
         F.col(id_col), F.array(*code_exprs).alias("codes")
     )
 
@@ -1473,14 +1506,27 @@ def pq_topk(
         luts = []
         for mi, (s, d) in enumerate(pq_split(dims, m)):
             qsub = qv[s - 1 : s - 1 + d]
-            qarr = (
-                "array(" + ", ".join(f"{x!r}D" for x in qsub) + ")"
-            )
-            ents = ", ".join(
-                f"round({_pq_d2_sql(qarr, c)}, 4)" for c in codebooks[mi]
-            )
+            # LUT entries computed driver-side with EXACTLY the oracle's
+            # arithmetic (n2q - 2*dot + n2c, index-order dots, HALF_UP
+            # round) and inlined as plain literals — the optimizer sees
+            # ks doubles per subspace instead of ks fold expressions to
+            # constant-fold, which is what keeps query planning O(ms)
+            n2q = 0.0
+            for x in qsub:
+                n2q += x * x
+            ents = []
+            for c in codebooks[mi]:
+                dot = 0.0
+                n2c = 0.0
+                for a, b in zip(qsub, c):
+                    dot += a * b
+                for b in c:
+                    n2c += b * b
+                ents.append(repr(_round4_half_up(n2q - 2.0 * dot + n2c)))
             luts.append(
-                f"element_at(array({ents}), codes[{mi}] + 1)"
+                "element_at(array("
+                + ", ".join(f"{e}D" for e in ents)
+                + f"), codes[{mi}] + 1)"
             )
         chain = " + ".join(luts)
         per_query.append(

@@ -338,3 +338,85 @@ def distinct_ngram_diversity(
             F.count(F.lit(1)) / F.sum("cnt").cast("double"), 4
         ).alias("distinct_ratio"),
     )
+
+
+def token_cooccurrence_edges(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Undirected adjacent-token co-occurrence graph, collapsed to
+    weighted edges: (src, dst, w) with both directions materialized.
+
+    One explode into one (src, dst) count shuffle — the edge table is
+    bounded by OBSERVED adjacencies (<= corpus token count, usually far
+    below vocab^2), the same vocabulary-shaped output contract as the
+    rest of this module."""
+    pairs = (
+        docs.select(F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_t) - 2), "
+                    "i -> struct(element_at(_t, i + 1) AS a, "
+                    "element_at(_t, i + 2) AS b))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.a", "_p.b")
+    )
+    both = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    return both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    damping: float = 0.85,
+    iters: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the undirected token co-occurrence graph, the unsupervised keyword/
+    keyphrase extractor training-data curators run to profile what a
+    source is "about".
+
+    rank_i <- (1-d) + d * sum_j nw_ji * rank_j, with nw the
+    weight-normalized edge (w / weighted out-degree, computed ONCE
+    before the loop so both engines run the identical arithmetic).
+    Ranks are rounded to 6 decimals each iteration — that pins every
+    iteration's state to values both Spark and the DuckDB oracle
+    reproduce exactly, so float drift cannot compound across
+    iterations.
+
+    Scale: state is vocabulary-sized every iteration (one token-keyed
+    shuffle per iteration, edges persisted once); the corpus is touched
+    exactly once to build the edges.  Undirected edges mean no dangling
+    mass.  Output: (token, rank) top-``topk``, rank desc / token asc.
+    """
+    from .dedup import scratch_persist
+
+    edges = token_cooccurrence_edges(docs, text_col)
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wd"))
+    norm = scratch_persist(
+        edges.join(wdeg, "src").select(
+            "src", "dst", (F.col("w") / F.col("wd")).alias("nw")
+        )
+    )
+    ranks = wdeg.select(F.col("src").alias("token"), F.lit(1.0).alias("rank"))
+    base = float(1.0 - damping)
+    for _ in range(int(iters)):
+        ranks = (
+            norm.join(ranks, norm["src"] == ranks["token"])
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * F.sum(F.col("rank") * F.col("nw")),
+                    6,
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("token"), "rank")
+        )
+    return ranks.orderBy(F.desc("rank"), F.asc("token")).limit(int(topk))

@@ -848,6 +848,60 @@ FROM s GROUP BY stream_id
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per stream (period 24 rows):
+    centered-MA trend, phase-mean seasonal centered to ~0, remainder."""
+    from ..operators.timeseries import seasonal_decompose
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    out = seasonal_decompose(fact, order_cols=["event_id"], period=24)
+    # no output rounding: trend/seasonal are already round-6 PINNED (or
+    # exact differences of pinned values) inside the operator, so both
+    # engines hold bit-identical doubles — a second round(4) would
+    # re-introduce boundary flips exactly where pinned values sit on
+    # .00005 boundaries (observed before this was removed)
+    return out.select(
+        "stream_id",
+        "timestamp",
+        "event_id",
+        "value",
+        "trend",
+        "seasonal",
+        "remainder",
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), win AS (
+  SELECT stream_id, timestamp, event_id, value,
+         (row_number() OVER w1 - 1) % 24 AS phase,
+         round(CASE WHEN count(value) OVER w2 = 25
+                    THEN avg(value) OVER w2 END, 6) AS trend
+  FROM bounded
+  WINDOW w1 AS (PARTITION BY stream_id ORDER BY timestamp, event_id),
+         w2 AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), pm AS (
+  SELECT stream_id, phase, round(avg(value - trend), 6) AS sbar
+  FROM win GROUP BY 1, 2
+), km AS (SELECT stream_id, round(avg(sbar), 6) AS sbar0
+          FROM pm GROUP BY 1),
+sea AS (
+  SELECT pm.stream_id, pm.phase, pm.sbar - km.sbar0 AS seasonal
+  FROM pm JOIN km USING (stream_id)
+)
+SELECT w.stream_id, w.timestamp, w.event_id, w.value,
+       w.trend AS trend,
+       s.seasonal AS seasonal,
+       w.value - w.trend - s.seasonal AS remainder
+FROM win w JOIN sea s ON s.stream_id = w.stream_id AND s.phase = w.phase
+"""
+
+
 _EWMA_ALPHA, _EWMA_LOOKBACK = 0.25, 32
 
 
@@ -1080,4 +1134,7 @@ TAIL_REGISTRY = {
     # round-9: point-in-interval attribution via the bucketed
     # replicate-intervals equi-join (no nested-loop, no dedup pass)
     "interval_attr": (q_interval_attr, SQL_INTERVAL_ATTR),
+    # round-9: classical additive seasonal decomposition (centered-MA
+    # trend, centered phase-mean seasonal, remainder)
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
 }

@@ -1722,6 +1722,147 @@ FROM pg GROUP BY 1, 2
 """
 
 
+def _hll_sql_numerator(p: int = 10) -> str:
+    from ..pipeline.sketches import _hll_alpha_numerator
+
+    return repr(_hll_alpha_numerator(p))
+
+
+def q_hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-anywhere contract in the oracle channel: per-day HLL
+    registers max-merged up to per-event-type and estimated — with a
+    ``matches_direct`` flag proving the merged registers estimate
+    EXACTLY what a direct whole-history build estimates (max over a
+    partition refinement is the global max).  This is the property that
+    lets a cluster keep daily sketches and answer any date-range
+    distinct count without rescanning."""
+    from ..pipeline.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    per_day = hll_build(ev, "user_id", ["event_type", "day"], p=10)
+    merged = per_day.groupBy("event_type", "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    est = hll_estimate(merged, ["event_type"], p=10)
+    direct = hll_estimate(
+        hll_build(ev, "user_id", ["event_type"], p=10),
+        ["event_type"],
+        p=10,
+    ).select(
+        "event_type", F.col("hll_ndv").alias("_direct")
+    )
+    return est.join(direct, "event_type").select(
+        "event_type",
+        "n_registers_used",
+        "hll_ndv",
+        (F.col("hll_ndv") == F.col("_direct")).alias("matches_direct"),
+    )
+
+
+SQL_HLL_MERGE_DAYS = f"""
+WITH h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events
+), per_day AS (
+  SELECT event_type, day, CAST(hv % 1024 AS INT) AS register,
+         max(CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 50 - length(bin(hv >> 10)) + 1 END) AS max_rho
+  FROM h GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, register, max(max_rho) AS max_rho
+  FROM per_day GROUP BY 1, 2
+), direct AS (
+  SELECT event_type, CAST(hv % 1024 AS INT) AS register,
+         max(CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 50 - length(bin(hv >> 10)) + 1 END) AS max_rho
+  FROM h GROUP BY 1, 2
+), est_m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_registers_used,
+         round(CASE WHEN {_hll_sql_numerator(10)}
+                      / (sum(1::BIGINT << (51 - max_rho))
+                         + (1024 - count(*)) * (1::BIGINT << 51)) <= 2560.0
+                     AND count(*) < 1024
+                    THEN 1024.0 * ln(1024.0 / (1024 - count(*)))
+                    ELSE {_hll_sql_numerator(10)}
+                      / (sum(1::BIGINT << (51 - max_rho))
+                         + (1024 - count(*)) * (1::BIGINT << 51)) END, 2)
+           AS hll_ndv
+  FROM merged GROUP BY event_type
+), est_d AS (
+  SELECT event_type,
+         round(CASE WHEN {_hll_sql_numerator(10)}
+                      / (sum(1::BIGINT << (51 - max_rho))
+                         + (1024 - count(*)) * (1::BIGINT << 51)) <= 2560.0
+                     AND count(*) < 1024
+                    THEN 1024.0 * ln(1024.0 / (1024 - count(*)))
+                    ELSE {_hll_sql_numerator(10)}
+                      / (sum(1::BIGINT << (51 - max_rho))
+                         + (1024 - count(*)) * (1::BIGINT << 51)) END, 2)
+           AS direct_ndv
+  FROM direct GROUP BY event_type
+)
+SELECT m.event_type, m.n_registers_used, m.hll_ndv,
+       m.hll_ndv = d.direct_ndv AS matches_direct
+FROM est_m m JOIN est_d d USING (event_type)
+"""
+
+
+_TR_DAMPING, _TR_ITERS, _TR_TOPK = 0.85, 5, 50
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: PageRank over the adjacent-token
+    co-occurrence graph, 5 rounded iterations (per-iteration round(6)
+    pins the state both engines reproduce exactly), top 50."""
+    from ..pipeline.vocab import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"),
+        damping=_TR_DAMPING,
+        iters=_TR_ITERS,
+        topk=_TR_TOPK,
+    )
+
+
+def _textrank_sql() -> str:
+    base, d = repr(1.0 - _TR_DAMPING), repr(_TR_DAMPING)
+    ctes = ["r0 AS (SELECT src AS token, 1.0 AS rank FROM wdeg)"]
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.dst AS token, "
+            f"round({base} + {d} * sum(r{i - 1}.rank * n.nw), 6) AS rank "
+            f"FROM r{i - 1} JOIN norm n ON n.src = r{i - 1}.token "
+            f"GROUP BY n.dst)"
+        )
+    return f"""
+WITH dd AS (SELECT string_split(text, ' ') AS l FROM documents),
+pr AS (
+  SELECT l[i + 1] AS a, l[i + 2] AS b
+  FROM dd, LATERAL (SELECT unnest(range(len(l) - 1)) AS i) t
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+    SELECT a AS src, b AS dst FROM pr
+    UNION ALL
+    SELECT b AS src, a AS dst FROM pr) GROUP BY 1, 2
+),
+wdeg AS (SELECT src, sum(w) AS wd FROM edges GROUP BY 1),
+norm AS (SELECT e.src, e.dst, e.w / g.wd AS nw
+         FROM edges e JOIN wdeg g USING (src)),
+{", ".join(ctes)}
+SELECT token, rank FROM r{_TR_ITERS}
+ORDER BY rank DESC, token ASC LIMIT {_TR_TOPK}
+"""
+
+
+SQL_TEXTRANK_KEYWORDS = _textrank_sql()
+
+
 _PQ_M, _PQ_KS, _PQ_K, _PQ_SUBD = 8, 16, 10, 8
 
 
@@ -1816,12 +1957,6 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select(
         "event_type", "exact_ndv", "n_registers_used", "hll_ndv"
     )
-
-
-def _hll_sql_numerator(p: int = 10) -> str:
-    from ..pipeline.sketches import _hll_alpha_numerator
-
-    return repr(_hll_alpha_numerator(p))
 
 
 SQL_HLL_DISTINCT = f"""
@@ -1971,4 +2106,9 @@ TAIL_PIPELINE_REGISTRY = {
     # round-9: product-quantization ADC top-k (32x-compressed codes,
     # constant-folded LUT distance evaluation)
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    # round-9: TextRank keywords (PageRank over the token
+    # co-occurrence graph, per-iteration rounded state)
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
+    # round-9: merged-registers == direct-build equality, oracle-pinned
+    "hll_merge_days": (q_hll_merge_days, SQL_HLL_MERGE_DAYS),
 }

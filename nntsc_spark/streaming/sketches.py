@@ -101,3 +101,87 @@ class SketchMaintainer:
         return compact_batched_table(
             self.spark, parent, name, SKETCH_SCHEMA, target_bytes
         )
+
+
+HLL_SCHEMA = "register int, max_rho int"
+
+
+class HllMaintainer:
+    """Streaming distinct-count state: per-epoch HyperLogLog registers.
+
+    The count-min sibling above answers "how OFTEN has key x appeared";
+    this answers "how MANY distinct keys have appeared" — live unique
+    users/streams/tokens — with the same two properties that make
+    foreachBatch state safe: each epoch's registers are a deterministic
+    function of that batch's rows (idempotent batch=N overwrite), and
+    the stream-lifetime answer is a cell-wise fold of all epochs —
+    element-wise MAX here, where count-min folds by addition.  Max is
+    idempotent as well as associative, so even a hypothetically
+    double-written batch cannot bias the estimate (count-min's addition
+    relies on the overwrite discipline for that; HLL gets it for free).
+
+    State is bounded at ``n_batches x 2^p`` rows and folds into the
+    ``batch=-1`` sentinel via the shared compactor — row-preserving
+    compaction composes with ANY cell-wise fold, so the same machinery
+    serves both sketch kinds.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        col: str = "k",
+        p: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.col = col
+        self.p = int(p)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..pipeline.sketches import hll_build
+
+        sketch = hll_build(batch, self.col, p=self.p)
+        sketch.write.mode("overwrite").parquet(
+            f"{self.path}/batch={int(batch_id)}"
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Wire onto a streaming DataFrame (one column: ``self.col``)."""
+        return (
+            stream.writeStream.foreachBatch(
+                lambda b, i: self.process_batch(b, i)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    def merged(self) -> DataFrame:
+        """Stream-lifetime registers: element-wise max over all epochs."""
+        return (
+            self.spark.read.schema(HLL_SCHEMA + ", batch int")
+            .parquet(self.path)
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+
+    def estimate(self) -> float:
+        """Current distinct-count estimate (one bounded-row collect)."""
+        from ..pipeline.sketches import hll_estimate
+
+        return float(
+            hll_estimate(self.merged(), p=self.p).collect()[0]["hll_ndv"]
+        )
+
+    def compact(self, target_bytes: int = 128 << 20) -> bool:
+        """Fold per-batch partitions into the batch=-1 sentinel (stream
+        STOPPED; compact_batched_table's contract)."""
+        import os
+
+        from .dedup import compact_batched_table
+
+        parent, name = os.path.split(self.path.rstrip("/"))
+        return compact_batched_table(
+            self.spark, parent, name, HLL_SCHEMA, target_bytes
+        )

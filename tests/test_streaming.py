@@ -1161,3 +1161,56 @@ def test_streaming_cms_attach_file_stream(spark, tmp_path):
     }
     got = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
     assert got == whole
+
+
+def test_streaming_hll_batches_merge_to_whole_and_retry_idempotent(
+    spark, tmp_path
+):
+    """Two epochs' registers max-merged == the one-shot batch sketch of
+    the union, a foreachBatch retry changes nothing, and the estimate
+    tracks the true distinct count."""
+    from nntsc_spark.pipeline.sketches import hll_build
+    from nntsc_spark.streaming.sketches import HllMaintainer
+
+    rows = [(f"user{i % 400}",) for i in range(1000)]
+    whole_df = spark.createDataFrame(rows, "k string")
+    b1 = spark.createDataFrame(rows[:600], "k string")
+    b2 = spark.createDataFrame(rows[600:], "k string")
+
+    hm = HllMaintainer(spark, str(tmp_path / "hll"), p=10)
+    hm.process_batch(b1, 0)
+    hm.process_batch(b2, 1)
+    whole = {
+        (r.register, r.max_rho)
+        for r in hll_build(whole_df, "k", p=10).collect()
+    }
+    assert {
+        (r.register, r.max_rho) for r in hm.merged().collect()
+    } == whole
+
+    hm.process_batch(b2, 1)  # retry: same epoch, same partition
+    assert {
+        (r.register, r.max_rho) for r in hm.merged().collect()
+    } == whole
+
+    est = hm.estimate()
+    assert abs(est - 400) / 400 < 0.10
+
+
+def test_streaming_hll_compaction_preserves_estimate(spark, tmp_path):
+    from nntsc_spark.streaming.sketches import HllMaintainer
+
+    hm = HllMaintainer(spark, str(tmp_path / "hll"), p=8)
+    for i in range(3):
+        hm.process_batch(
+            spark.createDataFrame(
+                [(f"k{i}-{j}",) for j in range(50)], "k string"
+            ),
+            i,
+        )
+    before = hm.estimate()
+    assert hm.compact()
+    import os
+
+    assert os.path.isdir(str(tmp_path / "hll" / "batch=-1"))
+    assert hm.estimate() == before

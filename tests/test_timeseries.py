@@ -481,3 +481,28 @@ def test_cusum_constant_series_yields_nulls(spark):
     for r in cusum(df).collect():
         assert r["cusum_pos"] is None
         assert r["is_change"] is None
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    from nntsc_spark.operators.timeseries import seasonal_decompose
+
+    s = [4.0, -3.0, 2.0, -1.0, -2.0]  # sums to 0 over the period
+    rows = [(1, i, 100.0 + s[i % 5]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = {
+        r["timestamp"]: r
+        for r in seasonal_decompose(df, period=5).collect()
+    }
+    assert len(out) == 20
+    for i in range(20):
+        r = out[i]
+        if i < 2 or i >= 18:  # centered window never fills at the edges
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            # an odd-period centered MA of a pure periodic + constant
+            # recovers the constant exactly
+            assert r["trend"] == 100.0
+            assert r["remainder"] == 0.0
+        assert abs(r["seasonal"] - s[i % 5]) < 1e-9

@@ -127,3 +127,34 @@ def test_bpe_encode_roundtrip_with_trained_merges(spark, sf_dir):
     for r in enc.collect():
         rebuilt = "".join(r.bpe_tokens).replace(EOW, " ").strip()
         assert rebuilt == " ".join(r.text.split())
+
+
+def test_textrank_hub_token_outranks_periphery(spark):
+    from nntsc_spark.pipeline.vocab import (
+        textrank_keywords,
+        token_cooccurrence_edges,
+    )
+
+    # "hub" is adjacent to every other word; peripheral words only ever
+    # touch the hub or one chain neighbor
+    docs = spark.createDataFrame(
+        [
+            (0, "hub alpha hub beta hub gamma hub delta"),
+            (1, "alpha hub gamma hub epsilon hub beta"),
+            (2, "delta hub epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = {
+        (r["src"], r["dst"]): r["w"]
+        for r in token_cooccurrence_edges(docs).collect()
+    }
+    # undirected: both directions present with equal weight (doc 0 has
+    # "hub alpha" AND "alpha hub", doc 1 adds one more adjacency)
+    assert edges[("hub", "alpha")] == edges[("alpha", "hub")] == 3
+    ranked = textrank_keywords(docs, iters=5, topk=10).collect()
+    assert ranked[0]["token"] == "hub"
+    assert ranked[0]["rank"] > 1.5 * ranked[1]["rank"]
+    # ranks are the round-6 pinned values: re-running is byte-identical
+    again = textrank_keywords(docs, iters=5, topk=10).collect()
+    assert [tuple(r) for r in ranked] == [tuple(r) for r in again]

@@ -84,6 +84,12 @@ HEADLINE = [
     "cms_topk",
     "bigram_logprob",
     "ngram_diversity",
+    "doc_clean_lines",
+    "hll_distinct",
+    "cusum_change",
+    "interval_attr",
+    "pq_topk",
+    "textrank_keywords",
 ]
 
 

@@ -45,7 +45,10 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            # Nx), HLL registers (state bounded at 2^p per group however
            # many rows stream through), and point-in-interval
            # attribution (see PER_QUERY_MAX_FACTOR note)
-           "cusum_change", "hll_distinct", "interval_attr"]
+           "cusum_change", "hll_distinct", "interval_attr",
+           # r9: classical decomposition (one ordered window + two
+           # bounded aggs) and the daily-register HLL merge path
+           "seasonal_decompose", "hll_merge_days"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -74,7 +77,9 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # across replicas) and PQ ADC top-k (encode is a
                     # map-only projection; the rank window carries
                     # corpus x queries rows)
-                    "doc_clean_lines", "pq_topk"]
+                    "doc_clean_lines", "pq_topk",
+                    # r9: vocabulary-sized PageRank iterations
+                    "textrank_keywords"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
