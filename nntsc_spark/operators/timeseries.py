@@ -633,3 +633,104 @@ def seasonal_decompose(
         )
         .drop("_phase", "_detr")
     )
+
+
+def lttb_downsample(
+    fact: DataFrame,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    n_out: int = 24,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets display downsampling per series
+    key (Steinarsson 2013): keep ``n_out`` visually-representative
+    points — the global first and last, plus the point of maximum
+    triangle area in each interior bucket.
+
+    The reference's consumers render binned history as line graphs (the
+    export protocol exists to feed a grapher; aggregation binsize is the
+    grapher's pixel budget).  LTTB is the standard pixel-budget
+    downsampler for that surface: unlike plain binned averages it keeps
+    peaks and outage edges visible, which is exactly what a latency
+    grapher needs.
+
+    Parallel anchor variant: classic LTTB anchors each candidate
+    triangle at the previously *selected* point — a sequential
+    dependency.  The distributed form (Steinarsson's own fixed-anchor
+    variant) anchors at the neighbouring buckets' mean points instead,
+    which decouples buckets and costs two exchanges total:
+
+    - one window on ``key`` (row_number + per-key count);
+    - one map-side-combinable groupBy on ``(key, bucket)`` for bucket
+      mean anchors (``keys x n_out`` rows out);
+    - anchors broadcast back; the argmax-area selection window runs on
+      ``(key, bucket)``, which hash(key) partitioning already satisfies
+      — no further shuffle.
+
+    The x-coordinate is the per-series row index (LTTB assumes regular
+    sampling; compose with :func:`gapfill` first for sparse series), so
+    bucket-mean x anchors are exact rational numbers (integer sums) and
+    the y anchors are round-6 pinned — both engines then compute
+    bit-identical triangle areas and the argmax is deterministic
+    (ties broken by timestamp).
+
+    Buckets with no prev/next anchor (the endpoint buckets, and every
+    bucket when a series has <= n_out points) have NULL area and keep
+    their first point, which for the endpoint buckets is the global
+    first/last point — classic LTTB's invariant.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + interior)")
+    order = [ts_col] + (order_cols or [])
+    w_key = Window.partitionBy(key)
+    w_ord = w_key.orderBy(*order)
+    rn = F.row_number().over(w_ord)
+    n = F.count(F.lit(1)).over(w_key)
+    df = fact.withColumn("_rn", rn).withColumn("_n", n).withColumn(
+        "bucket",
+        F.when(F.col("_n") <= n_out, F.col("_rn") - 1)
+        .when(F.col("_rn") == 1, F.lit(0))
+        .when(F.col("_rn") == F.col("_n"), F.lit(n_out - 1))
+        .otherwise(
+            # exact integer division (`div`), not a double `/` + cast:
+            # a float quotient one ulp above an integer boundary would
+            # disagree with the oracle's integer `//`
+            F.expr(
+                f"(CAST(_rn AS BIGINT) - 2) * {n_out - 2} "
+                "div (CAST(_n AS BIGINT) - 2)"
+            )
+            + 1
+        )
+        .cast("int"),
+    )
+    anchors = df.groupBy(key, "bucket").agg(
+        F.avg("_rn").alias("_bx"),
+        F.round(F.avg(value_col), 6).alias("_by"),
+    )
+    w_b = Window.partitionBy(key).orderBy("bucket")
+    anchors = anchors.select(
+        key,
+        "bucket",
+        F.lag("_bx").over(w_b).alias("_px"),
+        F.lag("_by").over(w_b).alias("_py"),
+        F.lead("_bx").over(w_b).alias("_nx"),
+        F.lead("_by").over(w_b).alias("_ny"),
+    )
+    scored = df.join(F.broadcast(anchors), [key, "bucket"]).withColumn(
+        "_area2",
+        F.abs(
+            (F.col("_px") - F.col("_nx"))
+            * (F.col(value_col) - F.col("_py"))
+            - (F.col("_px") - F.col("_rn").cast("double"))
+            * (F.col("_ny") - F.col("_py"))
+        ),
+    )
+    w_pick = Window.partitionBy(key, "bucket").orderBy(
+        F.col("_area2").desc_nulls_last(), *order
+    )
+    return (
+        scored.withColumn("_pick", F.row_number().over(w_pick))
+        .filter(F.col("_pick") == 1)
+        .drop("_rn", "_n", "_px", "_py", "_nx", "_ny", "_area2", "_pick")
+    )

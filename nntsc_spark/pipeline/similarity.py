@@ -1422,6 +1422,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every vector to its M nearest-center codes — a PURE
     PROJECTION over the corpus scan (codebooks inlined as literals, no
@@ -1430,19 +1431,24 @@ def pq_encode(
 
     Argmin compares ``round(d2, 4)`` with lowest-code tie-break — the
     repo's cross-engine determinism discipline (the oracle re-derives
-    identical codes).  Output: (id, codes array<int>).
+    identical codes).  Output: (id, [keep_cols...,] codes array<int>);
+    ``keep_cols`` rides columns (e.g. an IVF cell id) through the
+    projection so composers never need a re-join on id.
     """
+    keep = list(keep_cols or [])
     dims = sum(len(cb[0]) for cb in codebooks)
     m = len(codebooks)
     # stage 1: each subspace's vector and |x|^2, computed once
     stage = emb.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[
             F.expr(_pq_sub_sql(vec_col, s, d)).alias(f"_s{mi}")
             for mi, (s, d) in enumerate(pq_split(dims, m))
         ],
     ).select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[F.col(f"_s{mi}") for mi in range(m)],
         *[
             F.expr(
@@ -1461,7 +1467,9 @@ def pq_encode(
         )
         code_exprs.append(F.expr(f"array_min(array({cells})).c"))
     return stage.select(
-        F.col(id_col), F.array(*code_exprs).alias("codes")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.array(*code_exprs).alias("codes"),
     )
 
 
@@ -1543,6 +1551,260 @@ def pq_topk(
     return (
         exploded.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_d2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse cells + product-quantized residuals
+# --------------------------------------------------------------------------
+
+
+def _cents_array_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """SQL literal: array of centroid vectors ordered by cell id, for
+    ``element_at(..., cell + 1)`` lookup."""
+    parts = []
+    for _, vec in sorted(cents, key=lambda cv: cv[0]):
+        parts.append(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+def _assign_l2_round4_sql(vec_col: str, n2_col: str,
+                          cents: list[tuple[int, list[float]]]) -> str:
+    """SQL text: 0-based nearest-centroid index by FULL squared L2
+    distance ``round(|x|^2 - 2 x.c + |c|^2, 4)`` (ties -> lowest cell).
+
+    Unlike :func:`_argmin_cells_sql`'s unrounded ``|c|^2 - 2 x.c`` form,
+    the full non-negative d2 is round-4 pinned: residual codebooks hang
+    off the assignment, so it must be re-derivable bit-identically by
+    the oracle AND by driver-side Python (:func:`_assign_l2_py`), and
+    HALF_UP rounding of a NEGATIVE partial d2 is where Python and SQL
+    semantics would diverge.
+    """
+    terms = []
+    for _, c in sorted(cents, key=lambda cv: cv[0]):
+        c = [float(x) for x in c]
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, y) -> double(x) * y), 0D, (acc, x) -> acc + x)"
+        )
+        cn2 = 0.0
+        for x in c:
+            cn2 += x * x
+        terms.append(f"round(`{n2_col}` - 2D * {dot} + {cn2!r}D, 4)")
+    ds = "array(" + ", ".join(terms) + ")"
+    return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+
+
+def _assign_l2_py(v: list[float], cents: list[tuple[int, list[float]]]) -> int:
+    """Driver-side replica of :func:`_assign_l2_round4_sql`: identical
+    left-to-right float64 folds, identical HALF_UP round, ties -> lowest
+    cell — so codebooks sampled driver-side encode EXACTLY as the
+    distributed projection does."""
+    n2 = 0.0
+    for x in v:
+        n2 += x * x
+    best_d, best_c = None, None
+    for cell, c in sorted(cents, key=lambda cv: cv[0]):
+        dot = 0.0
+        for a, b in zip(v, c):
+            dot += a * b
+        cn2 = 0.0
+        for b in c:
+            cn2 += b * b
+        d = _round4_half_up(n2 - 2.0 * dot + cn2)
+        if best_d is None or d < best_d:
+            best_d, best_c = d, cell
+    return int(best_c)
+
+
+def ivfpq_residuals(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, residual): assign each vector to its nearest coarse
+    centroid (full-L2 round-4 argmin, ties -> lowest cell) and subtract
+    that centroid — BOTH steps pure projections over the scan (quantizer
+    inlined as literals, ``element_at`` centroid lookup), so residualing
+    100 TB is a map-only pass.  Feed the output to
+    :func:`pq_codebooks_kmeans(..., vec_col="residual")` for production
+    residual codebooks, or to :func:`pq_encode` for codes."""
+    pre = emb.select(
+        id_col,
+        vec_col,
+        F.expr(
+            f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
+            "(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x)"
+        ).alias("_n2"),
+    )
+    assigned = pre.select(
+        id_col,
+        vec_col,
+        F.expr(_assign_l2_round4_sql(vec_col, "_n2", centroids)).alias(
+            "cell"
+        ),
+    )
+    return assigned.select(
+        id_col,
+        "cell",
+        F.expr(
+            f"zip_with(`{vec_col}`, "
+            f"element_at({_cents_array_sql(centroids)}, cell + 1), "
+            "(x, y) -> double(x) - y)"
+        ).alias("residual"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVFADC (Jegou, Douze & Schmid 2011, §IV): coarse-quantize into
+    ``nlist`` cells, product-quantize the RESIDUAL ``x - c(x)``, answer
+    queries by probing ``nprobe`` cells with a per-(query, cell) ADC
+    lookup table over the residual codes — the composition of this
+    repo's :func:`ivf_topk` (cell pruning) and :func:`pq_topk`
+    (32x-compressed distance evaluation), and the memory layout that
+    holds billion-vector indexes.
+
+    Scale shape: cell assignment, residualing, and encoding are pure
+    projections (quantizer + codebooks inlined — at cluster scale
+    ``cell`` becomes a partition column and probes prune directories);
+    the query pass is one broadcast equi-join on ``cell`` against a
+    (queries x nprobe) LUT table whose per-subspace distance arrays ride
+    as literal columns, so the corpus side evaluates M ``element_at``
+    lookups + an add chain per candidate; the per-query rank window is
+    the only shuffle.  Scan cost per query is ~``nprobe/nlist`` of the
+    corpus AND each candidate costs M adds instead of ``dims``
+    multiplies.
+
+    Defaults are the oracle-re-derivable conventions: ``centroids`` =
+    lowest-id rows (:func:`centroid_rows`), ``codebooks`` = residual
+    subvectors of the ``ks`` lowest-id rows; production passes
+    :func:`kmeans_parallel_centroids` output and
+    :func:`pq_codebooks_kmeans` over :func:`ivfpq_residuals` — every
+    downstream stage is identical (pytest-pinned recall).
+
+    Output: (query_id, neighbor_id, rank, adc_d2).
+    """
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else centroid_rows(
+        emb, nlist, id_col, vec_col
+    )
+    res = ivfpq_residuals(emb, cents, id_col=id_col, vec_col=vec_col)
+    if codebooks is None:
+        # sampled residual codebooks: the ks lowest-id rows' residuals,
+        # assigned + residualed driver-side with the projection's exact
+        # arithmetic so the oracle can re-derive them relationally
+        srows = (
+            emb.where(F.col(id_col) < ks)
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        cmap = {cell: [float(x) for x in vec] for cell, vec in cents}
+        rvecs = []
+        for r in srows:
+            v = [float(x) for x in r[1]]
+            cv = cmap[_assign_l2_py(v, cents)]
+            rvecs.append([a - b for a, b in zip(v, cv)])
+        codebooks = [
+            [rv[s - 1 : s - 1 + d] for rv in rvecs]
+            for (s, d) in pq_split(dims, m)
+        ]
+    codes = pq_encode(
+        res, codebooks, id_col=id_col, vec_col="residual",
+        keep_cols=["cell"],
+    )
+    # driver-side query prep: probe cells + per-(query, cell) LUTs with
+    # the exact engine arithmetic (left-to-right folds, HALF_UP round)
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cmap = {cell: [float(x) for x in cents_v] for cell, cents_v in cents}
+    by_cell_d: list[tuple[int, int, list[list[float]]]] = []
+    for r in qrows:
+        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        n2 = 0.0
+        for x in qv:
+            n2 += x * x
+        scored = []
+        for cell in sorted(cmap):
+            c = cmap[cell]
+            dot = 0.0
+            for a, b in zip(qv, c):
+                dot += a * b
+            cn2 = 0.0
+            for b in c:
+                cn2 += b * b
+            scored.append((_round4_half_up(n2 - 2.0 * dot + cn2), cell))
+        probe = [cell for _, cell in sorted(scored)[: int(nprobe)]]
+        for cell in probe:
+            qres = [a - b for a, b in zip(qv, cmap[cell])]
+            luts = []
+            for mi, (s, d) in enumerate(pq_split(dims, m)):
+                qsub = qres[s - 1 : s - 1 + d]
+                qn2 = 0.0
+                for x in qsub:
+                    qn2 += x * x
+                ents = []
+                for c in codebooks[mi]:
+                    dot = 0.0
+                    bn2 = 0.0
+                    for a, b in zip(qsub, c):
+                        dot += a * b
+                    for b in c:
+                        bn2 += b * b
+                    ents.append(_round4_half_up(qn2 - 2.0 * dot + bn2))
+                luts.append(ents)
+            by_cell_d.append((qid, cell, luts))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        by_cell_d,
+        "query_id long, cell int, luts array<array<double>>",
+    )
+    chain = " + ".join(
+        f"element_at(element_at(luts, {mi + 1}), codes[{mi}] + 1)"
+        for mi in range(m)
+    )
+    scored = (
+        codes.join(F.broadcast(probe_df), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(f"round({chain}, 4)").alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= int(k))
         .select(
             "query_id",

@@ -1110,6 +1110,61 @@ LEFT JOIN ov ON ov.stream_id = bd.stream_id AND ov.i = bd.rn
 """
 
 
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB display downsampling to 24 points per stream (parallel
+    fixed-anchor variant): global first/last plus per-bucket max
+    triangle area against neighbour-bucket mean anchors."""
+    from ..operators.timeseries import lttb_downsample
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    out = lttb_downsample(fact, order_cols=["event_id"], n_out=24)
+    return out.select(
+        "stream_id", "bucket", "timestamp", "event_id", "value"
+    )
+
+
+SQL_LTTB_DOWNSAMPLE = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), idx AS (
+  SELECT stream_id, timestamp, event_id, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY stream_id) AS n
+  FROM bounded
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp, event_id)
+), bk AS (
+  SELECT *, CAST(CASE WHEN n <= 24 THEN rn - 1
+                      WHEN rn = 1 THEN 0
+                      WHEN rn = n THEN 23
+                      ELSE (rn - 2) * 22 // (n - 2) + 1 END AS INT) AS bucket
+  FROM idx
+), anch AS (
+  SELECT stream_id, bucket, avg(rn) AS xb, round(avg(value), 6) AS yb
+  FROM bk GROUP BY 1, 2
+), nbr AS (
+  SELECT stream_id, bucket,
+         lag(xb) OVER w2 AS px, lag(yb) OVER w2 AS py,
+         lead(xb) OVER w2 AS nx, lead(yb) OVER w2 AS ny
+  FROM anch
+  WINDOW w2 AS (PARTITION BY stream_id ORDER BY bucket)
+), scored AS (
+  SELECT bk.stream_id, bk.bucket, bk.timestamp, bk.event_id, bk.value,
+         abs((px - nx) * (bk.value - py)
+             - (px - bk.rn) * (ny - py)) AS area2
+  FROM bk JOIN nbr ON nbr.stream_id = bk.stream_id
+                  AND nbr.bucket = bk.bucket
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY stream_id, bucket
+      ORDER BY area2 DESC NULLS LAST, timestamp, event_id) AS pick
+  FROM scored
+)
+SELECT stream_id, bucket, timestamp, event_id, value
+FROM ranked WHERE pick = 1
+"""
+
 SQL_HOLT_WINTERS = _hw_sql()
 
 
@@ -1137,4 +1192,7 @@ TAIL_REGISTRY = {
     # round-9: classical additive seasonal decomposition (centered-MA
     # trend, centered phase-mean seasonal, remainder)
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    # round-9: LTTB pixel-budget downsampling (parallel fixed-anchor
+    # variant: neighbour-bucket mean anchors, argmax triangle area)
+    "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
 }

@@ -1940,6 +1940,119 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {_PQ_K}
 """
 
+_IVFPQ_NLIST, _IVFPQ_NPROBE = 16, 4
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k (Jegou et al. 2011): coarse cells + product-
+    quantized residuals + per-(query, cell) ADC lookup tables, probing
+    nprobe=4 of nlist=16 cells.  Sampled centroids/codebooks (lowest-id
+    conventions) so the oracle re-derives assignment, residuals, codes,
+    probes, and ADC distances relationally; production injects
+    kmeans_parallel_centroids + pq_codebooks_kmeans over
+    ivfpq_residuals with identical downstream stages (pytest-pinned
+    recall)."""
+    from ..pipeline.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        _QUERY_IDS,
+        k=_PQ_K,
+        nlist=_IVFPQ_NLIST,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        ks=_PQ_KS,
+    )
+
+
+SQL_IVFPQ_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ct AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVFPQ_NLIST}),
+a0 AS (
+  SELECT e.vec_id, ct.cell,
+         round(list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, ct.cv)
+               + list_dot_product(ct.cv, ct.cv), 4) AS d2
+  FROM e CROSS JOIN ct
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM a0) WHERE rn = 1
+),
+res AS (
+  SELECT e.vec_id, asg.cell,
+         list_transform(range(1, 65), i -> e.v[i] - ct.cv[i]) AS r
+  FROM e JOIN asg USING (vec_id) JOIN ct ON ct.cell = asg.cell
+),
+mm AS (SELECT unnest(range({_PQ_M})) AS mi),
+cb AS (
+  SELECT mm.mi, res.vec_id AS code,
+         list_slice(res.r, mm.mi * {_PQ_SUBD} + 1,
+                    mm.mi * {_PQ_SUBD} + {_PQ_SUBD}) AS cv
+  FROM res CROSS JOIN mm WHERE res.vec_id < {_PQ_KS}
+),
+enc0 AS (
+  SELECT res.vec_id, res.cell, c.mi, c.code,
+         {_pq_d2_duck(
+             "list_slice(res.r, c.mi * " + str(_PQ_SUBD) + " + 1, "
+             "c.mi * " + str(_PQ_SUBD) + " + " + str(_PQ_SUBD) + ")",
+             "c.cv")} AS d2r
+  FROM res CROSS JOIN cb c
+),
+enc AS (
+  SELECT vec_id, cell, mi, code FROM (
+    SELECT vec_id, cell, mi, code,
+           row_number() OVER (PARTITION BY vec_id, mi
+                              ORDER BY d2r ASC, code ASC) AS rn
+    FROM enc0) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+qp0 AS (
+  SELECT q.query_id, ct.cell,
+         round(list_dot_product(q.qv, q.qv)
+               - 2 * list_dot_product(q.qv, ct.cv)
+               + list_dot_product(ct.cv, ct.cv), 4) AS d2
+  FROM q CROSS JOIN ct
+),
+qp AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, cell ASC) AS rn
+    FROM qp0) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT qp.query_id, qp.cell,
+         list_transform(range(1, 65), i -> q.qv[i] - ct.cv[i]) AS qr
+  FROM qp JOIN q USING (query_id) JOIN ct ON ct.cell = qp.cell
+),
+l AS (
+  SELECT qres.query_id, en.vec_id AS neighbor_id,
+         {_pq_d2_duck(
+             "list_slice(qres.qr, en.mi * " + str(_PQ_SUBD) + " + 1, "
+             "en.mi * " + str(_PQ_SUBD) + " + " + str(_PQ_SUBD) + ")",
+             "c.cv")} AS sub
+  FROM qres
+  JOIN enc en ON en.cell = qres.cell
+  JOIN cb c ON c.mi = en.mi AND c.code = en.code
+),
+adc AS (
+  SELECT query_id, neighbor_id, round(sum(sub), 4) AS adc_d2
+  FROM l WHERE neighbor_id != query_id GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_d2
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, neighbor_id ASC)
+                AS rank
+      FROM adc)
+WHERE rank <= {_PQ_K}
+"""
+
+
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users via HyperLogLog registers (p=10),
@@ -2111,4 +2224,6 @@ TAIL_PIPELINE_REGISTRY = {
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     # round-9: merged-registers == direct-build equality, oracle-pinned
     "hll_merge_days": (q_hll_merge_days, SQL_HLL_MERGE_DAYS),
+    # round-9: IVFADC — coarse cells + PQ residuals + probed ADC LUTs
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
 }

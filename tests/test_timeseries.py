@@ -506,3 +506,40 @@ def test_seasonal_decompose_recovers_planted_components(spark):
             assert r["trend"] == 100.0
             assert r["remainder"] == 0.0
         assert abs(r["seasonal"] - s[i % 5]) < 1e-9
+
+
+def test_lttb_keeps_endpoints_spike_and_bucket_count(spark):
+    from nntsc_spark.operators.timeseries import lttb_downsample
+
+    # stream 1: 48 flat points with one spike a bucket-average would
+    # smooth away; stream 2: fewer points than the budget
+    rows = [(1, t, 100.0 if t == 20 else 10.0 + (t % 3) * 0.1)
+            for t in range(48)]
+    rows += [(2, t, float(t)) for t in range(4)]
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = lttb_downsample(df, n_out=6).collect()
+    s1 = sorted([r for r in out if r.stream_id == 1],
+                key=lambda r: r.timestamp)
+    s2 = sorted([r for r in out if r.stream_id == 2],
+                key=lambda r: r.timestamp)
+    # budget respected, one point per bucket, endpoints kept
+    assert len(s1) == 6
+    assert [r.bucket for r in s1] == [0, 1, 2, 3, 4, 5]
+    assert s1[0].timestamp == 0 and s1[-1].timestamp == 47
+    # the spike is the max-area point of its bucket
+    assert any(r.timestamp == 20 and r.value == 100.0 for r in s1)
+    # a series shorter than the budget passes through untouched
+    assert [r.timestamp for r in s2] == [0, 1, 2, 3]
+    assert [r.bucket for r in s2] == [0, 1, 2, 3]
+
+
+def test_lttb_rejects_tiny_budget(spark):
+    from nntsc_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0)], "stream_id long, timestamp long, value double"
+    )
+    with pytest.raises(ValueError):
+        lttb_downsample(df, n_out=2)

@@ -190,11 +190,27 @@ def _capped_queries():
             F.round(F.avg("ewma"), 4).alias("mean_ewma"),
         )
 
+    def seasonal_summary(spark, d):
+        # same driver-result-size instrument limit: the registered query
+        # returns one row per event x 7 cols, so the x1000 cell exceeds
+        # maxResultSize (1052 MiB observed); identical decomposition,
+        # bounded per-stream rollup on top
+        from nntsc_spark.operators.timeseries import seasonal_decompose
+
+        fact = time_filter(events_fact(spark, d, START, STOP), START, STOP)
+        dec = seasonal_decompose(fact, order_cols=["event_id"], period=24)
+        return dec.groupBy("stream_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.abs("seasonal")), 4).alias("mean_abs_seasonal"),
+            F.round(F.avg(F.abs("remainder")), 4).alias("mean_abs_remainder"),
+        )
+
     return (
         {"frequency_bounded": frequency_bounded,
          "counter_rate_summary": counter_rate_summary,
          "holt_winters_summary": holt_winters_summary,
-         "ewma_summary": ewma_summary},
+         "ewma_summary": ewma_summary,
+         "seasonal_summary": seasonal_summary},
         {
             "minhash_pruned": lambda spark, d: minhash_near_duplicates(
                 load_table(spark, d, "documents"), verify_prune=True
@@ -230,6 +246,10 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     # holding matches-per-interval constant).  x10 is enough to show the
     # join itself is linear in its output.
     "interval_attr": 10,
+    # one row per event x 7 cols: the x1000 result exceeds driver
+    # maxResultSize (1052 MiB observed) — instrument limit; the
+    # seasonal_summary variant carries the x1000 cell
+    "seasonal_decompose": 100,
 }
 
 
