@@ -734,3 +734,85 @@ def lttb_downsample(
         .filter(F.col("_pick") == 1)
         .drop("_rn", "_n", "_px", "_py", "_nx", "_ny", "_area2", "_pick")
     )
+
+
+def time_weighted_avg(
+    fact: DataFrame,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    binsize: int = 300,
+    order_cols: list[str] | None = None,
+    max_carry: int | None = None,
+) -> DataFrame:
+    """Time-weighted average per (key, bin) under step-function (hold-
+    last-value) interpolation — the consolidation semantics of the RRD
+    family the reference scrapes (an RRA AVERAGE cell is the
+    time-weighted mean of the step function over the cell, not the
+    arithmetic mean of however many samples landed in it; reference:
+    libnntsc's rrd-smokeping collection stores exactly such
+    consolidated series).  Plain ``avg`` over-weights bursts of closely
+    spaced samples; TWA is invariant to sampling cadence.
+
+    Each sample holds its value from its own timestamp until the next
+    sample on the key (the last sample holds to the end of its own
+    bin), the hold interval is split at bin boundaries, and each bin
+    averages values weighted by held seconds inside the bin.
+
+    Scale shape: one ordered window on the key (the ``lead``), then a
+    bounded ``sequence`` explode — a sample expands into one row per
+    bin its hold interval touches, which is 1-2 rows whenever the
+    measurement frequency is below the bin size (the NNTSC regime).
+    ``max_carry`` caps the hold (seconds) so a sample preceding a long
+    outage cannot explode into gap/binsize rows NOR smear a stale value
+    across the outage — both the row-count guard and the honest-gap
+    semantics (RRD marks such cells unknown); set it to the stream's
+    expected frequency x a small slack, as RRD's heartbeat does.  The
+    final per-(key, bin) groupBy is map-side combinable.  Weights are
+    exact integer seconds; only the final ratio is float (round-6
+    pinned).
+
+    Output: (key, binstart, twa, covered_seconds).
+    """
+    binsize = int(binsize)
+    order = [ts_col] + (order_cols or [])
+    w_ord = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(ts_col).over(w_ord)
+    # exact integer division throughout (`div`, not floor(a/b)): a float
+    # quotient one ulp under an exact bin boundary would mis-bin
+    bin_end_own = F.expr(
+        f"(CAST(`{ts_col}` AS BIGINT) div {binsize} + 1) * {binsize}"
+    )
+    end = F.coalesce(nxt, bin_end_own)
+    if max_carry is not None:
+        end = F.least(end, F.col(ts_col) + int(max_carry))
+    seg = (
+        fact.select(key, *order, value_col)
+        .withColumn("_end", end)
+        .where(F.col("_end") > F.col(ts_col))
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(`{ts_col}` AS BIGINT) div {binsize}"),
+                    F.expr(f"(_end - 1) div {binsize}"),
+                )
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.least(F.col("_end"), (F.col("bin") + 1) * binsize)
+            - F.greatest(F.col(ts_col), F.col("bin") * binsize),
+        )
+    )
+    return seg.groupBy(key, "bin").agg(
+        F.round(
+            F.sum(F.col(value_col) * F.col("_w")) / F.sum("_w"), 6
+        ).alias("twa"),
+        F.sum("_w").cast("long").alias("covered_seconds"),
+    ).select(
+        key,
+        (F.col("bin") * binsize).cast("long").alias("binstart"),
+        "twa",
+        "covered_seconds",
+    )

@@ -823,3 +823,41 @@ def bigram_logprob_scores(
             ).alias("backoff_rate"),
         )
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every document a ``split`` label ('train' / 'validation' /
+    'test') from ONE hash bucket per row — so the three splits are an
+    exact partition (mutually exclusive, exhaustive, no document can
+    drift between splits when the corpus is re-read or re-partitioned),
+    which two independent :func:`deterministic_sample` draws cannot
+    guarantee.
+
+    The bucket is the shared :func:`hash_priority_expr` (md5-derived,
+    oracle-reproducible); cumulative thresholds are rounded the same
+    way the samplers round rates, so ``fractions=(0.9, 0.05, 0.05)``
+    means buckets [0, 9000) / [9000, 9500) / [9500, 10000).  The hash
+    is keyed on the document id alone, so membership is independent of
+    any attribute — per-source proportions converge to the fractions
+    (iid buckets) without a stratification shuffle.  Changing ``salt``
+    redraws the entire assignment.  Pure projection: no shuffle, stays
+    in codegen.
+    """
+    f_train, f_val, f_test = (float(f) for f in fractions)
+    tot = f_train + f_val + f_test
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    t1 = int(round(f_train * SAMPLE_MOD))
+    t2 = int(round((f_train + f_val) * SAMPLE_MOD))
+    bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
+    return docs.withColumn(
+        "split",
+        F.when(bucket < t1, F.lit("train"))
+        .when(bucket < t2, F.lit("validation"))
+        .otherwise(F.lit("test")),
+    )

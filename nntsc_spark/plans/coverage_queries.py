@@ -1165,6 +1165,46 @@ SELECT stream_id, bucket, timestamp, event_id, value
 FROM ranked WHERE pick = 1
 """
 
+def q_twa_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (stream, hour) under hold-last-value
+    interpolation — RRD AVERAGE-consolidation semantics (a sample holds
+    until the next one; the last holds to its own bin end)."""
+    from ..operators.timeseries import time_weighted_avg
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    return time_weighted_avg(
+        fact, binsize=3600, order_cols=["event_id"]
+    )
+
+
+SQL_TWA_BIN = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), seg0 AS (
+  SELECT stream_id, timestamp, value,
+         coalesce(lead(timestamp) OVER (PARTITION BY stream_id
+                                        ORDER BY timestamp, event_id),
+                  (timestamp // 3600 + 1) * 3600) AS e
+  FROM bounded
+), seg AS (SELECT * FROM seg0 WHERE e > timestamp),
+ex AS (
+  SELECT stream_id, timestamp, value, e,
+         unnest(range(timestamp // 3600, (e - 1) // 3600 + 1)) AS bin
+  FROM seg
+), wtd AS (
+  SELECT stream_id, bin, value,
+         least(e, (bin + 1) * 3600)
+           - greatest(timestamp, bin * 3600) AS wt
+  FROM ex
+)
+SELECT stream_id, CAST(bin * 3600 AS BIGINT) AS binstart,
+       round(sum(value * wt) / sum(wt), 6) AS twa,
+       CAST(sum(wt) AS BIGINT) AS covered_seconds
+FROM wtd GROUP BY 1, 2
+"""
+
 SQL_HOLT_WINTERS = _hw_sql()
 
 
@@ -1195,4 +1235,7 @@ TAIL_REGISTRY = {
     # round-9: LTTB pixel-budget downsampling (parallel fixed-anchor
     # variant: neighbour-bucket mean anchors, argmax triangle area)
     "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
+    # round-9: RRD AVERAGE-consolidation semantics — hold-last-value
+    # time-weighted per-bin means, exact integer-second weights
+    "twa_bin": (q_twa_bin, SQL_TWA_BIN),
 }

@@ -2052,6 +2052,37 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {_PQ_K}
 """
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test partition of the corpus from
+    one md5 bucket per document (exact partition: exclusive, exhaustive,
+    layout-independent), summarized per (source, split)."""
+    from ..pipeline.text import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = train_val_test_split(docs, (0.9, 0.05, 0.05))
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,4 +2257,6 @@ TAIL_PIPELINE_REGISTRY = {
     "hll_merge_days": (q_hll_merge_days, SQL_HLL_MERGE_DAYS),
     # round-9: IVFADC — coarse cells + PQ residuals + probed ADC LUTs
     "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    # round-9: exact-partition train/val/test assignment from one hash
+    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
 }

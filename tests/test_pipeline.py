@@ -1812,3 +1812,31 @@ def test_ivfpq_production_path_recall_and_contract(spark):
     for r in pruned:
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert set(per_q) == set(qids) and all(v == 10 for v in per_q.values())
+
+
+def test_train_val_test_split_is_exact_partition_and_nests(spark):
+    from nntsc_spark.pipeline.text import train_val_test_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1))
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive exact partition
+    assert sum(by.values()) == n
+    assert set(by) == {"train", "validation", "test"}
+    # proportions near fractions (iid md5 buckets; generous tolerance)
+    assert abs(by["train"] / n - 0.8) < 0.1
+    # deterministic: re-running assigns identical labels
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_val_test_split(docs, (0.8, 0.1, 0.1)).collect()}
+    assert a == b
+    # growing the train fraction only PROMOTES docs toward train
+    # (thresholds nest on the same bucket), never swaps train->test
+    wider = {r["doc_id"]: r["split"] for r in
+             train_val_test_split(docs, (0.9, 0.05, 0.05)).collect()}
+    rank = {"train": 0, "validation": 1, "test": 2}
+    assert all(rank[wider[d]] <= rank[a[d]] for d in a)
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (0.5, 0.2, 0.2))

@@ -543,3 +543,50 @@ def test_lttb_rejects_tiny_budget(spark):
     )
     with pytest.raises(ValueError):
         lttb_downsample(df, n_out=2)
+
+
+def test_twa_holds_value_splits_bins_and_caps_carry(spark):
+    from nntsc_spark.operators.timeseries import time_weighted_avg
+
+    # stream 1, binsize 10: [0,5)@10, [5,12)@20, [12,20)@30 (last holds
+    # to its own bin end).  bin0 = (10*5 + 20*5)/10; bin1 = (20*2 + 30*8)/10
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 5, 20.0), (1, 12, 30.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    out = {
+        r.binstart: (r.twa, r.covered_seconds)
+        for r in time_weighted_avg(df, binsize=10).collect()
+    }
+    assert out == {0: (15.0, 10), 10: (28.0, 10)}
+
+    # a sample preceding a long gap: uncapped it smears across the gap;
+    # max_carry truncates the hold (and the bin fan-out) at the cap
+    gap = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 95, 20.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    uncapped = {
+        r.binstart: r.covered_seconds
+        for r in time_weighted_avg(gap, binsize=10).collect()
+    }
+    assert len(uncapped) == 10 and uncapped[40] == 10
+    capped = {
+        r.binstart: (r.twa, r.covered_seconds)
+        for r in time_weighted_avg(gap, binsize=10, max_carry=15).collect()
+    }
+    assert set(capped) == {0, 10, 90}
+    assert capped[0] == (10.0, 10) and capped[10] == (10.0, 5)
+
+    # duplicate timestamps: only the last (by order_cols) holds
+    dup = spark.createDataFrame(
+        [(1, 0, 1, 10.0), (1, 0, 2, 50.0), (1, 5, 3, 50.0)],
+        "stream_id long, timestamp long, event_id long, value double",
+    )
+    got = {
+        r.binstart: r.twa
+        for r in time_weighted_avg(
+            dup, binsize=10, order_cols=["event_id"]
+        ).collect()
+    }
+    assert got == {0: 50.0}
