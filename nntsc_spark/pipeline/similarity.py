@@ -1579,8 +1579,16 @@ def _cents_array_sql(cents: list[tuple[int, list[float]]]) -> str:
 
 def _assign_l2_round4_sql(vec_col: str, n2_col: str,
                           cents: list[tuple[int, list[float]]]) -> str:
-    """SQL text: 0-based nearest-centroid index by FULL squared L2
-    distance ``round(|x|^2 - 2 x.c + |c|^2, 4)`` (ties -> lowest cell).
+    """SQL text: the ARRAY of round-4-pinned FULL squared L2 distances
+    ``round(|x|^2 - 2 x.c + |c|^2, 4)`` to every centroid (cell order).
+
+    Returns the array, NOT the argmin: higher-order-function folds run
+    interpreted (outside codegen), so the caller must materialize this
+    array in its OWN projection layer and take
+    ``array_position(ds, array_min(ds)) - 1`` over the COLUMN in the
+    next layer — inlining the argmin would evaluate all nlist folds
+    twice per row (once under array_position, once under array_min), the
+    blowup :func:`ivf_topk`'s ``_cs`` layer exists to prevent.
 
     Unlike :func:`_argmin_cells_sql`'s unrounded ``|c|^2 - 2 x.c`` form,
     the full non-negative d2 is round-4 pinned: residual codebooks hang
@@ -1601,8 +1609,7 @@ def _assign_l2_round4_sql(vec_col: str, n2_col: str,
         for x in c:
             cn2 += x * x
         terms.append(f"round(`{n2_col}` - 2D * {dot} + {cn2!r}D, 4)")
-    ds = "array(" + ", ".join(terms) + ")"
-    return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+    return "array(" + ", ".join(terms) + ")"
 
 
 def _assign_l2_py(v: list[float], cents: list[tuple[int, list[float]]]) -> int:
@@ -1648,12 +1655,23 @@ def ivfpq_residuals(
             "(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x)"
         ).alias("_n2"),
     )
-    assigned = pre.select(
+    # the nlist fold expressions materialize ONCE per row in their own
+    # projection (the ivf_topk `_cs` discipline); argmin then reads the
+    # column — inlined, array_position + array_min would each re-run
+    # every fold (measured 80 s -> this layering at the x100 probe)
+    withds = pre.select(
         id_col,
         vec_col,
         F.expr(_assign_l2_round4_sql(vec_col, "_n2", centroids)).alias(
-            "cell"
+            "_ds"
         ),
+    )
+    assigned = withds.select(
+        id_col,
+        vec_col,
+        (F.array_position(F.col("_ds"), F.array_min("_ds")) - 1)
+        .cast("int")
+        .alias("cell"),
     )
     return assigned.select(
         id_col,

@@ -1205,6 +1205,101 @@ SELECT stream_id, CAST(bin * 3600 AS BIGINT) AS binstart,
 FROM wtd GROUP BY 1, 2
 """
 
+def _hourly_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared consolidation grid for the correlation queries: per-
+    (stream, hour) round-6 mean — correlations run over the CONSOLIDATED
+    volume, never raw samples."""
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    return (
+        fact.withColumn(
+            "bin", F.expr("CAST(timestamp AS BIGINT) div 3600")
+        )
+        .groupBy("stream_id", "bin")
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+
+
+def q_acf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream autocorrelation of the hourly-mean series at row lags
+    1-3: one ordered window materializes every lag column in a single
+    exchange, one grouped aggregate computes the correlations."""
+    from ..operators.correlate import autocorrelation
+
+    return autocorrelation(
+        _hourly_binned(spark, sf_dir), lags=[1, 2, 3], bin_col="bin"
+    )
+
+
+SQL_ACF_STREAM = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), binned AS (
+  SELECT stream_id, timestamp // 3600 AS bin,
+         round(avg(value), 6) AS v
+  FROM bounded GROUP BY 1, 2
+), lagd AS (
+  SELECT stream_id, v,
+         lag(v, 1) OVER w AS l1,
+         lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3
+  FROM binned
+  WINDOW w AS (PARTITION BY stream_id ORDER BY bin)
+), u AS (
+  SELECT stream_id, 1 AS lag, CAST(count(l1) AS BIGINT) AS n_pairs,
+         round(corr(v, l1), 4) AS acf FROM lagd GROUP BY 1
+  UNION ALL
+  SELECT stream_id, 2 AS lag, CAST(count(l2) AS BIGINT) AS n_pairs,
+         round(corr(v, l2), 4) AS acf FROM lagd GROUP BY 1
+  UNION ALL
+  SELECT stream_id, 3 AS lag, CAST(count(l3) AS BIGINT) AS n_pairs,
+         round(corr(v, l3), 4) AS acf FROM lagd GROUP BY 1
+)
+SELECT stream_id, lag, n_pairs,
+       CASE WHEN n_pairs >= 8 THEN acf END AS acf
+FROM u
+"""
+
+
+def q_stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most-correlated stream pairs over shared hourly bins —
+    the mesh/matrix "which paths degrade together" question; one
+    equi-join on the time axis + one grouped aggregate, top-n via
+    TakeOrderedAndProject."""
+    from ..operators.correlate import stream_correlation
+
+    return stream_correlation(
+        _hourly_binned(spark, sf_dir),
+        bin_col="bin",
+        min_overlap=8,
+        top_n=50,
+    )
+
+
+SQL_STREAM_CORR = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), binned AS (
+  SELECT stream_id, timestamp // 3600 AS bin,
+         round(avg(value), 6) AS v
+  FROM bounded GROUP BY 1, 2
+), pairs AS (
+  SELECT a.stream_id AS stream_a, b.stream_id AS stream_b,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         round(corr(a.v, b.v), 4) AS corr
+  FROM binned a JOIN binned b
+    ON a.bin = b.bin AND a.stream_id < b.stream_id
+  GROUP BY 1, 2
+)
+SELECT stream_a, stream_b, n_bins, corr FROM pairs
+WHERE n_bins >= 8 AND corr IS NOT NULL
+ORDER BY abs(corr) DESC, stream_a, stream_b
+LIMIT 50
+"""
+
 SQL_HOLT_WINTERS = _hw_sql()
 
 
@@ -1238,4 +1333,7 @@ TAIL_REGISTRY = {
     # round-9: RRD AVERAGE-consolidation semantics — hold-last-value
     # time-weighted per-bin means, exact integer-second weights
     "twa_bin": (q_twa_bin, SQL_TWA_BIN),
+    # round-9: correlation analytics over the consolidated grid
+    "acf_stream": (q_acf_stream, SQL_ACF_STREAM),
+    "stream_corr": (q_stream_corr, SQL_STREAM_CORR),
 }

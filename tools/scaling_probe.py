@@ -48,7 +48,12 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            "cusum_change", "hll_distinct", "interval_attr",
            # r9: classical decomposition (one ordered window + two
            # bounded aggs) and the daily-register HLL merge path
-           "seasonal_decompose", "hll_merge_days"]
+           "seasonal_decompose", "hll_merge_days",
+           # r9: RRD-style time-weighted consolidation (bounded explode,
+           # streams x bins output) and LTTB pixel-budget downsampling
+           # (streams x n_out output — both stay driver-returnable at
+           # x1000 because output size is the contract, not the input)
+           "twa_bin", "lttb_downsample"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -79,7 +84,10 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # corpus x queries rows)
                     "doc_clean_lines", "pq_topk",
                     # r9: vocabulary-sized PageRank iterations
-                    "textrank_keywords"]
+                    "textrank_keywords",
+                    # r9: IVFADC (projection encode + broadcast LUT join)
+                    # and the one-hash split assignment rollup
+                    "ivfpq_topk", "doc_split"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
