@@ -93,3 +93,45 @@ def training_corpus(
     return kept.select(
         "doc_id", scrubbed.alias("text"), "n_tokens", "quality_score"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot change accounting: classify every document
+    id as ``added`` / ``removed`` / ``changed`` / ``unchanged`` between
+    two corpus snapshots — the bookkeeping step every incremental
+    training-data refresh needs before deciding what to re-process
+    (re-tokenize/re-embed only ``added``+``changed``; retire
+    ``removed`` from the index).
+
+    Content identity is ``md5(text)`` — EXACT equality, deliberately not
+    the shingle :func:`~nntsc_spark.pipeline.text.fingerprint` (near-dup
+    identity would classify a real edit as unchanged).  Shape: one
+    projection per side (scan + md5, no shuffle), one full-outer
+    equi-join on the unique document key (both sides co-partition on the
+    join key; unique keys -> no skew), one CASE.  Output size is
+    |old ∪ new| — the contract, not a blowup.
+
+    Output: (key, status, fp_old, fp_new).
+    """
+    o = old.select(
+        F.col(key_col), F.md5(F.col(text_col)).alias("fp_old")
+    )
+    n = new.select(
+        F.col(key_col), F.md5(F.col(text_col)).alias("fp_new")
+    )
+    joined = o.join(n, key_col, "full_outer")
+    return joined.select(
+        key_col,
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "fp_old",
+        "fp_new",
+    )

@@ -2082,6 +2082,50 @@ SELECT source,
 FROM b GROUP BY 1, 2
 """
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff accounting: the 'old' snapshot drops every 7th doc
+    (additions) and edits every 11th (changes); counts per (source,
+    status) drive the incremental re-process decision."""
+    from ..pipeline.corpus import corpus_diff
+
+    new = load_table(spark, sf_dir, "documents")
+    old = new.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d = corpus_diff(old, new)
+    return d.join(
+        new.select("doc_id", "source"), "doc_id", "left"
+    ).groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+), o AS (SELECT doc_id, md5(text) AS fp_old FROM old),
+n AS (SELECT doc_id, md5(text) AS fp_new FROM documents),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp_old IS NULL THEN 'added'
+              WHEN n.fp_new IS NULL THEN 'removed'
+              WHEN o.fp_old = n.fp_new THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc.source, d.status, CAST(count(*) AS BIGINT) AS n_docs
+FROM d LEFT JOIN documents doc ON doc.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 
 
 
@@ -2259,4 +2303,6 @@ TAIL_PIPELINE_REGISTRY = {
     "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
     # round-9: exact-partition train/val/test assignment from one hash
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    # round-9: snapshot diff accounting for incremental refreshes
+    "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
 }

@@ -1840,3 +1840,22 @@ def test_train_val_test_split_is_exact_partition_and_nests(spark):
     assert all(rank[wider[d]] <= rank[a[d]] for d in a)
     with pytest.raises(ValueError):
         train_val_test_split(docs, (0.5, 0.2, 0.2))
+
+
+def test_corpus_diff_classifies_all_transitions(spark):
+    from nntsc_spark.pipeline.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+    }
+    # output covers old ∪ new exactly once
+    assert len(got) == 4

@@ -53,7 +53,10 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            # streams x bins output) and LTTB pixel-budget downsampling
            # (streams x n_out output — both stay driver-returnable at
            # x1000 because output size is the contract, not the input)
-           "twa_bin", "lttb_downsample"]
+           "twa_bin", "lttb_downsample",
+           # r9: correlation analytics over the consolidated hourly grid
+           # (outputs bounded by streams x lags / top-n)
+           "acf_stream", "stream_corr"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
