@@ -71,17 +71,29 @@ def autocorrelation(
             for k in lags
         ],
     )
-    per_lag = [
-        lagged.groupBy(key).agg(
-            F.lit(int(k)).alias("lag"),
-            F.count(f"_l{k}").cast("long").alias("n_pairs"),
-            _corr4("_v", f"_l{k}").alias("acf"),
-        )
-        for k in lags
-    ]
-    out = per_lag[0]
-    for nxt in per_lag[1:]:
-        out = out.unionByName(nxt)
+    # ALL lags aggregate in ONE pass (a per-lag union would re-run the
+    # scan + window once per lag — the plan audit caught [3,3,3] scans),
+    # then unpivot the single row-per-key via an exploded struct array
+    aggs = []
+    for k in lags:
+        aggs.append(F.count(f"_l{k}").cast("long").alias(f"_np{k}"))
+        aggs.append(_corr4("_v", f"_l{k}").alias(f"_acf{k}"))
+    wide = lagged.groupBy(key).agg(*aggs)
+    out = wide.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(k)).alias("lag"),
+                        F.col(f"_np{k}").alias("n_pairs"),
+                        F.col(f"_acf{k}").alias("acf"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("_s"),
+    ).select(key, "_s.lag", "_s.n_pairs", "_s.acf")
     return out.withColumn(
         "acf",
         F.when(F.col("n_pairs") >= int(min_pairs), F.col("acf")),

@@ -90,6 +90,15 @@ HEADLINE = [
     "interval_attr",
     "pq_topk",
     "textrank_keywords",
+    "seasonal_decompose",
+    "hll_merge_days",
+    "lttb_downsample",
+    "ivfpq_topk",
+    "twa_bin",
+    "doc_split",
+    "acf_stream",
+    "stream_corr",
+    "corpus_diff",
 ]
 
 
