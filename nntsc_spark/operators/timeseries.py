@@ -816,3 +816,92 @@ def time_weighted_avg(
         "twa",
         "covered_seconds",
     )
+
+
+def hampel_filter(
+    fact: DataFrame,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    half_window: int = 10,
+    n_sigmas: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Hampel outlier filter: each point is compared against the MEDIAN
+    of its centered ±``half_window`` neighborhood, with the spread
+    estimated by the median absolute deviation (MAD x 1.4826, the
+    consistency constant that makes MAD estimate sigma for Gaussian
+    data).  ``is_outlier`` when ``|x - med| > n_sigmas * 1.4826 * MAD``;
+    ``repaired`` replaces flagged points with the local median.
+
+    This is the ROBUST sibling of :func:`rolling_zscore`: a mean/stddev
+    detector is itself dragged by the spike it is trying to flag (one
+    10x RTT spike inflates the stddev enough to mask its neighbors),
+    while median/MAD has a 50% breakdown point — the standard cleaner
+    run over latency series before smoothing/forecasting (the
+    reference's downstream eventing consumes exactly such de-spiked
+    NNTSC exports).
+
+    Spark has no nested-window median-of-deviations, so the
+    neighborhood travels once as a bounded ``collect_list`` frame
+    (2*half_window+1 values) and both medians are array expressions
+    over its sorted copy — everything JVM-side, no Python.  One shuffle
+    (the window partition); per-row cost is O(w log w) with w a small
+    CONSTANT, so the plan scales exactly like the other per-key ordered
+    windows.  A constant neighborhood (MAD 0) flags any deviation from
+    the median, matching the classic filter's behavior.
+
+    All outputs are exact doubles — medians of observed values, their
+    midpoints, and one product — so both engines reproduce the chain
+    bit-for-bit with no rounding step to disagree on.
+    """
+    order = [ts_col] + (order_cols or [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    k = float(n_sigmas) * 1.4826
+    # collect_list skips NULL values, so the sorted neighborhood and its
+    # size n reflect observed points only
+    out = fact.withColumn("_nb", F.array_sort(F.collect_list(value_col).over(w)))
+    n = F.size("_nb")
+
+    def arr_median(arr: F.Column, n: F.Column) -> F.Column:
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return (lo + hi) / 2
+
+    # n > 0 guard: element_at is 1-based and ANSI-strict, and an all-NULL
+    # neighborhood (possible when the key's values are sparse) collects
+    # an empty array — CASE WHEN short-circuits, so the indexing never
+    # runs against it
+    med = F.when(n > 0, arr_median(F.col("_nb"), n))
+    out = out.withColumn("_med", med)
+    devs = F.array_sort(
+        F.transform(F.col("_nb"), lambda v: F.abs(v - F.col("_med")))
+    )
+    # NO rounding on the product: med/MAD are exact array medians, so
+    # the raw double chain is engine-deterministic, while round(x, 4)
+    # is NOT (Spark rounds the double's exact decimal expansion HALF_UP,
+    # DuckDB rounds the binary-scaled value — they disagree one ulp off
+    # a .5 boundary, observed live on this operator's first oracle run)
+    mad = F.when(n > 0, arr_median(devs, n))
+    scale = F.lit(k) * mad
+    flag = F.when(
+        (n >= int(min_points)) & F.col(value_col).isNotNull(),
+        F.abs(F.col(value_col) - F.col("_med")) > scale,
+    )
+    return (
+        out.withColumn("mad_sigma", scale)
+        .withColumn("is_outlier", flag)
+        .withColumn(
+            "repaired",
+            F.when(F.col("is_outlier"), F.col("_med")).otherwise(
+                F.col(value_col)
+            ),
+        )
+        .withColumnRenamed("_med", "med")
+        .drop("_nb")
+    )

@@ -861,3 +861,112 @@ def train_val_test_split(
         .when(bucket < t2, F.lit("validation"))
         .otherwise(F.lit("test")),
     )
+
+
+def cap_per_key(
+    docs: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per key — the per-domain cap of
+    RefinedWeb-style web curation (a handful of template-heavy hosts
+    otherwise contribute millions of near-identical pages; capping each
+    domain bounds any single origin's share of the corpus).
+
+    Selection inside a key is by ``priority_col`` DESCENDING (e.g. a
+    quality score — the cap keeps the BEST ``cap`` docs, not an
+    arbitrary subset), tie-broken by the shared md5 priority so the
+    survivor set is a pure function of (data, salt) on any cluster
+    layout.  With no priority column the hash alone picks a uniform
+    deterministic subset.
+
+    Scale shape: the ``row_number() <= cap`` predicate directly above
+    the window is the exact pattern Catalyst's rank-limit rule rewrites
+    into a ``WindowGroupLimit``: every task keeps only its local top
+    ``cap`` rows per key BEFORE the shuffle, so a pathologically hot
+    key (the 100M-page domain this operator exists for) moves at most
+    ``cap x tasks`` rows, not its full fan-in.  One shuffle total.
+    """
+    from pyspark.sql import Window
+
+    order = []
+    if priority_col is not None:
+        order.append(F.col(priority_col).desc())
+    order.append(hash_priority_expr(id_col, salt).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(cap))
+        .drop("_rn")
+    )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Materialize a training mixture stated in EPOCHS per source
+    ("2 epochs of wiki, 0.3 epochs of web") — the other way real mixes
+    are specified besides token budgets (:func:`token_budget_sample`)
+    and temperature rates (:func:`temperature_sample`).  Each document
+    is replicated ``floor(e)`` times, and a deterministic
+    ``frac(e)``-fraction of the stratum appears once more — so the
+    stratum's total mass is ``n_docs * e`` in expectation with zero
+    variance beyond the hash draw, and the output carries an ``epoch``
+    index (0-based replica number) so the shard writer can salt each
+    epoch's order independently.
+
+    Scale shape: a literal CASE maps the stratum to its copy count, a
+    bounded ``sequence`` explode emits the replicas, and one
+    codegen'd filter keeps the fractional epoch's members — no shuffle,
+    no join; output size is exactly the mixture's mass.  ``e = 0``
+    drops the stratum (empty sequence explodes to nothing).  The
+    fractional draw reuses the samplers' md5 hash keyed on the doc id,
+    so it NESTS: raising 2.3 -> 2.6 epochs keeps every previously
+    emitted replica and only adds rows.
+    """
+    import math
+
+    def plan(e: float) -> tuple[int, int, int]:
+        e = float(e)
+        if e < 0:
+            raise ValueError(f"epochs must be >= 0, got {e}")
+        full = int(math.floor(e))
+        thr = int(round((e - full) * SAMPLE_MOD))
+        copies = full + (1 if thr > 0 else 0)
+        return copies, full, thr
+
+    default_copies, default_full, default_thr = plan(default_epochs)
+    copies_e = F.lit(default_copies)
+    full_e = F.lit(default_full)
+    thr_e = F.lit(default_thr)
+    for stratum, e in sorted(
+        epochs.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+    ):
+        copies, full, thr = plan(e)
+        cond = (
+            F.col(strata_col).isNull()
+            if stratum is None
+            else F.col(strata_col) == stratum
+        )
+        copies_e = F.when(cond, F.lit(copies)).otherwise(copies_e)
+        full_e = F.when(cond, F.lit(full)).otherwise(full_e)
+        thr_e = F.when(cond, F.lit(thr)).otherwise(thr_e)
+    # sequence(0, -1) would COUNT DOWN ([0, -1] — Spark infers step -1),
+    # so the zero-copy case must explode an explicitly empty array
+    seq = F.when(copies_e > 0, F.sequence(F.lit(0), copies_e - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bucket = hash_priority_expr(key_col, salt) % SAMPLE_MOD
+    out = docs.withColumn("epoch", F.explode(seq))
+    return out.where(
+        (F.col("epoch") < full_e)
+        | ((F.col("epoch") == full_e) & (bucket < thr_e))
+    )

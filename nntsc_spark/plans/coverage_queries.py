@@ -1303,6 +1303,62 @@ LIMIT 50
 SQL_HOLT_WINTERS = _hw_sql()
 
 
+
+def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier repair over every 10th stream (whole-stream
+    subset — the window partitions on the stream, so filtering entire
+    streams leaves every surviving row's neighborhood intact): each
+    point vs the median/MAD of its centered +/-10 window.  Row-level
+    output so the oracle hash pins every median, threshold, flag, and
+    repaired value.  NULL values are filtered first on BOTH sides
+    (DuckDB's list() keeps NULLs where collect_list drops them)."""
+    from ..operators.timeseries import hampel_filter
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    fact = fact.where(
+        F.col("value").isNotNull() & (F.col("stream_id") % 10 == 0)
+    )
+    return hampel_filter(
+        fact, order_cols=["event_id"], half_window=10,
+        n_sigmas=3.0, min_points=5,
+    ).select(
+        "stream_id", "timestamp", "event_id", "value",
+        "med", "mad_sigma", "is_outlier", "repaired",
+    )
+
+
+SQL_HAMPEL = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, event_id, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+    AND value IS NOT NULL AND stream_id % 10 = 0
+), nb AS (
+  SELECT stream_id, timestamp, event_id, value,
+         list_sort(list(value) OVER w) AS ls
+  FROM bounded
+  WINDOW w AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+               ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+), medians AS (
+  SELECT *, len(ls) AS n,
+         (ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1]) / 2 AS med
+  FROM nb
+), scaled AS (
+  SELECT *,
+         CAST('4.4478' AS DOUBLE) * (
+           (list_sort(list_transform(ls, v -> abs(v - med)))[(n + 1) // 2]
+            + list_sort(list_transform(ls, v -> abs(v - med)))[n // 2 + 1])
+           / 2) AS mad_sigma
+  FROM medians
+)
+SELECT stream_id, timestamp, event_id, value, med, mad_sigma,
+       CASE WHEN n >= 5 THEN abs(value - med) > mad_sigma END AS is_outlier,
+       CASE WHEN n >= 5 AND abs(value - med) > mad_sigma
+            THEN med ELSE value END AS repaired
+FROM scaled
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -1336,4 +1392,7 @@ TAIL_REGISTRY = {
     # round-9: correlation analytics over the consolidated grid
     "acf_stream": (q_acf_stream, SQL_ACF_STREAM),
     "stream_corr": (q_stream_corr, SQL_STREAM_CORR),
+    # round-9: Hampel outlier repair (rolling median/MAD — the robust
+    # sibling of anomaly_zscore; a spike cannot inflate its own gate)
+    "hampel_outliers": (q_hampel, SQL_HAMPEL),
 }

@@ -2239,6 +2239,68 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-key cap: keep the 15 highest-n_chars docs
+    per source (md5 tie-break), bounding any one origin's corpus share."""
+    from ..pipeline.text import cap_per_key
+
+    return cap_per_key(
+        load_table(spark, sf_dir, "documents"),
+        cap=15,
+        key_col="source",
+        priority_col="n_chars",
+        salt="cap1",
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_SOURCE_CAP = """
+SELECT doc_id, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY n_chars DESC,
+           ('0x' || substring(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC
+) <= 15
+"""
+
+
+def q_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-denominated mixture materialization: 2.5 epochs of src0,
+    3 of src1, 0.25 of src2, src3 dropped, 1 epoch of everything else
+    — fractional epochs select a deterministic md5 subset."""
+    from ..pipeline.text import epoch_upsample
+
+    return epoch_upsample(
+        load_table(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 3.0, "src2": 0.25, "src3": 0.0},
+        salt="ep1",
+        default_epochs=1.0,
+    ).select("doc_id", "source", "epoch")
+
+
+SQL_EPOCH_MIXTURE = """
+WITH planned AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 1 WHEN 'src3' THEN 0 ELSE 1 END AS copies,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 1 END AS pfull,
+         CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0 ELSE 0 END AS thr
+  FROM documents
+), expanded AS (
+  SELECT doc_id, source, pfull, thr, CAST(u.i AS INT) AS epoch
+  FROM planned, LATERAL (SELECT unnest(range(copies)) AS i) u
+)
+SELECT doc_id, source, epoch FROM expanded
+WHERE epoch < pfull
+   OR (epoch = pfull
+       AND ('0x' || substring(md5('ep1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10000 < thr)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2305,4 +2367,8 @@ TAIL_PIPELINE_REGISTRY = {
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     # round-9: snapshot diff accounting for incremental refreshes
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
+    # round-9: RefinedWeb-style per-source doc cap (WindowGroupLimit
+    # top-k pushdown) and epoch-denominated mixture replication
+    "source_cap": (q_source_cap, SQL_SOURCE_CAP),
+    "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
 }

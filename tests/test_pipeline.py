@@ -1859,3 +1859,61 @@ def test_corpus_diff_classifies_all_transitions(spark):
     }
     # output covers old ∪ new exactly once
     assert len(got) == 4
+
+
+def test_cap_per_key_keeps_best_and_is_layout_independent(spark, sf_dir):
+    from nntsc_spark.pipeline.text import cap_per_key
+    from nntsc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = cap_per_key(docs, cap=5, priority_col="n_chars", salt="t")
+    per = {r.source: r.n for r in out.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(n == 5 for n in per.values())
+    # keeps the BEST: every survivor's n_chars >= the source's 5th-largest
+    import pyspark.sql.functions as F
+    floor = {
+        r.source: r.f
+        for r in docs.groupBy("source")
+        .agg(F.expr("element_at(array_sort(collect_list(n_chars), "
+                    "(a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 "
+                    "ELSE 0 END), 5)").alias("f"))
+        .collect()
+    }
+    for r in out.collect():
+        assert r.n_chars >= floor[r.source]
+    # survivor set is a pure function of (data, salt): repartitioned
+    # input selects the identical ids
+    again = cap_per_key(docs.repartition(13), cap=5,
+                        priority_col="n_chars", salt="t")
+    ids = lambda d: sorted(r.doc_id for r in d.select("doc_id").collect())
+    assert ids(out) == ids(again)
+
+
+def test_epoch_upsample_masses_and_nesting(spark, sf_dir):
+    from nntsc_spark.pipeline.text import epoch_upsample
+    from nntsc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = {r.source: r.n for r in docs.groupBy("source").count()
+         .withColumnRenamed("count", "n").collect()}
+    out = epoch_upsample(
+        docs, {"src0": 2.0, "src1": 0.5, "src2": 0.0}, salt="e",
+        default_epochs=1.0,
+    )
+    got = {r.source: r.n for r in out.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    # integer epochs are exact; fractional is a hash draw near the rate;
+    # zero drops the stratum; unlisted strata default to one epoch
+    assert got["src0"] == 2 * n["src0"]
+    assert "src2" not in got
+    assert got["src3"] == n["src3"]
+    assert abs(got["src1"] - 0.5 * n["src1"]) <= 0.25 * n["src1"]
+    # epoch indices: every full epoch contains EVERY doc of its stratum
+    e0 = out.where("source = 'src0' AND epoch = 0").count()
+    e1 = out.where("source = 'src0' AND epoch = 1").count()
+    assert e0 == e1 == n["src0"]
+    # raising the fractional part only ADDS replicas (same salt nests)
+    more = epoch_upsample(docs, {"src1": 0.8}, salt="e", default_epochs=0.0)
+    key = lambda d: {(r.doc_id, r.epoch) for r in d.collect()}
+    assert key(out.where("source = 'src1'")) <= key(more)

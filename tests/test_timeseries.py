@@ -590,3 +590,52 @@ def test_twa_holds_value_splits_bins_and_caps_carry(spark):
         ).collect()
     }
     assert got == {0: 50.0}
+
+
+def test_hampel_flags_spike_and_repairs_with_median(spark):
+    from nntsc_spark.operators.timeseries import hampel_filter
+
+    # flat series with one huge spike: mean/stddev would be dragged by
+    # the spike itself; median/MAD must flag exactly the spike and
+    # repair it to the local median
+    rows = [(1, t, float(10 + (t % 3))) for t in range(21)]
+    rows[10] = (1, 10, 1000.0)
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = {
+        r.timestamp: r
+        for r in hampel_filter(df, half_window=5, min_points=5).collect()
+    }
+    assert out[10].is_outlier and out[10].repaired == out[10].med
+    assert out[10].med == 11.0
+    for t in (3, 7, 14, 20):
+        assert not out[t].is_outlier and out[t].repaired == out[t].value
+
+    # constant neighborhood: MAD 0 -> any deviation from the median flags
+    const = spark.createDataFrame(
+        [(1, t, 5.0) for t in range(10)] + [(1, 10, 5.5)],
+        "stream_id long, timestamp long, value double",
+    )
+    got = {
+        r.timestamp: r.is_outlier
+        for r in hampel_filter(const, half_window=5).collect()
+    }
+    assert got[10] is True and got[0] is False
+
+    # below min_points: flag NULL, value passes through unrepaired
+    tiny = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 99.0)],
+        "stream_id long, timestamp long, value double",
+    )
+    for r in hampel_filter(tiny, half_window=5, min_points=5).collect():
+        assert r.is_outlier is None and r.repaired == r.value
+
+    # NULL values: skipped by the neighborhood, never flagged, and an
+    # all-NULL key neither errors (ANSI element_at) nor emits medians
+    nulls = spark.createDataFrame(
+        [(1, t, None) for t in range(5)],
+        "stream_id long, timestamp long, value double",
+    )
+    for r in hampel_filter(nulls, half_window=5).collect():
+        assert r.med is None and r.is_outlier is None
