@@ -99,6 +99,9 @@ HEADLINE = [
     "acf_stream",
     "stream_corr",
     "corpus_diff",
+    "source_cap",
+    "epoch_mixture",
+    "hampel_outliers",
 ]
 
 
@@ -173,6 +176,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
+    # scan metadata (PushedFilters/ReadSchema) truncates at 100 chars by
+    # default, which can swallow the closing bracket the regexes key on —
+    # a long filter list then reports as NO pushdown (observed live on
+    # hampel_outliers: filters pushed, row said "—")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     reg = q.queries()
     lines = [
         "# PERF — plan-quality evidence (generated by tools/plan_report.py)",

@@ -56,7 +56,10 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            "twa_bin", "lttb_downsample",
            # r9: correlation analytics over the consolidated hourly grid
            # (outputs bounded by streams x lags / top-n)
-           "acf_stream", "stream_corr"]
+           "acf_stream", "stream_corr",
+           # r9: Hampel median/MAD repair — per-event output like
+           # seasonal_decompose (PER_QUERY_MAX_FACTOR note)
+           "hampel_outliers"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -90,7 +93,11 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "textrank_keywords",
                     # r9: IVFADC (projection encode + broadcast LUT join)
                     # and the one-hash split assignment rollup
-                    "ivfpq_topk", "doc_split"]
+                    "ivfpq_topk", "doc_split",
+                    # r9: per-key caps (WindowGroupLimit — output bounded
+                    # at keys x cap however many rows stream in) and
+                    # epoch mixtures (explode+filter, output = mass)
+                    "source_cap", "epoch_mixture"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
@@ -261,6 +268,9 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     # maxResultSize (1052 MiB observed) — instrument limit; the
     # seasonal_summary variant carries the x1000 cell
     "seasonal_decompose": 100,
+    # same instrument limit: row-level repair output (x1000 = 46M rows
+    # on its 1-in-10 stream subset x 8 cols)
+    "hampel_outliers": 100,
 }
 
 
