@@ -920,6 +920,62 @@ def contamination(
 # ---------------------------------------------------------------------------
 
 
+def eval_suite_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    set_col: str = "eval_set",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Screen the training corpus against a whole SUITE of benchmarks in
+    ONE pass — real pipelines decontaminate against dozens of eval sets,
+    and looping :func:`contamination` per set rescans the corpus (and
+    rebuilds the shingle/signature tables) once per benchmark.
+
+    ``test`` is the UNION of all eval sets with a ``set_col`` label;
+    the expensive machinery runs once over train + the union (the
+    per-set split costs nothing: cross-side candidate generation never
+    depended on which test set a doc belongs to — test-test collisions
+    are excluded either way), then the per-set report is a broadcast
+    join of the bounded (#contaminated docs) flag table back onto the
+    labels.
+
+    Output, one row per eval set: (set_col, n_test_docs,
+    n_contaminated, n_exact, n_near_only, contamination_rate) — where
+    ``n_contaminated`` counts test docs with ANY training-side leak,
+    split into docs with an exact copy vs near-duplicate-only.
+    """
+    pairs = contamination(
+        train, test.drop(set_col), text_col=text_col, threshold=threshold
+    )
+    per_doc = pairs.groupBy("test_doc_id").agg(
+        F.max(
+            F.when(F.col("match_type") == "exact", 1).otherwise(0)
+        ).alias("_has_exact")
+    )
+    labeled = test.select(
+        F.col("doc_id").alias("test_doc_id"), F.col(set_col)
+    ).join(per_doc, "test_doc_id", "left")
+    return labeled.groupBy(set_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.count("_has_exact").cast("long").alias("n_contaminated"),
+        F.sum(F.coalesce(F.col("_has_exact"), F.lit(0)))
+        .cast("long")
+        .alias("n_exact"),
+        (
+            F.count("_has_exact")
+            - F.sum(F.coalesce(F.col("_has_exact"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_near_only"),
+        F.round(
+            F.count("_has_exact")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("contamination_rate"),
+    )
+
+
 def ngram_jaccard_shuffle_estimate(
     n_docs: int,
     avg_tokens: float,

@@ -289,3 +289,30 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+def media_exact_dedup(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Exact duplicate media blobs: group by md5 over the RAW BYTES (no
+    decode — byte-identical files dedup regardless of what's inside
+    them, the first and cheapest pass every multimodal pipeline runs
+    before any perceptual hashing), keep the smallest id as survivor.
+
+    Same contract as the text-side ``exact_duplicates``: one hash
+    groupBy, map-side combinable, skew-proof key (md5 is uniform), and
+    the hash rides the shuffle instead of the blob — a 10 MB image
+    contributes 32 bytes to the exchange.  Per-``kind`` counts ride the
+    same aggregate so the dedup report needs no second scan.
+
+    Output: (content_hash, kind, survivor_media_id, n_copies).
+    """
+    return media.groupBy(
+        F.md5(F.col(content_col)).alias("content_hash"),
+        F.col("kind"),
+    ).agg(
+        F.min(id_col).alias("survivor_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

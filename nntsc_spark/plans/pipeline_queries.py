@@ -2301,6 +2301,95 @@ WHERE epoch < pfull
 """
 
 
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate media blobs — md5 over raw bytes, no decode; the
+    cheap first pass of every multimodal pipeline."""
+    from ..pipeline.multimodal import media_exact_dedup
+
+    return media_exact_dedup(
+        documents_as_media(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Spark hashes the utf-8 BINARY payload; DuckDB strings are utf-8, so
+# md5(text) is byte-identical to md5(encode(text))
+SQL_MEDIA_DEDUP = """
+SELECT md5(text) AS content_hash, 'image' AS kind,
+       min(doc_id) AS survivor_media_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_contamination_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass decontamination screening against three benchmark sets
+    (disjoint md5 buckets of the corpus): the shingle/signature
+    machinery runs ONCE over train + the suite union, the per-set
+    report is a bounded flag join."""
+    from ..pipeline.dedup import eval_suite_contamination
+    from ..pipeline.text import hash_priority_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_priority_expr("doc_id", "suite") % 10000
+    test = docs.where(b < 1200).withColumn(
+        "eval_set",
+        F.when(b < 400, F.lit("benchA"))
+        .when(b < 800, F.lit("benchB"))
+        .otherwise(F.lit("benchC")),
+    )
+    train = docs.join(test.select("doc_id"), "doc_id", "left_anti")
+    return eval_suite_contamination(train, test)
+
+
+# Same cross-corpus equivalence as SQL_CONTAMINATION: band collisions
+# depend only on each doc's own text, so the full-corpus minhash pairs
+# restricted to pairs straddling the train/suite split ARE the suite's
+# near channel; per-doc flags then aggregate per eval set.  A pair that
+# is also an exact md5 match flags the doc through the exact channel on
+# both sides, so the near channel's exact-pair exclusion cannot change
+# any per-set count.
+SQL_CONTAMINATION_SUITE = """
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 400 THEN 'benchA' WHEN b < 800 THEN 'benchB'
+              WHEN b < 1200 THEN 'benchC' END AS eval_set
+  FROM (SELECT doc_id, text,
+               ('0x' || substring(md5('suite' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS b
+        FROM documents) t
+), exact AS (
+  SELECT DISTINCT te.doc_id AS test_doc_id
+  FROM split te JOIN split tr ON md5(te.text) = md5(tr.text)
+  WHERE te.eval_set IS NOT NULL AND tr.eval_set IS NULL
+), near AS (
+  SELECT DISTINCT CASE WHEN s1.eval_set IS NOT NULL THEN m.d1 ELSE m.d2 END
+           AS test_doc_id
+  FROM ({{mh_sql}}) m
+  JOIN split s1 ON s1.doc_id = m.d1
+  JOIN split s2 ON s2.doc_id = m.d2
+  WHERE (s1.eval_set IS NOT NULL) <> (s2.eval_set IS NOT NULL)
+), flags AS (
+  SELECT s.doc_id, s.eval_set,
+         s.doc_id IN (SELECT test_doc_id FROM exact) AS has_exact,
+         s.doc_id IN (SELECT test_doc_id FROM exact)
+           OR s.doc_id IN (SELECT test_doc_id FROM near) AS contaminated
+  FROM split s WHERE s.eval_set IS NOT NULL
+)
+SELECT eval_set,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN has_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN contaminated AND NOT has_exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_only,
+       round(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS contamination_rate
+FROM flags GROUP BY eval_set
+""".replace("{{mh_sql}}", SQL_DEDUP_MINHASH)
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2371,4 +2460,8 @@ TAIL_PIPELINE_REGISTRY = {
     # top-k pushdown) and epoch-denominated mixture replication
     "source_cap": (q_source_cap, SQL_SOURCE_CAP),
     "epoch_mixture": (q_epoch_mixture, SQL_EPOCH_MIXTURE),
+    # round-9: raw-bytes media dedup and one-pass multi-benchmark
+    # decontamination screening
+    "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
+    "contamination_suite": (q_contamination_suite, SQL_CONTAMINATION_SUITE),
 }

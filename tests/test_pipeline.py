@@ -1917,3 +1917,68 @@ def test_epoch_upsample_masses_and_nesting(spark, sf_dir):
     more = epoch_upsample(docs, {"src1": 0.8}, salt="e", default_epochs=0.0)
     key = lambda d: {(r.doc_id, r.epoch) for r in d.collect()}
     assert key(out.where("source = 'src1'")) <= key(more)
+
+
+def test_media_exact_dedup_groups_byte_identical_blobs(spark):
+    from nntsc_spark.pipeline.multimodal import media_exact_dedup
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x00\x01\x02"), "png"),
+            (2, "image", bytearray(b"\x00\x01\x02"), "png"),
+            (3, "image", bytearray(b"\x00\x01\x03"), "png"),
+            (4, "audio", bytearray(b"\x00\x01\x02"), "wav"),
+        ],
+        "media_id long, kind string, content binary, format string",
+    )
+    out = {
+        (r.content_hash, r.kind): (r.survivor_media_id, r.n_copies)
+        for r in media_exact_dedup(media).collect()
+    }
+    # byte-identical image blobs collapse; the same bytes under another
+    # kind stay a separate group (a "video" and "image" sharing bytes is
+    # a data bug to surface, not silently merge)
+    assert len(out) == 3
+    by_kind = {}
+    for (h, kind), v in out.items():
+        by_kind.setdefault(kind, []).append(v)
+    assert sorted(by_kind["image"]) == [(1, 2), (3, 1)]
+    assert by_kind["audio"] == [(4, 1)]
+
+
+def test_eval_suite_contamination_one_pass_matches_per_set_loop(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from nntsc_spark.pipeline.dedup import (
+        contamination,
+        eval_suite_contamination,
+    )
+    from nntsc_spark.pipeline.text import hash_priority_expr
+    from nntsc_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_priority_expr("doc_id", "suite") % 10000
+    test = docs.where(b < 1200).withColumn(
+        "eval_set",
+        F.when(b < 400, F.lit("benchA"))
+        .when(b < 800, F.lit("benchB"))
+        .otherwise(F.lit("benchC")),
+    )
+    train = docs.join(test.select("doc_id"), "doc_id", "left_anti")
+    report = {
+        r.eval_set: r for r in eval_suite_contamination(train, test).collect()
+    }
+    assert set(report) == {"benchA", "benchB", "benchC"}
+    # the one-pass suite report must equal running contamination per set
+    for name in report:
+        one = test.where(F.col("eval_set") == name).drop("eval_set")
+        pairs = contamination(train, one).collect()
+        docs_hit = {p.test_doc_id for p in pairs}
+        exact_hit = {
+            p.test_doc_id for p in pairs if p.match_type == "exact"
+        }
+        r = report[name]
+        assert r.n_test_docs == one.count()
+        assert r.n_contaminated == len(docs_hit)
+        assert r.n_exact == len(exact_hit)
+        assert r.n_near_only == len(docs_hit - exact_hit)
+        assert r.n_contaminated + 0 <= r.n_test_docs
