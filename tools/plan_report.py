@@ -102,6 +102,8 @@ HEADLINE = [
     "source_cap",
     "epoch_mixture",
     "hampel_outliers",
+    "media_dedup",
+    "contamination_suite",
 ]
 
 

@@ -97,7 +97,11 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: per-key caps (WindowGroupLimit — output bounded
                     # at keys x cap however many rows stream in) and
                     # epoch mixtures (explode+filter, output = mass)
-                    "source_cap", "epoch_mixture"]
+                    "source_cap", "epoch_mixture",
+                    # r9: raw-bytes media dedup (hash rides the shuffle,
+                    # not the blob) and one-pass suite decontamination
+                    # (same machinery as contamination, split per set)
+                    "media_dedup", "contamination_suite"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
