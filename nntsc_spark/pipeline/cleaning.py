@@ -52,12 +52,18 @@ def doc_lines(
 ) -> DataFrame:
     """Split each document into (doc_id, line_idx, line) on ``delim``.
 
+    ``delim`` is LITERAL (quoted into the regex with \\Q..\\E): the
+    reassembly in :func:`clean_lines` joins with the same string
+    literally, so a regex-special delimiter like ``"."`` or ``"|"``
+    must split the same way it joins — Spark's ``split`` alone would
+    silently explode such a document into characters.
+
     Pure projection + generator — one pass, no shuffle."""
     return docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), delim)).alias(
-            "line_idx", "line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("line_idx", "line"),
     )
 
 

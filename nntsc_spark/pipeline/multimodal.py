@@ -307,9 +307,13 @@ def media_exact_dedup(
     contributes 32 bytes to the exchange.  Per-``kind`` counts ride the
     same aggregate so the dedup report needs no second scan.
 
+    NULL-content rows are EXCLUDED: md5(NULL) is NULL and a groupBy
+    unifies NULL keys, so two unrelated rows that merely both lack bytes
+    would otherwise be reported as copies of each other.
+
     Output: (content_hash, kind, survivor_media_id, n_copies).
     """
-    return media.groupBy(
+    return media.where(F.col(content_col).isNotNull()).groupBy(
         F.md5(F.col(content_col)).alias("content_hash"),
         F.col("kind"),
     ).agg(

@@ -1928,6 +1928,8 @@ def test_media_exact_dedup_groups_byte_identical_blobs(spark):
             (2, "image", bytearray(b"\x00\x01\x02"), "png"),
             (3, "image", bytearray(b"\x00\x01\x03"), "png"),
             (4, "audio", bytearray(b"\x00\x01\x02"), "wav"),
+            (5, "image", None, "png"),
+            (6, "image", None, "png"),
         ],
         "media_id long, kind string, content binary, format string",
     )
@@ -1937,7 +1939,8 @@ def test_media_exact_dedup_groups_byte_identical_blobs(spark):
     }
     # byte-identical image blobs collapse; the same bytes under another
     # kind stay a separate group (a "video" and "image" sharing bytes is
-    # a data bug to surface, not silently merge)
+    # a data bug to surface, not silently merge); NULL-content rows are
+    # excluded rather than unified into a phantom duplicate group
     assert len(out) == 3
     by_kind = {}
     for (h, kind), v in out.items():
@@ -1982,3 +1985,19 @@ def test_eval_suite_contamination_one_pass_matches_per_set_loop(spark, sf_dir):
         assert r.n_exact == len(exact_hit)
         assert r.n_near_only == len(docs_hit - exact_hit)
         assert r.n_contaminated + 0 <= r.n_test_docs
+
+
+def test_doc_lines_treats_delim_literally(spark):
+    from nntsc_spark.pipeline.cleaning import clean_lines, doc_lines
+
+    docs = spark.createDataFrame(
+        [(1, "first line.|second one here.|x")],
+        "doc_id long, text string",
+    )
+    lines = [r.line for r in doc_lines(docs, delim="|").collect()]
+    assert lines == ["first line.", "second one here.", "x"]
+    out = clean_lines(docs, delim="|", min_words=2,
+                      require_terminal_punct=False).collect()[0]
+    # a regex-special delimiter must reassemble exactly what it split
+    assert out.text_clean == "first line.|second one here."
+    assert (out.n_lines_kept, out.n_lines_total) == (2, 3)
