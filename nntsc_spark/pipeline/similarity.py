@@ -1079,6 +1079,65 @@ def semantic_dedup(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    prefer_peripheral: bool = True,
+) -> DataFrame:
+    """Cluster-balanced diversity selection: coarse-cluster the embedding
+    space (the IVF map-only assignment) and keep at most ``per_cell``
+    members per cell — the DataComp-style curation move that stops a few
+    dense regions (template pages, one topic's flood) from dominating a
+    sample, the embedding-space sibling of the text side's
+    :func:`~nntsc_spark.pipeline.text.cap_per_key`.
+
+    ``prefer_peripheral=True`` keeps the members LEAST similar to their
+    centroid first (SemDeDup's information-carrying end — prototypical
+    near-centroid members are the redundant ones); ``False`` inverts the
+    priority for prototype mining.  Ties (round-4 sims) break on the id,
+    so the selection is a pure function of (data, centroids).
+
+    Scale shape: assignment is a zero-shuffle projection (inlined
+    centroid literals); the ``row_number() <= per_cell`` predicate sits
+    directly on the per-cell window, so Catalyst runs it as a
+    WindowGroupLimit — each task keeps its local top ``per_cell`` per
+    cell BEFORE the one shuffle, and the output is bounded at
+    ``nlist x per_cell`` rows however large the corpus.
+
+    Output: (id_col, cell, centroid_sim).
+    """
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else centroid_rows(
+        emb, nlist, id_col, vec_col
+    )
+    assigned = emb.select(
+        id_col, F.expr(vnorm_sql(vec_col)).alias("_vn"), F.col(vec_col)
+    ).select(
+        id_col,
+        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+    ).select(
+        id_col,
+        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_max("_cs").alias("centroid_sim"),
+    )
+    sim = F.col("centroid_sim")
+    w = Window.partitionBy("cell").orderBy(
+        sim.asc() if prefer_peripheral else sim.desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(per_cell))
+        .drop("_rn")
+    )
+
+
 def ivf_requantize(
     spark,
     path: str,

@@ -2390,6 +2390,44 @@ FROM flags GROUP BY eval_set
 """.replace("{{mh_sql}}", SQL_DEDUP_MINHASH)
 
 
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity selection: at most 20 vectors per
+    coarse cell, most-peripheral first — bounded at nlist x per_cell
+    rows however large the corpus."""
+    from ..pipeline.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"),
+        per_cell=20,
+        nlist=_SEMDEDUP_NLIST,
+    )
+
+
+# same relational quantizer re-derivation as SQL_SEMANTIC_DEDUP (sampled
+# centroids = lowest-id vectors, argmax tie -> lowest cell), then the
+# per-cell cap is one QUALIFY
+SQL_CLUSTER_SAMPLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_NLIST}),
+scored AS (
+  SELECT e.vec_id, c.cell, {_COS.format(a="e.v", b="c.cv")} AS cs
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, cs AS centroid_sim FROM (
+    SELECT vec_id, cell, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, centroid_sim FROM assign
+QUALIFY row_number() OVER (PARTITION BY cell
+                           ORDER BY centroid_sim ASC, vec_id ASC) <= 20
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2464,4 +2502,7 @@ TAIL_PIPELINE_REGISTRY = {
     # decontamination screening
     "media_dedup": (q_media_dedup, SQL_MEDIA_DEDUP),
     "contamination_suite": (q_contamination_suite, SQL_CONTAMINATION_SUITE),
+    # round-9: cluster-balanced diversity selection (bounded output,
+    # WindowGroupLimit per cell)
+    "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
 }

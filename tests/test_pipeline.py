@@ -2001,3 +2001,29 @@ def test_doc_lines_treats_delim_literally(spark):
     # a regex-special delimiter must reassemble exactly what it split
     assert out.text_clean == "first line.|second one here."
     assert (out.n_lines_kept, out.n_lines_total) == (2, 3)
+
+
+def test_cluster_balanced_sample_caps_and_prefers_periphery(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from nntsc_spark.pipeline.similarity import cluster_balanced_sample
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, per_cell=10, nlist=8)
+    per = {r.cell: r.n for r in out.groupBy("cell").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(n <= 10 for n in per.values())
+    # peripheral priority: every kept sim <= every dropped sim in the cell
+    full = cluster_balanced_sample(emb, per_cell=1 << 30, nlist=8)
+    kept_max = {r.cell: r.m for r in out.groupBy("cell")
+                .agg(F.max("centroid_sim").alias("m")).collect()}
+    for r in full.join(out.select("vec_id").withColumn("_k", F.lit(1)),
+                       "vec_id", "left").where(F.col("_k").isNull()).collect():
+        assert r.centroid_sim >= kept_max[r.cell]
+    # prototype mode inverts the priority
+    proto = cluster_balanced_sample(emb, per_cell=10, nlist=8,
+                                    prefer_peripheral=False)
+    proto_min = {r.cell: r.m for r in proto.groupBy("cell")
+                 .agg(F.min("centroid_sim").alias("m")).collect()}
+    for c, m in proto_min.items():
+        assert m >= kept_max[c] or per[c] < 10

@@ -249,3 +249,13 @@ def test_ngram_decontaminate_distinct_build_side(spark, sf_dir):
     plan = plan_text(spark, sf_dir, "contamination_ngram")
     assert "CartesianProduct" not in plan
     assert re.search(r"HashAggregate\(keys=\[shingle", plan), "distinct-gram aggregate missing"
+
+
+def test_per_key_caps_run_as_window_group_limit(spark, sf_dir):
+    # the rank-limit predicate must stay directly above the window so
+    # Catalyst's WindowGroupLimit keeps each task's local top-cap BEFORE
+    # the shuffle — the property that makes a hot key move cap x tasks
+    # rows instead of its full fan-in
+    for name in ("source_cap", "cluster_sample"):
+        plan = plan_text(spark, sf_dir, name)
+        assert plan.count("WindowGroupLimit") >= 2, name  # Partial + Final

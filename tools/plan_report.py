@@ -104,6 +104,7 @@ HEADLINE = [
     "hampel_outliers",
     "media_dedup",
     "contamination_suite",
+    "cluster_sample",
 ]
 
 

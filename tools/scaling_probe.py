@@ -101,7 +101,11 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: raw-bytes media dedup (hash rides the shuffle,
                     # not the blob) and one-pass suite decontamination
                     # (same machinery as contamination, split per set)
-                    "media_dedup", "contamination_suite"]
+                    "media_dedup", "contamination_suite",
+                    # r9: snapshot diff (two projections + one full-outer
+                    # equi-join) and cluster-balanced selection (bounded
+                    # at nlist x per_cell via WindowGroupLimit)
+                    "corpus_diff", "cluster_sample"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
