@@ -91,3 +91,53 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def ranked(df: DataFrame, order_cols: list, id_col: str = "doc_id") -> DataFrame:
+    """Attach a 1-based ``rank`` to an already TOP-K-BOUNDED candidate
+    list (the output of a ``bm25_topk`` / ``brute_force_topk`` style
+    TakeOrderedAndProject).  The single-partition window is deliberate
+    and safe ONLY because the input is k rows by construction — never
+    rank a corpus-scale frame with this."""
+    from pyspark.sql import Window
+
+    return df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order_cols))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse ranked
+    candidate lists by ``score(d) = sum_lists 1 / (k + rank_d)`` — the
+    standard way to combine keyword (BM25) and vector (cosine) retrieval
+    without score calibration, since only RANKS enter the sum.
+
+    Each input carries (``id_col``, ``rank``); all lists are top-k
+    bounded by construction, so the union + groupBy runs over
+    ``lists x k`` rows — constant-scale however large the corpus the
+    lists came from.  With TWO lists the fused score is engine-exact
+    unrounded (IEEE addition is commutative and a 2-term sum never
+    exercises associativity); for 3+ lists pin the score with a round()
+    before comparing across engines.
+
+    Output: (id_col, n_lists, rrf_score), best first, id tie-break.
+    """
+    u = rankings[0].select(id_col, "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(id_col, "rank"))
+    out = (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    )
+    return out.limit(int(topk)) if topk is not None else out

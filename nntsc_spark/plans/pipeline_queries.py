@@ -2428,6 +2428,77 @@ QUALIFY row_number() OVER (PARTITION BY cell
 """
 
 
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword list + brute-force cosine list for
+    one query vector, fused by reciprocal rank (no score calibration —
+    only ranks enter); both lists are 50-bounded so fusion is
+    constant-scale."""
+    from ..pipeline.search import bm25_topk, ranked, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_list = ranked(
+        bm25_topk(docs, _BM25_TERMS, k=50),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    vec_list = brute_force_topk(emb, [0], k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([text_list, vec_list], k=60, topk=15)
+
+
+SQL_HYBRID_SEARCH = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, len(l) AS dl, t.tok, count(*) AS tf
+  FROM d, LATERAL (SELECT unnest(l) AS tok) t
+  WHERE t.tok IN ('join', 'query', 'table', 'vector')
+  GROUP BY 1, 2, 3
+),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+bm AS (
+  SELECT f.doc_id,
+         round(sum(
+           ln((s.n - g.df + 0.5::DOUBLE) / (g.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+           * (f.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+             / (f.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                + 0.75::DOUBLE * f.dl / s.avgdl))
+         ), 4) AS score
+  FROM tf f JOIN dfs g USING (tok), s
+  GROUP BY f.doc_id
+  ORDER BY score DESC, f.doc_id
+  LIMIT 50
+),
+text_list AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+vec_list AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM (
+    SELECT e.vec_id,
+           round(list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+    FROM e, q WHERE e.vec_id != 0
+  ) QUALIFY rank <= 50
+),
+u AS (SELECT * FROM text_list UNION ALL SELECT * FROM vec_list)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       sum(1.0::DOUBLE / (60.0::DOUBLE + rank)) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 15
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2505,4 +2576,6 @@ TAIL_PIPELINE_REGISTRY = {
     # round-9: cluster-balanced diversity selection (bounded output,
     # WindowGroupLimit per cell)
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
+    # round-9: reciprocal-rank fusion of BM25 + cosine retrieval
+    "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
 }

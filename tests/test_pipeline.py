@@ -2027,3 +2027,21 @@ def test_cluster_balanced_sample_caps_and_prefers_periphery(spark, sf_dir):
                  .agg(F.min("centroid_sim").alias("m")).collect()}
     for c, m in proto_min.items():
         assert m >= kept_max[c] or per[c] < 10
+
+
+def test_rrf_fuse_known_values_and_tie_break(spark):
+    from nntsc_spark.pipeline.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)],
+                              "doc_id long, rank int")
+    got = {r.doc_id: (r.n_lists, r.rrf_score)
+           for r in rrf_fuse([a, b], k=60).collect()}
+    assert got[10] == (2, 1 / 61 + 1 / 62)
+    assert got[12] == (2, 1 / 63 + 1 / 61)
+    assert got[11] == (1, 1 / 62)
+    assert got[13] == (1, 1 / 63)
+    # doc in both lists outranks a doc leading only one
+    order = [r.doc_id for r in rrf_fuse([a, b], k=60, topk=4).collect()]
+    assert order[0] in (10, 12) and set(order[:2]) == {10, 12}

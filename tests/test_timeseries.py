@@ -639,3 +639,48 @@ def test_hampel_flags_spike_and_repairs_with_median(spark):
     )
     for r in hampel_filter(nulls, half_window=5).collect():
         assert r.med is None and r.is_outlier is None
+
+
+def test_hampel_matches_plain_python_reference(spark):
+    """Pin the operator against an independent plain-Python Hampel on
+    random-ish deterministic data (multiple streams, ties, edges)."""
+    import hashlib
+
+    from nntsc_spark.operators.timeseries import hampel_filter
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    rows = [
+        (s, t, float(h(s * 1000 + t) % 100))
+        for s in (1, 2, 3)
+        for t in range(40)
+    ]
+    k, ns, mp = 4, 2.0, 5
+
+    def ref(vals):
+        out = []
+        for i, x in enumerate(vals):
+            nb = sorted(vals[max(0, i - k): i + k + 1])
+            n = len(nb)
+            med = (nb[(n + 1) // 2 - 1] + nb[n // 2]) / 2
+            dev = sorted(abs(v - med) for v in nb)
+            mad = (dev[(n + 1) // 2 - 1] + dev[n // 2]) / 2
+            scale = ns * 1.4826 * mad
+            flag = abs(x - med) > scale if n >= mp else None
+            out.append((med, flag, med if flag else x))
+        return out
+
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    got = {
+        (r.stream_id, r.timestamp): (r.med, r.is_outlier, r.repaired)
+        for r in hampel_filter(
+            df, half_window=k, n_sigmas=ns, min_points=mp
+        ).collect()
+    }
+    for s in (1, 2, 3):
+        vals = [v for (ss, _, v) in rows if ss == s]
+        for t, (med, flag, rep) in enumerate(ref(vals)):
+            assert got[(s, t)] == (med, flag, rep), (s, t)

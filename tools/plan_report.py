@@ -105,6 +105,7 @@ HEADLINE = [
     "media_dedup",
     "contamination_suite",
     "cluster_sample",
+    "hybrid_search",
 ]
 
 

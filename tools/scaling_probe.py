@@ -105,7 +105,11 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: snapshot diff (two projections + one full-outer
                     # equi-join) and cluster-balanced selection (bounded
                     # at nlist x per_cell via WindowGroupLimit)
-                    "corpus_diff", "cluster_sample"]
+                    "corpus_diff", "cluster_sample",
+                    # r9: RRF hybrid retrieval (both lists top-50
+                    # bounded; the corpus-side cost is BM25's filtered
+                    # explode + the brute-force scan)
+                    "hybrid_search"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
