@@ -1214,3 +1214,73 @@ def test_streaming_hll_compaction_preserves_estimate(spark, tmp_path):
 
     assert os.path.isdir(str(tmp_path / "hll" / "batch=-1"))
     assert hm.estimate() == before
+
+
+def test_streaming_gap_detect_closed_and_open_channels(spark, tmp_path):
+    """Gap detector, both channels.  Closed: learns the cadence and
+    emits event-time gap bounds at resume.  Open: the processing-time
+    timeout emits EXACTLY ONE outage row per silence however many
+    micro-batches elapse, and the eventual resume closes it."""
+    import time
+
+    from nntsc_spark.streaming.gaps import streaming_gap_detect
+
+    schema = "stream_id long, timestamp long, value double"
+
+    def runner(tag, timeout_ms):
+        src = tmp_path / f"ev{tag}"
+        src.mkdir()
+        out = tmp_path / f"gaps{tag}"
+        chk = str(tmp_path / f"chk{tag}")
+
+        def run_batch(name, rows):
+            with open(src / name, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(dict(zip(
+                        ("stream_id", "timestamp", "value"), r))) + "\n")
+            stream = spark.readStream.schema(schema).json(str(src))
+            q = (
+                streaming_gap_detect(
+                    stream, k=3.0, silence_timeout_ms=timeout_ms
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", str(out))
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        return run_batch, out
+
+    # -- closed channel (timeouts disabled -> purely event-time) --
+    run_batch, out = runner("a", None)
+    run_batch("b1.json", [(1, t, 1.0) for t in (0, 10, 20, 30)]
+              + [(1, 130, 1.0), (2, 0, 1.0), (2, 10, 1.0), (2, 20, 1.0)])
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert (g.stream_id, g.gap_start, g.gap_end, g.open) == (1, 30, 130, False)
+    assert g.missed == 9 and abs(g.est_freq - 10.0) < 1e-9
+    # (stream 2, in-cadence throughout, emitted nothing)
+
+    # -- open channel (wall-clock timeout) --
+    run_batch, out = runner("b", 1500)
+    run_batch("b1.json", [(2, t, 1.0) for t in (0, 10, 20)])
+    time.sleep(2.5)
+    run_batch("b2.json", [(3, 0, 1.0), (3, 10, 1.0)])
+    opens = [r for r in spark.read.parquet(str(out)).collect()
+             if r.stream_id == 2 and r.open]
+    assert [(r.gap_start, r.gap_end) for r in opens] == [(20, None)]
+    # further silent batches must NOT re-report the same outage
+    time.sleep(2.5)
+    run_batch("b3.json", [(3, 20, 1.0)])
+    opens = [r for r in spark.read.parquet(str(out)).collect()
+             if r.stream_id == 2 and r.open]
+    assert len(opens) == 1
+    # resumption closes the outage with real event-time bounds
+    run_batch("b4.json", [(2, 500, 1.0)])
+    closed = [r for r in spark.read.parquet(str(out)).collect()
+              if r.stream_id == 2 and not r.open]
+    assert [(r.gap_start, r.gap_end) for r in closed] == [(20, 500)]
