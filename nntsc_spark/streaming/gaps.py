@@ -148,6 +148,12 @@ def streaming_gap_detect(
     ``silence_timeout_ms`` arms the open-outage channel (wall-clock —
     for live ingest event time tracks processing time; None disables
     timeouts and only the resume-time channel fires).
+
+    Run timeout-armed queries with a ``processingTime`` trigger: a
+    registered processing-time timeout always schedules future work, so
+    ``availableNow``/``once`` triggers NEVER self-terminate with this
+    operator (measured: the query idles in empty micro-batches until
+    externally stopped).
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -1265,22 +1265,58 @@ def test_streaming_gap_detect_closed_and_open_channels(spark, tmp_path):
     assert g.missed == 9 and abs(g.est_freq - 10.0) < 1e-9
     # (stream 2, in-cadence throughout, emitted nothing)
 
-    # -- open channel (wall-clock timeout) --
-    run_batch, out = runner("b", 1500)
-    run_batch("b1.json", [(2, t, 1.0) for t in (0, 10, 20)])
-    time.sleep(2.5)
-    run_batch("b2.json", [(3, 0, 1.0), (3, 10, 1.0)])
-    opens = [r for r in spark.read.parquet(str(out)).collect()
-             if r.stream_id == 2 and r.open]
-    assert [(r.gap_start, r.gap_end) for r in opens] == [(20, None)]
-    # further silent batches must NOT re-report the same outage
-    time.sleep(2.5)
-    run_batch("b3.json", [(3, 20, 1.0)])
-    opens = [r for r in spark.read.parquet(str(out)).collect()
-             if r.stream_id == 2 and r.open]
-    assert len(opens) == 1
-    # resumption closes the outage with real event-time bounds
-    run_batch("b4.json", [(2, 500, 1.0)])
-    closed = [r for r in spark.read.parquet(str(out)).collect()
-              if r.stream_id == 2 and not r.open]
-    assert [(r.gap_start, r.gap_end) for r in closed] == [(20, 500)]
+    # -- open channel: one LIVE query (a processing-time timeout keeps
+    # scheduling work, so availableNow would never self-terminate) --
+    src = tmp_path / "evb"
+    src.mkdir()
+    out = tmp_path / "gapsb"
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(
+                    ("stream_id", "timestamp", "value"), r))) + "\n")
+
+    def snap():
+        try:
+            return spark.read.parquet(str(out)).collect()
+        except Exception:
+            return []
+
+    def wait_for(pred, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            rows = snap()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"streaming condition not met; have {snap()}")
+
+    write("b1.json", [(2, t, 1.0) for t in (0, 10, 20)])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        streaming_gap_detect(stream, k=3.0, silence_timeout_ms=1500)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "chkb"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # silence past the timeout -> exactly one open-outage row
+        wait_for(lambda rs: any(r.open for r in rs))
+        opens = [r for r in snap() if r.stream_id == 2 and r.open]
+        assert [(r.gap_start, r.gap_end) for r in opens] == [(20, None)]
+        # more silent wall time must NOT re-report the same outage
+        time.sleep(2.5)
+        assert len([r for r in snap() if r.open]) == 1
+        # resumption closes the outage with real event-time bounds
+        write("b2.json", [(2, 500, 1.0)])
+        wait_for(lambda rs: any(r.stream_id == 2 and not r.open
+                                for r in rs))
+        closed = [r for r in snap() if r.stream_id == 2 and not r.open]
+        assert [(r.gap_start, r.gap_end) for r in closed] == [(20, 500)]
+        assert len([r for r in snap() if r.open]) == 1
+    finally:
+        q.stop()
