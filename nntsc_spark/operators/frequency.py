@@ -51,8 +51,15 @@ def estimate_frequency(
     since: int | None = None,
     max_diffs: int | None = None,
     key_source: DataFrame | None = None,
+    fill_defaults: bool = True,
 ) -> DataFrame:
     """Per-key frequency estimate -> DataFrame(key, frequency BIGINT).
+
+    ``fill_defaults=False`` skips the quiet-key default fill (the
+    dropDuplicates scan + left join that gives <2-row keys the 300 s
+    reference default) and returns only keys with an actual estimate —
+    for consumers like :func:`gap_report` where diff-less keys are
+    unreachable anyway, the fill is a whole extra pass over the fact.
 
     ``counted``'s lineage contains the per-key WINDOW SORT over the whole
     history — by far the expensive stage.  It is consumed exactly ONCE:
@@ -115,6 +122,8 @@ def estimate_frequency(
     # the reference returns the 300 s default for them (exporter.py:793-796)
     # — left-join the full key set back and fill (r5 review finding:
     # DEFAULT_FREQUENCY was defined but never applied)
+    if not fill_defaults:
+        return out.select(key, F.col("frequency").cast("long"))
     all_keys = (key_source if key_source is not None else fact).select(
         key
     ).dropDuplicates()
@@ -123,4 +132,65 @@ def estimate_frequency(
         F.coalesce(F.col("frequency"), F.lit(DEFAULT_FREQUENCY))
         .cast("long")
         .alias("frequency"),
+    )
+
+
+def gap_report(
+    fact: DataFrame,
+    k: float = 3.0,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    order_cols: list[str] | None = None,
+    frequency: DataFrame | None = None,
+    since: int | None = None,
+    max_diffs: int | None = None,
+) -> DataFrame:
+    """Batch gap detection: every per-key silence longer than ``k x``
+    the key's estimated frequency — the retrospective analogue of the
+    online detector (streaming/gaps.py), and the engine-side version of
+    what the reference's graphing layer does client-side with the
+    exported frequency estimate (T9 feeds the grapher's line breaks).
+
+    ``frequency`` injects a pre-computed (key, frequency) table (e.g.
+    the bounded production estimate); by default the estimate runs over
+    the same fact.  One ordered window for the lag + one join against
+    the keys-bounded frequency table (AQE picks broadcast when it
+    fits); keys with frequency 0 (all samples share one timestamp)
+    cannot define a gap and emit nothing.
+
+    Output: (key, gap_start, gap_end, gap_seconds, missed, frequency)
+    where ``missed ~= gap_seconds/frequency - 1`` (>= 1) estimates the
+    lost samples.
+    """
+    freq = frequency if frequency is not None else estimate_frequency(
+        fact, key=key, since=since, max_diffs=max_diffs,
+        # keys without diffs cannot have gaps: the default fill would be
+        # a whole extra pass over the fact to add unreachable rows
+        fill_defaults=False,
+    )
+    order_cols = order_cols or []
+    w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
+    lagged = fact.select(key, ts_col, *order_cols).withColumn(
+        "_prev", F.lag(ts_col).over(w)
+    )
+    delta = F.col(ts_col) - F.col("_prev")
+    return (
+        lagged.join(freq, key)
+        .where(
+            F.col("_prev").isNotNull()
+            & (F.col("frequency") > 0)
+            & (delta > F.lit(float(k)) * F.col("frequency"))
+        )
+        .select(
+            key,
+            F.col("_prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            delta.cast("long").alias("gap_seconds"),
+            F.greatest(
+                F.floor(delta / F.col("frequency")) - 1, F.lit(1)
+            )
+            .cast("long")
+            .alias("missed"),
+            "frequency",
+        )
     )

@@ -20,7 +20,7 @@ from .queries import DAY, HOUR, LABELS, START, STOP, T0, _label_map
 
 # single source of truth for the oracle CTE text (a local rebuild from
 # EVENTS_FACT_SQL could silently drift from queries.py's form)
-from .queries import _FACT_CTE, _LABELED_CTE  # noqa: E402
+from .queries import SQL_FREQUENCY, _FACT_CTE, _LABELED_CTE  # noqa: E402
 
 
 def q_smoke_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1359,6 +1359,41 @@ FROM scaled
 """
 
 
+
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap detection over the full fact: silences > 3x each
+    stream's estimated frequency, with the missed-sample estimate —
+    the retrospective sibling of streaming/gaps.py."""
+    from ..operators.frequency import gap_report
+
+    return gap_report(
+        events_fact(spark, sf_dir), k=3.0, order_cols=["event_id"]
+    )
+
+
+# the frequency estimate is the registered SQL_FREQUENCY verbatim (one
+# nested subquery), so the gap threshold derives from the exact same
+# oracle-pinned cadence
+SQL_GAP_REPORT = f"""
+WITH {_FACT_CTE},
+freqs AS (SELECT * FROM ({SQL_FREQUENCY}) f),
+lagged AS (
+  SELECT stream_id, timestamp,
+         lag(timestamp) OVER (PARTITION BY stream_id
+                              ORDER BY timestamp, event_id) AS prev
+  FROM fact
+)
+SELECT l.stream_id, l.prev AS gap_start, l.timestamp AS gap_end,
+       CAST(l.timestamp - l.prev AS BIGINT) AS gap_seconds,
+       greatest(CAST(floor((l.timestamp - l.prev) / f.frequency)
+                     AS BIGINT) - 1, 1) AS missed,
+       f.frequency
+FROM lagged l JOIN freqs f USING (stream_id)
+WHERE l.prev IS NOT NULL AND f.frequency > 0
+  AND l.timestamp - l.prev > CAST(3.0 AS DOUBLE) * f.frequency
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -1395,4 +1430,7 @@ TAIL_REGISTRY = {
     # round-9: Hampel outlier repair (rolling median/MAD — the robust
     # sibling of anomaly_zscore; a spike cannot inflate its own gate)
     "hampel_outliers": (q_hampel, SQL_HAMPEL),
+    # round-9: batch gap detection against the T9 cadence estimate (the
+    # retrospective sibling of the streaming outage detector)
+    "gap_report": (q_gap_report, SQL_GAP_REPORT),
 }

@@ -445,3 +445,21 @@ def test_interval_join_extra_equality_keys(spark):
         ).collect()
     )
     assert got == [("a", 10, 1), ("b", 11, 2)]
+
+
+def test_gap_report_thresholds_on_learned_frequency(spark):
+    from nntsc_spark.operators.frequency import gap_report
+
+    # stream 1: 10s cadence with one 100s hole; stream 2: steady, no gap
+    rows = ([(1, t) for t in (0, 10, 20, 30)] + [(1, 130), (1, 140)]
+            + [(2, t) for t in range(0, 60, 10)])
+    df = spark.createDataFrame(rows, "stream_id long, timestamp long")
+    out = gap_report(df, k=3.0).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g.stream_id, g.gap_start, g.gap_end, g.gap_seconds,
+            g.missed, g.frequency) == (1, 30, 130, 100, 9, 10)
+    # an injected frequency table overrides the estimate
+    freq = spark.createDataFrame([(1, 60), (2, 60)],
+                                 "stream_id long, frequency long")
+    assert gap_report(df, k=3.0, frequency=freq).count() == 0

@@ -106,6 +106,7 @@ HEADLINE = [
     "contamination_suite",
     "cluster_sample",
     "hybrid_search",
+    "gap_report",
 ]
 
 

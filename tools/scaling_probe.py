@@ -59,7 +59,10 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            "acf_stream", "stream_corr",
            # r9: Hampel median/MAD repair — per-event output like
            # seasonal_decompose (PER_QUERY_MAX_FACTOR note)
-           "hampel_outliers"]
+           "hampel_outliers",
+           # r9: batch gap report (frequency window + lag window; the
+           # densified replica axis shrinks gaps, so output stays small)
+           "gap_report"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -147,6 +150,9 @@ def _capped_queries():
     - ngram_jaccard_capped: max_df=128 drops shingles shared by more
       than 128 docs from the inverted index — the quadratic-term guard.
 
+    - gap_report_summary: gap detection against the BOUNDED estimate
+      with a per-stream rollup — the production shape of gap_report.
+
     These run to MAX_CAPPED_FACTOR so the crossover claims in
     jaccard_verify's and frequency's docstrings carry measured numbers.
     """
@@ -163,6 +169,26 @@ def _capped_queries():
         # agg, itself linear — part of the measured cost)
         hi = fact.agg(F.max("timestamp")).collect()[0][0]
         return estimate_frequency(fact, since=hi - 86_400, max_diffs=200)
+
+    def gap_report_summary(spark, d):
+        # production shape: the BOUNDED cadence estimate (the registered
+        # gap_report embeds the unbounded one — its x1000 cost is the
+        # frequency row's super-linear sort) + a per-stream gap rollup
+        # (one row per event-gap x 1000 exceeds useful driver returns)
+        from nntsc_spark.operators.frequency import gap_report
+
+        fact = events_fact(spark, d)
+        hi = fact.agg(F.max("timestamp")).collect()[0][0]
+        freq = estimate_frequency(
+            fact, since=hi - 86_400, max_diffs=200, fill_defaults=False
+        )
+        gaps = gap_report(fact, k=3.0, order_cols=["event_id"],
+                          frequency=freq)
+        return gaps.groupBy("stream_id").agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_seconds").alias("silent_seconds"),
+            F.max("gap_seconds").alias("longest_gap"),
+        )
 
     from nntsc_spark.operators.timeseries import counter_rate
     from nntsc_spark.plans.queries import START, STOP
@@ -237,6 +263,7 @@ def _capped_queries():
 
     return (
         {"frequency_bounded": frequency_bounded,
+         "gap_report_summary": gap_report_summary,
          "counter_rate_summary": counter_rate_summary,
          "holt_winters_summary": holt_winters_summary,
          "ewma_summary": ewma_summary,
