@@ -101,6 +101,12 @@ def _make_gap_fn(k: float, alpha: float, silence_timeout_ms: int | None):
         out = []
         for ts in batch["timestamp"]:
             ts = int(ts)
+            # a duplicate or late arrival (sorted within the batch, but
+            # a WHOLE batch can arrive behind a previous one) must not
+            # rewind last_seen nor feed a non-positive delta into the
+            # cadence estimate — either would fabricate the next gap
+            if last_seen is not None and ts <= last_seen:
+                continue
             if last_seen is not None:
                 delta = ts - last_seen
                 gap = (

@@ -1320,3 +1320,38 @@ def test_streaming_gap_detect_closed_and_open_channels(spark, tmp_path):
         assert len([r for r in snap() if r.open]) == 1
     finally:
         q.stop()
+
+
+def test_streaming_gap_detect_ignores_late_and_duplicate_arrivals():
+    """A whole micro-batch arriving behind a previous one must neither
+    rewind last_seen nor feed non-positive deltas into the cadence —
+    either would fabricate the next gap (pure-function check)."""
+    import pandas as pd
+
+    from nntsc_spark.streaming.gaps import _make_gap_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        exists = property(lambda s: s._v is not None)
+        hasTimedOut = property(lambda s: False)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _make_gap_fn(3.0, 0.3, None)
+    st = FakeState()
+    list(fn((1,), [pd.DataFrame({"timestamp": [0, 10, 20, 30]})], st))
+    late = list(fn((1,), [pd.DataFrame({"timestamp": [5, 15, 30]})], st))
+    assert late[0].empty
+    assert st.get[0] == 30 and abs(st.get[1] - 10.0) < 1e-9
+    resumed = list(fn((1,), [pd.DataFrame({"timestamp": [130]})], st))
+    row = list(resumed[0].itertuples(index=False))[0]
+    assert (row.stream_id, row.gap_start, row.gap_end, row.missed) == (
+        1, 30, 130, 9,
+    )
