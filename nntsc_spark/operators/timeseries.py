@@ -577,9 +577,12 @@ def seasonal_decompose(
       NULL until the window is full (series edges) — one ordered window.
     - seasonal: per-(key, phase) mean of the detrended values, centered
       by subtracting the per-key mean of the phase means so the seasonal
-      component sums to ~0 over one period — two TINY aggregations
-      (keys x period rows, then keys rows) broadcast back onto the fact;
-      the heavy side never shuffles a second time.
+      component sums to ~0 over one period — two SMALL aggregations
+      (keys x period rows, then keys rows) joined back onto the fact.
+      The join side is keys-proportional, so the strategy is left to
+      AQE: it broadcasts from runtime stats while the table fits and
+      degrades to an ordinary co-partitioned join beyond that (a FORCED
+      broadcast would OOM the driver at millions of keys).
     - remainder: what's left (NULL wherever trend is NULL).
 
     Phase is positional (row_number % period), i.e. the series is
@@ -626,7 +629,7 @@ def seasonal_decompose(
         )
     )
     return (
-        df.join(F.broadcast(seasonal), [key, "_phase"])
+        df.join(seasonal, [key, "_phase"])
         .withColumn(
             "remainder",
             F.col(value_col) - F.col("trend") - F.col("seasonal"),
