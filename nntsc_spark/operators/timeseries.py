@@ -720,7 +720,9 @@ def lttb_downsample(
         F.lead("_bx").over(w_b).alias("_nx"),
         F.lead("_by").over(w_b).alias("_ny"),
     )
-    scored = df.join(F.broadcast(anchors), [key, "bucket"]).withColumn(
+    # keys x n_out is keys-PROPORTIONAL: AQE broadcasts while it fits
+    # (a forced hint would OOM at millions of keys, cf. seasonal join)
+    scored = df.join(anchors, [key, "bucket"]).withColumn(
         "_area2",
         F.abs(
             (F.col("_px") - F.col("_nx"))

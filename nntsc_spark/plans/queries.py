@@ -509,7 +509,10 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is SF-proportional — AQE broadcasts from runtime
+        # stats while it fits instead of a forced hint that would OOM
+        # at the scale where customer stops being "small"
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("o_orderstatus") == "O")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
@@ -544,7 +547,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)  # SF-prop: AQE
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
