@@ -194,3 +194,58 @@ def gap_report(
             "frequency",
         )
     )
+
+
+def availability_report(
+    fact: DataFrame,
+    k: float = 3.0,
+    key: str = "stream_id",
+    ts_col: str = "timestamp",
+    order_cols: list[str] | None = None,
+    frequency: DataFrame | None = None,
+    since: int | None = None,
+    max_diffs: int | None = None,
+) -> DataFrame:
+    """Per-key availability over each key's own observed span: the
+    fraction of [first, last] NOT covered by :func:`gap_report`
+    silences — the uptime number the reference's matrix/graph consumers
+    derive from bin presence, computed engine-side from the cadence
+    estimate instead.
+
+    Measuring against the key's own span (not a fixed window) keeps the
+    report honest at the edges: a stream that starts late or retires
+    early is not charged for time nobody expected it to report.  Keys
+    with a single observation have no span and emit NULL availability.
+
+    One extra keys-bounded aggregate on top of gap_report's plan.
+
+    Output: (key, n_gaps, silent_seconds, span_seconds, availability).
+    """
+    gaps = gap_report(
+        fact, k=k, key=key, ts_col=ts_col, order_cols=order_cols,
+        frequency=frequency, since=since, max_diffs=max_diffs,
+    )
+    span = fact.groupBy(key).agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    g = gaps.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_seconds").cast("long").alias("silent_seconds"),
+    )
+    return span.join(g, key, "left").select(
+        key,
+        F.coalesce(F.col("n_gaps"), F.lit(0)).cast("long").alias("n_gaps"),
+        F.coalesce(F.col("silent_seconds"), F.lit(0))
+        .cast("long")
+        .alias("silent_seconds"),
+        (F.col("_hi") - F.col("_lo")).cast("long").alias("span_seconds"),
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.round(
+                1.0
+                - F.coalesce(F.col("silent_seconds"), F.lit(0))
+                / (F.col("_hi") - F.col("_lo")).cast("double"),
+                4,
+            ),
+        ).alias("availability"),
+    )

@@ -1394,6 +1394,55 @@ WHERE l.prev IS NOT NULL AND f.frequency > 0
 """
 
 
+
+def q_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream availability over each stream's own observed span —
+    1 minus the gap_report silences' share, the uptime number the
+    reference's matrix consumers derive from bin presence."""
+    from ..operators.frequency import availability_report
+
+    return availability_report(
+        events_fact(spark, sf_dir), k=3.0, order_cols=["event_id"]
+    )
+
+
+SQL_AVAILABILITY = f"""
+WITH {_FACT_CTE},
+freqs AS (SELECT * FROM ({SQL_FREQUENCY}) f),
+lagged AS (
+  SELECT stream_id, timestamp,
+         lag(timestamp) OVER (PARTITION BY stream_id
+                              ORDER BY timestamp, event_id) AS prev
+  FROM fact
+),
+gaps AS (
+  SELECT l.stream_id,
+         CAST(l.timestamp - l.prev AS BIGINT) AS gap_seconds
+  FROM lagged l JOIN freqs f USING (stream_id)
+  WHERE l.prev IS NOT NULL AND f.frequency > 0
+    AND l.timestamp - l.prev > CAST(3.0 AS DOUBLE) * f.frequency
+),
+g AS (
+  SELECT stream_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_seconds) AS BIGINT) AS silent_seconds
+  FROM gaps GROUP BY stream_id
+),
+span AS (
+  SELECT stream_id, min(timestamp) AS lo, max(timestamp) AS hi
+  FROM fact GROUP BY stream_id
+)
+SELECT s.stream_id,
+       CAST(coalesce(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+       CAST(coalesce(g.silent_seconds, 0) AS BIGINT) AS silent_seconds,
+       CAST(s.hi - s.lo AS BIGINT) AS span_seconds,
+       CASE WHEN s.hi > s.lo THEN
+         round(1.0::DOUBLE - coalesce(g.silent_seconds, 0)
+               / CAST(s.hi - s.lo AS DOUBLE), 4)
+       END AS availability
+FROM span s LEFT JOIN g USING (stream_id)
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -1433,4 +1482,7 @@ TAIL_REGISTRY = {
     # round-9: batch gap detection against the T9 cadence estimate (the
     # retrospective sibling of the streaming outage detector)
     "gap_report": (q_gap_report, SQL_GAP_REPORT),
+    # round-9: per-stream uptime over the observed span (gap_report's
+    # rollup — the matrix consumers' availability number)
+    "availability": (q_availability, SQL_AVAILABILITY),
 }

@@ -463,3 +463,19 @@ def test_gap_report_thresholds_on_learned_frequency(spark):
     freq = spark.createDataFrame([(1, 60), (2, 60)],
                                  "stream_id long, frequency long")
     assert gap_report(df, k=3.0, frequency=freq).count() == 0
+
+
+def test_availability_report_charges_only_observed_span(spark):
+    from nntsc_spark.operators.frequency import availability_report
+
+    rows = ([(1, t) for t in (0, 10, 20, 30)] + [(1, 130), (1, 140)]
+            + [(2, t) for t in range(0, 60, 10)] + [(3, 1000)])
+    df = spark.createDataFrame(rows, "stream_id long, timestamp long")
+    out = {r.stream_id: r for r in availability_report(df, k=3.0).collect()}
+    # stream 1: 100 silent seconds of a 140s span
+    r1 = out[1]
+    assert (r1.n_gaps, r1.silent_seconds, r1.span_seconds) == (1, 100, 140)
+    assert abs(r1.availability - round(1 - 100 / 140, 4)) < 1e-12
+    # steady stream: fully available; single-point stream: no span
+    assert out[2].availability == 1.0 and out[2].n_gaps == 0
+    assert out[3].availability is None and out[3].span_seconds == 0

@@ -107,6 +107,7 @@ HEADLINE = [
     "cluster_sample",
     "hybrid_search",
     "gap_report",
+    "availability",
 ]
 
 

@@ -62,7 +62,7 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            "hampel_outliers",
            # r9: batch gap report (frequency window + lag window; the
            # densified replica axis shrinks gaps, so output stays small)
-           "gap_report"]
+           "gap_report", "availability"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
