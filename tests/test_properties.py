@@ -281,3 +281,89 @@ def test_temperature_token_sample_matches_reference(spark, sizes, budget):
                 break
             expect[i] = total
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # doc_id
+            st.sampled_from(["a", "b", "c"]),          # key
+            st.integers(min_value=0, max_value=50),    # priority
+        ),
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_cap_per_key_matches_python_reference(spark, rows, cap):
+    """cap_per_key == a pure-Python top-cap per key under the identical
+    (priority DESC, md5-priority ASC) order."""
+    import hashlib
+
+    from nntsc_spark.pipeline.text import cap_per_key
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in cap_per_key(
+            df, cap=cap, priority_col="n_chars", salt="p"
+        ).collect()
+    )
+
+    def pri(doc_id):
+        return int(hashlib.md5(f"p{doc_id}".encode()).hexdigest()[:15], 16)
+
+    expected = []
+    for key in {r[1] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[1] == key),
+            key=lambda r: (-r[2], pri(r[0])),
+        )
+        expected += [r[0] for r in members[:cap]]
+    assert got == sorted(expected)
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30),
+            max_size=8,
+            unique=True,
+        ),
+        min_size=2,
+        max_size=2,
+    ),
+    k=st.integers(min_value=1, max_value=90),
+)
+@settings(**SETTINGS)
+def test_rrf_fuse_matches_python_reference(spark, lists, k):
+    from nntsc_spark.pipeline.search import rrf_fuse
+
+    frames = [
+        spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(lst)] or [(None, None)],
+            "doc_id long, rank int",
+        ).where(F.col("doc_id").isNotNull())
+        for lst in lists
+    ]
+    got = {
+        r.doc_id: (r.n_lists, r.rrf_score)
+        for r in rrf_fuse(frames, k=k).collect()
+    }
+    expected: dict[int, list[int]] = {}
+    for lst in lists:
+        for i, d in enumerate(lst):
+            expected.setdefault(d, []).append(i + 1)
+    assert set(got) == set(expected)
+    for d, ranks in expected.items():
+        n, score = got[d]
+        assert n == len(ranks)
+        ref = 0.0
+        for r in sorted(ranks, reverse=True):  # any order: 2-term max
+            ref += 1.0 / (k + r)
+        assert score == ref
