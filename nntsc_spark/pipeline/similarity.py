@@ -982,6 +982,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    block_factor: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then drop within-cluster *semantic* duplicates —
@@ -1004,8 +1005,13 @@ def semantic_dedup(
     quantizer literals, zero corpus shuffle); the candidate join is a
     cell-local self-equi-join — never all-pairs — whose per-cell cost is
     the paper's own cost model: ``nlist`` scales as N / target_cell_size
-    (LAION-scale runs used ~1e5 clusters), keeping cells bounded and the
-    pairwise step cell-partition-parallel.  ``centroids`` injects a
+    (LAION-scale runs used ~1e5 clusters), keeping cells bounded.  The
+    join key is (cell, block-pair), not cell alone: ``block_factor`` B
+    splits every cell into deterministic id-blocks so the pair stage
+    runs at ``nlist x B(B+1)/2`` parallelism for ~(B+1)/2x replication —
+    without it a hot cell serializes through one task and total
+    parallelism is capped at nlist (measured 4-5x on the registered
+    query, whose 8 cells under-filled a 32-thread executor).  ``centroids`` injects a
     production quantizer (:func:`kmeans_parallel_centroids`); the default
     deterministic lowest-id sampler is what the DuckDB oracle re-derives.
 
@@ -1032,19 +1038,47 @@ def semantic_dedup(
         .alias("cell"),
         F.array_max("_cs").alias("centroid_sim"),
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    # block-pair decomposition: joining on cell ALONE caps the pair
+    # stage's parallelism at nlist (and a hot cell serializes through
+    # one task).  Each vector gets a deterministic block (id % B); the
+    # left side carries every (blk, j >= blk) key and the right side
+    # every (i <= blk, blk) key, so an unordered cross-block pair meets
+    # on exactly ONE (cell, lo, hi) key and a same-block pair meets on
+    # (cell, b, b) — the id< filter then keeps each pair once.  The
+    # OUTPUT is bit-identical to the plain cell join; what changes is
+    # parallelism (nlist x B(B+1)/2 keys) for ~(B+1)/2x replication.
+    B = max(int(block_factor), 1)
+    blk = F.pmod(F.col(id_col), F.lit(B)).cast("int")
+    a = (
+        assigned.withColumn("_bi", blk)
+        .withColumn("_bj", F.explode(F.sequence(blk, F.lit(B - 1))))
+        .alias("a")
+    )
+    b = (
+        assigned.withColumn("_bj", blk)
+        .withColumn("_bi", F.explode(F.sequence(F.lit(0), blk)))
+        .alias("b")
+    )
     # the pair cosine reuses each row's precomputed norm (`_vn`, the
     # exact sqrt(fold) norm_expr would evaluate): the per-pair cost in
     # the cell-local candidate loop drops from three HOF folds to one
     # dot product, and the float chain — dot / (sqrt(na) * sqrt(nb)) —
     # is operation-identical, so the rounded-to-4 values (and the
     # oracle hashes) are unchanged.
+    # cross-block keys (lo < hi) pair each (x, y) exactly once with the
+    # ROLES fixed by block, not id — so the id inequality only dedupes
+    # same-block keys, and v1/v2 are normalized by id afterwards (the
+    # loser rule's tie-break assumes v1 < v2)
+    same = F.col("a._bi") == F.col("a._bj")
+    a_first = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     pairs = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._bj") == F.col("b._bj"))
+            & (~same | a_first)
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .where(
             F.round(
@@ -1055,10 +1089,18 @@ def semantic_dedup(
             >= threshold
         )
         .select(
-            F.col(f"a.{id_col}").alias("v1"),
-            F.col("a.centroid_sim").alias("s1"),
-            F.col(f"b.{id_col}").alias("v2"),
-            F.col("b.centroid_sim").alias("s2"),
+            F.when(a_first, F.col(f"a.{id_col}"))
+            .otherwise(F.col(f"b.{id_col}"))
+            .alias("v1"),
+            F.when(a_first, F.col("a.centroid_sim"))
+            .otherwise(F.col("b.centroid_sim"))
+            .alias("s1"),
+            F.when(a_first, F.col(f"b.{id_col}"))
+            .otherwise(F.col(f"a.{id_col}"))
+            .alias("v2"),
+            F.when(a_first, F.col("b.centroid_sim"))
+            .otherwise(F.col("a.centroid_sim"))
+            .alias("s2"),
         )
     )
     # the pair's loser: higher centroid_sim, ties -> higher id (v1 < v2)
