@@ -526,6 +526,15 @@ def main() -> None:
         "slice, which is why its curve stays near-flat where the unbounded",
         "row climbs.",
         "",
+        "The gap/availability family (gap_report, gap_report_summary,",
+        "availability) and lttb_downsample sit in frequency's SORT-bound",
+        "class, not the delivery-bound one — their outputs are small but",
+        "each runs 1-2 per-key full-history ordered windows, so their",
+        "x1000 cells are n*log(n) + external-sort spill stacked once per",
+        "window; the production remedy is the same scan bound",
+        "(events_fact start= / max_diffs) that flattens",
+        "frequency_bounded, or time-slicing via operators/chunking.",
+        "",
         "Row-per-event outputs (select_raw, counter_rate, event_asof,",
         "ewma_smooth, holt_winters) are RESULT-DELIVERY-bound at x1000:",
         "the probe materializes through one driver, so their large cells",
