@@ -171,18 +171,22 @@ def _capped_queries():
         return estimate_frequency(fact, since=hi - 86_400, max_diffs=200)
 
     def gap_report_summary(spark, d):
-        # production shape: the BOUNDED cadence estimate (the registered
-        # gap_report embeds the unbounded one — its x1000 cost is the
-        # frequency row's super-linear sort) + a per-stream gap rollup
-        # (one row per event-gap x 1000 exceeds useful driver returns)
+        # production shape: BOTH ordered windows run over the recent
+        # slice (events_fact start= — a pushed-down scan bound, exactly
+        # frequency_bounded's remedy), because that is what an
+        # operational gap monitor asks ("silences in the last day"),
+        # plus the 200-diff estimate sample and a per-stream rollup.
+        # The registered gap_report row keeps the unbounded full-history
+        # semantics; this row pins the remedy's curve.
         from nntsc_spark.operators.frequency import gap_report
 
         fact = events_fact(spark, d)
         hi = fact.agg(F.max("timestamp")).collect()[0][0]
+        recent = events_fact(spark, d, start=int(hi) - 86_400)
         freq = estimate_frequency(
-            fact, since=hi - 86_400, max_diffs=200, fill_defaults=False
+            recent, max_diffs=200, fill_defaults=False
         )
-        gaps = gap_report(fact, k=3.0, order_cols=["event_id"],
+        gaps = gap_report(recent, k=3.0, order_cols=["event_id"],
                           frequency=freq)
         return gaps.groupBy("stream_id").agg(
             F.count(F.lit(1)).alias("n_gaps"),
