@@ -176,6 +176,7 @@ def write_training_shards(
     key_col: str = "doc_id",
     salt: str = "",
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
     """Deterministic global-shuffle shard writer — the LAST prep step:
     training wants the corpus in a randomized but REPRODUCIBLE order,
@@ -193,6 +194,11 @@ def write_training_shards(
     ordered file per shard directory — the layout loaders want (seekable,
     no cross-file merge).  At 100 TB raise ``n_shards``; everything else
     is unchanged.
+
+    ``fmt="json"`` emits JSON-lines shards (the interchange format most
+    training loaders stream natively) through the identical
+    shuffle/order path; parquet stays the default (typed, compressed,
+    prunable) for shards this engine re-reads.
     """
     from .text import hash_priority_expr
 
@@ -205,5 +211,6 @@ def write_training_shards(
         .drop("_pri")
         .write.partitionBy("shard")
         .mode(mode)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )

@@ -147,3 +147,54 @@ def test_rrd_poller_revert_replays_failed_batch(spark, tmp_path):
     assert poller.poll() is None  # nothing new
     poller.revert()  # a later failure must NOT rewind past the commit
     assert poller.poll() is None
+
+
+def test_jsonl_documents_split_clean_from_rejects(spark, tmp_path):
+    """JSONL ingest contract: declared schema (no inference pass), every
+    malformed or schema-drifted line COUNTED with its raw text and a
+    reason — never silently dropped — and n_chars re-derived."""
+    import json as _json
+
+    from nntsc_spark.sources.documents import (
+        read_documents_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "good one", "lang": "en",
+                     "source": "web"}),
+        '{"doc_id": 2, "text": "truncated...',         # malformed
+        _json.dumps({"doc_id": None, "text": "orphan"}),  # missing id
+        _json.dumps({"doc_id": 3, "lang": "en"}),         # missing text
+        _json.dumps({"doc_id": 4, "text": "", "source": "web"}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, rejects = split_corrupt(read_documents_jsonl(spark, str(p)))
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 4}
+    assert got[1].n_chars == 8 and got[4].n_chars == 0
+    reasons = sorted(r.reject_reason for r in rejects.collect())
+    assert reasons == ["malformed_json", "missing_id", "missing_text"]
+    raws = [r.raw_line for r in rejects.collect()]
+    assert any("truncated" in r for r in raws)
+
+
+def test_shard_writer_jsonl_format(spark, tmp_path):
+    from nntsc_spark.pipeline.packing import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, salt="s", fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert back.select("shard").distinct().count() == 4
+    # identical shuffle/order path: parquet and jsonl shard assignments agree
+    outp = str(tmp_path / "shardsp")
+    write_training_shards(docs, outp, n_shards=4, salt="s")
+    a = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard)
+         for r in spark.read.parquet(outp).select("doc_id", "shard").collect()}
+    assert a == b
