@@ -970,3 +970,30 @@ def epoch_upsample(
         (F.col("epoch") < full_e)
         | ((F.col("epoch") == full_e) & (bucket < thr_e))
     )
+
+
+def calibrate_scores_per_stratum(
+    docs: DataFrame,
+    score_col: str,
+    strata_col: str = "source",
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Per-stratum percent-rank calibration of a quality score: maps the
+    raw score to its within-stratum quantile, so ONE global threshold
+    means the same thing across sources whose raw distributions differ
+    (a perplexity of X is mid-pack for web text and an outlier for
+    code — gating both at the raw value keeps the wrong documents).
+    This is the calibration step run between scoring
+    (:func:`unigram_logprob_scores`, the NB classifier) and gating
+    (:func:`quality_bands`, :func:`curated_mixture`).
+
+    ``percent_rank`` is ``(rank - 1) / (n - 1)`` — a ratio of exact
+    small integers, engine-identical UNROUNDED, and tie-stable (equal
+    scores share a rank, so no tiebreak column is needed for
+    determinism).  One window shuffle on the stratum; a single-row
+    stratum calibrates to 0.0 (both engines' convention).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(score_col)
+    return docs.withColumn(out_col, F.percent_rank().over(w))

@@ -2499,6 +2499,27 @@ LIMIT 15
 """
 
 
+
+
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank calibration (n_chars standing in for any
+    score column): one global threshold becomes meaningful across
+    sources with different raw distributions."""
+    from ..pipeline.text import calibrate_scores_per_stratum
+
+    return calibrate_scores_per_stratum(
+        load_table(spark, sf_dir, "documents"), score_col="n_chars"
+    ).select("doc_id", "source", "n_chars", "calibrated")
+
+
+SQL_QUALITY_CALIBRATED = """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+         AS calibrated
+FROM documents
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2578,4 +2599,6 @@ TAIL_PIPELINE_REGISTRY = {
     "cluster_sample": (q_cluster_sample, SQL_CLUSTER_SAMPLE),
     # round-9: reciprocal-rank fusion of BM25 + cosine retrieval
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
+    # round-9: per-source percent-rank score calibration
+    "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
 }

@@ -2045,3 +2045,29 @@ def test_rrf_fuse_known_values_and_tie_break(spark):
     # doc in both lists outranks a doc leading only one
     order = [r.doc_id for r in rrf_fuse([a, b], k=60, topk=4).collect()]
     assert order[0] in (10, 12) and set(order[:2]) == {10, 12}
+
+
+def test_calibrate_scores_per_stratum_quantiles_and_ties(spark):
+    from nntsc_spark.pipeline.text import calibrate_scores_per_stratum
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0), (4, "a", 30.0),
+         (5, "b", 1000.0)],
+        "doc_id long, source string, score double",
+    )
+    got = {r.doc_id: r.calibrated
+           for r in calibrate_scores_per_stratum(df, "score").collect()}
+    # (rank-1)/(n-1); ties share a rank; single-row stratum -> 0.0
+    assert got[1] == 0.0 and got[4] == 1.0
+    assert got[2] == got[3] == 1 / 3
+    assert got[5] == 0.0
+    # the property that makes it a calibration: a global threshold keeps
+    # the same FRACTION of each stratum regardless of raw scales
+    big = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(100)]
+        + [(1000 + i, "b", float(i) * 1e6) for i in range(100)],
+        "doc_id long, source string, score double",
+    )
+    kept = (calibrate_scores_per_stratum(big, "score")
+            .where("calibrated >= 0.8").groupBy("source").count().collect())
+    assert {r.source: r["count"] for r in kept} == {"a": 20, "b": 20}

@@ -108,6 +108,7 @@ HEADLINE = [
     "hybrid_search",
     "gap_report",
     "availability",
+    "quality_calibrated",
 ]
 
 

@@ -112,7 +112,10 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: RRF hybrid retrieval (both lists top-50
                     # bounded; the corpus-side cost is BM25's filtered
                     # explode + the brute-force scan)
-                    "hybrid_search"]
+                    "hybrid_search",
+                    # r9: per-source percent-rank calibration (one
+                    # stratum window; output = input rows)
+                    "quality_calibrated"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
