@@ -1180,6 +1180,53 @@ def cluster_balanced_sample(
     )
 
 
+def curate_embeddings(
+    emb: DataFrame,
+    nlist: int = 8,
+    threshold: float = 0.95,
+    per_cell: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    block_factor: int = 4,
+) -> DataFrame:
+    """The embedding-side curation capstone (the vector sibling of
+    pipeline/corpus.py's ``training_corpus``): SemDeDup semantic
+    de-duplication, then cluster-balanced diversity capping of the
+    SURVIVORS — dedup removes redundancy inside dense regions, the cap
+    bounds how much any one region contributes to the final sample.
+
+    Composition is zero-recompute: the per-cell cap reuses
+    :func:`semantic_dedup`'s own (cell, centroid_sim) assignment —
+    BOTH stages see the same quantizer by construction, so "cell"
+    means the same thing to the dedup and the cap — and adds exactly
+    one WindowGroupLimit window on top.  Output bounded at
+    ``nlist x per_cell`` rows.
+
+    Output: (id_col, cell, centroid_sim).
+    """
+    from pyspark.sql import Window
+
+    sd = semantic_dedup(
+        emb,
+        nlist=nlist,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        block_factor=block_factor,
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centroid_sim").asc(), F.col(id_col).asc()
+    )
+    return (
+        sd.where(F.col("kept"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(per_cell))
+        .select(id_col, "cell", "centroid_sim")
+    )
+
+
 def ivf_requantize(
     spark,
     path: str,

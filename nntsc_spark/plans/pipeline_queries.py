@@ -2520,6 +2520,31 @@ FROM documents
 """
 
 
+
+
+def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding curation capstone: SemDeDup survivors, then at most 15
+    per cell most-peripheral-first — both stages share one quantizer,
+    zero recomputation between them."""
+    from ..pipeline.similarity import curate_embeddings
+
+    return curate_embeddings(
+        load_table(spark, sf_dir, "embeddings"),
+        nlist=_SEMDEDUP_NLIST,
+        threshold=_SEMDEDUP_TAU,
+        per_cell=15,
+    )
+
+
+SQL_EMBEDDING_CURATION = f"""
+WITH sd AS ({SQL_SEMANTIC_DEDUP})
+SELECT vec_id, cell, centroid_sim FROM sd
+WHERE kept
+QUALIFY row_number() OVER (PARTITION BY cell
+                           ORDER BY centroid_sim ASC, vec_id ASC) <= 15
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2601,4 +2626,6 @@ TAIL_PIPELINE_REGISTRY = {
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     # round-9: per-source percent-rank score calibration
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
+    # round-9: the embedding-side curation capstone (SemDeDup -> cap)
+    "embedding_curation": (q_embedding_curation, SQL_EMBEDDING_CURATION),
 }

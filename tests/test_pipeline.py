@@ -2071,3 +2071,29 @@ def test_calibrate_scores_per_stratum_quantiles_and_ties(spark):
     kept = (calibrate_scores_per_stratum(big, "score")
             .where("calibrated >= 0.8").groupBy("source").count().collect())
     assert {r.source: r["count"] for r in kept} == {"a": 20, "b": 20}
+
+
+def test_curate_embeddings_composes_dedup_then_cap(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from nntsc_spark.pipeline.similarity import (
+        curate_embeddings,
+        semantic_dedup,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = curate_embeddings(emb, nlist=8, threshold=0.45, per_cell=10)
+    per = {r.cell: r.n for r in out.groupBy("cell").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(n <= 10 for n in per.values())
+    # every curated vector is a dedup survivor, and within a cell the
+    # kept set is the lowest-centroid-sim prefix of the survivors
+    sd = semantic_dedup(emb, nlist=8, threshold=0.45)
+    kept = {(r.vec_id, r.cell) for r in sd.where("kept").collect()}
+    assert {(r.vec_id, r.cell) for r in out.collect()} <= kept
+    worst = {r.cell: r.m for r in out.groupBy("cell")
+             .agg(F.max("centroid_sim").alias("m")).collect()}
+    chosen = {(r.vec_id, r.cell) for r in out.collect()}
+    for r in sd.where("kept").collect():
+        if (r.vec_id, r.cell) not in chosen:
+            assert r.centroid_sim >= worst[r.cell]

@@ -109,6 +109,7 @@ HEADLINE = [
     "gap_report",
     "availability",
     "quality_calibrated",
+    "embedding_curation",
 ]
 
 
