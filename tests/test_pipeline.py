@@ -2097,3 +2097,32 @@ def test_curate_embeddings_composes_dedup_then_cap(spark, sf_dir):
     for r in sd.where("kept").collect():
         if (r.vec_id, r.cell) not in chosen:
             assert r.centroid_sim >= worst[r.cell]
+
+
+def test_epoch_salted_shards_reorder_each_epoch(spark, tmp_path):
+    """The epoch index exists so the shard writer can salt each epoch's
+    order independently — pin the composition: same docs, different
+    per-epoch salt, different within-shard order, identical membership."""
+    from nntsc_spark.pipeline.packing import write_training_shards
+    from nntsc_spark.pipeline.text import epoch_upsample
+
+    docs = spark.createDataFrame(
+        [(i, "src") for i in range(60)], "doc_id long, source string"
+    )
+    mix = epoch_upsample(docs, {"src": 2.0}, salt="e")
+    orders = {}
+    for epoch in (0, 1):
+        out = str(tmp_path / f"ep{epoch}")
+        write_training_shards(
+            mix.where(f"epoch = {epoch}").drop("epoch"),
+            out, n_shards=2, salt=f"mix:{epoch}",
+        )
+        back = spark.read.parquet(out)
+        orders[epoch] = [
+            r.doc_id
+            for r in back.where("shard = 0").collect()
+        ]
+    # same corpus both epochs, but the salted priority reshuffles it
+    assert sorted(orders[0] + [r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "ep0")).where("shard = 1").collect()]) == list(range(60))
+    assert orders[0] != orders[1]

@@ -367,3 +367,45 @@ def test_rrf_fuse_matches_python_reference(spark, lists, k):
         for r in sorted(ranks, reverse=True):  # any order: 2-term max
             ref += 1.0 / (k + r)
         assert score == ref
+
+
+@given(
+    epochs=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=3.0,
+                  allow_nan=False, allow_infinity=False),
+        max_size=3,
+    ),
+    default=st.floats(min_value=0.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False),
+)
+@settings(**SETTINGS)
+def test_epoch_upsample_matches_python_reference(spark, epochs, default):
+    import hashlib
+    import math
+
+    from nntsc_spark.pipeline.text import epoch_upsample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in epoch_upsample(df, epochs, salt="q",
+                                default_epochs=default).collect()
+    )
+
+    def bucket(doc_id):
+        return (
+            int(hashlib.md5(f"q{doc_id}".encode()).hexdigest()[:15], 16)
+            % 10000
+        )
+
+    expected = []
+    for doc_id, src in rows:
+        e = float(epochs.get(src, default))
+        full = int(math.floor(e))
+        thr = int(round((e - full) * 10000))
+        expected += [(doc_id, k) for k in range(full)]
+        if thr > 0 and bucket(doc_id) < thr:
+            expected.append((doc_id, full))
+    assert got == sorted(expected)
