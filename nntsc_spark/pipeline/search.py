@@ -141,3 +141,42 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
     )
     return out.limit(int(topk)) if topk is not None else out
+
+
+def phrase_hits(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring audit: which documents contain ``phrase``
+    verbatim, how many (non-overlapping) times, and where it first
+    occurs — the manual spot-check run after decontamination flags a
+    benchmark string ("show me exactly where this answer appears"), and
+    the simplest leak probe when a single canary string matters.
+
+    Zero-shuffle scan: the count is a length difference over
+    ``replace`` (codegen string ops — no regex, so the phrase needs no
+    escaping and a ``.*`` in an eval answer can't explode the matcher),
+    the first position is one ``locate``.  Only matching docs return,
+    so the result is hit-proportional however large the corpus.
+
+    Output: (id_col, n_hits, first_pos) — ``first_pos`` 1-based.
+    """
+    if not phrase:
+        raise ValueError("phrase_hits requires a non-empty phrase")
+    L = len(phrase)
+    removed = F.replace(F.col(text_col), F.lit(phrase), F.lit(""))
+    n = F.expr(
+        f"(length(`{text_col}`) - length(_removed)) div {L}"
+    ).cast("long")
+    return (
+        docs.withColumn("_removed", removed)
+        .withColumn("n_hits", n)
+        .where(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_hits",
+            F.locate(phrase, F.col(text_col)).cast("long").alias("first_pos"),
+        )
+    )

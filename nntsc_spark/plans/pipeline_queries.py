@@ -2545,6 +2545,27 @@ QUALIFY row_number() OVER (PARTITION BY cell
 """
 
 
+
+
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring audit for one phrase: hit docs with
+    non-overlapping counts and the first 1-based position."""
+    from ..pipeline.search import phrase_hits
+
+    return phrase_hits(load_table(spark, sf_dir, "documents"),
+                       "table value")
+
+
+SQL_PHRASE_HITS = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table value', '')))
+            // length('table value') AS BIGINT) AS n_hits,
+       CAST(position('table value' IN text) AS BIGINT) AS first_pos
+FROM documents
+WHERE length(text) > length(replace(text, 'table value', ''))
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2628,4 +2649,6 @@ TAIL_PIPELINE_REGISTRY = {
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     # round-9: the embedding-side curation capstone (SemDeDup -> cap)
     "embedding_curation": (q_embedding_curation, SQL_EMBEDDING_CURATION),
+    # round-9: exact-substring audit (canary/leak spot-check)
+    "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
 }

@@ -2126,3 +2126,25 @@ def test_epoch_salted_shards_reorder_each_epoch(spark, tmp_path):
     assert sorted(orders[0] + [r.doc_id for r in spark.read.parquet(
         str(tmp_path / "ep0")).where("shard = 1").collect()]) == list(range(60))
     assert orders[0] != orders[1]
+
+
+def test_phrase_hits_counts_and_positions(spark):
+    import pytest
+
+    from nntsc_spark.pipeline.search import phrase_hits
+
+    df = spark.createDataFrame(
+        [(1, "a table value and a table value again"),
+         (2, "no match here"),
+         (3, "table value"),
+         (4, "regex specials .* stay literal: table value")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in phrase_hits(df, "table value").collect()}
+    assert got == {1: (2, 3), 3: (1, 1), 4: (1, 33)}
+    # a phrase full of regex metacharacters matches only literally
+    meta = {r.doc_id for r in phrase_hits(df, ".*").collect()}
+    assert meta == {4}
+    with pytest.raises(ValueError):
+        phrase_hits(df, "")

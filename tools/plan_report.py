@@ -110,6 +110,7 @@ HEADLINE = [
     "availability",
     "quality_calibrated",
     "embedding_curation",
+    "phrase_hits",
 ]
 
 

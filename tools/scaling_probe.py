@@ -115,7 +115,9 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "hybrid_search",
                     # r9: per-source percent-rank calibration (one
                     # stratum window; output = input rows)
-                    "quality_calibrated"]
+                    "quality_calibrated",
+                    # r9: exact-substring canary audit (zero-shuffle scan)
+                    "phrase_hits"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
