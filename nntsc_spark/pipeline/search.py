@@ -180,3 +180,51 @@ def phrase_hits(
             F.locate(phrase, F.col(text_col)).cast("long").alias("first_pos"),
         )
     )
+
+
+def phrase_hits_many(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch exact-substring audit: every (document, phrase) hit for a
+    SET of canary strings — auditing a whole benchmark's answer key in
+    one corpus pass instead of one scan per phrase.
+
+    The phrase set rides as a broadcast literal table into one
+    cross-then-filter (Catalyst plans broadcast nested loop with the
+    |phrases|-row side in memory); per pair the work is the same
+    regex-free replace/locate arithmetic as :func:`phrase_hits`.  Honest
+    cost: docs x |phrases| contains-checks — right for canary sets up
+    to a few thousand strings; for benchmark-SCALE decontamination use
+    the n-gram machinery (``contamination``/``doc_despan``), which
+    shares corpus work across phrases instead of re-scanning.
+
+    Output: (id_col, phrase, n_hits, first_pos), hits only.
+    """
+    cleaned = [p for p in phrases if p]
+    if not cleaned:
+        raise ValueError("phrase_hits_many requires non-empty phrases")
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame(
+        [(p,) for p in sorted(set(cleaned))], "phrase string"
+    )
+    text = F.col(text_col)
+    removed = F.replace(text, F.col("phrase"), F.lit(""))
+    n = (
+        (F.length(text) - F.length(removed))
+        / F.length("phrase")
+    ).cast("long")
+    return (
+        docs.select(id_col, text_col)
+        .join(F.broadcast(pdf), F.contains(text, F.col("phrase")))
+        .select(
+            id_col,
+            "phrase",
+            n.alias("n_hits"),
+            F.expr(f"locate(phrase, `{text_col}`)")
+            .cast("long")
+            .alias("first_pos"),
+        )
+    )

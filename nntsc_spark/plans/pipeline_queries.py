@@ -2566,6 +2566,33 @@ WHERE length(text) > length(replace(text, 'table value', ''))
 """
 
 
+
+
+_CANARY_PHRASES = ["table value", "slow filter", "spark"]
+
+
+def q_phrase_hits_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch canary audit: three answer-key strings checked in one
+    corpus pass (broadcast literal phrase table)."""
+    from ..pipeline.search import phrase_hits_many
+
+    return phrase_hits_many(
+        load_table(spark, sf_dir, "documents"), _CANARY_PHRASES
+    )
+
+
+SQL_PHRASE_HITS_MANY = f"""
+SELECT d.doc_id, p.phrase,
+       CAST((length(d.text) - length(replace(d.text, p.phrase, '')))
+            / length(p.phrase) AS BIGINT) AS n_hits,
+       CAST(position(p.phrase IN d.text) AS BIGINT) AS first_pos
+FROM documents d
+JOIN (VALUES {", ".join(f"('{p}')" for p in sorted(set(_CANARY_PHRASES)))})
+     p(phrase)
+  ON contains(d.text, p.phrase)
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2649,6 +2676,8 @@ TAIL_PIPELINE_REGISTRY = {
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     # round-9: the embedding-side curation capstone (SemDeDup -> cap)
     "embedding_curation": (q_embedding_curation, SQL_EMBEDDING_CURATION),
-    # round-9: exact-substring audit (canary/leak spot-check)
+    # round-9: exact-substring audit (canary/leak spot-check), single
+    # and batch forms
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
+    "phrase_hits_many": (q_phrase_hits_many, SQL_PHRASE_HITS_MANY),
 }

@@ -2148,3 +2148,22 @@ def test_phrase_hits_counts_and_positions(spark):
     assert meta == {4}
     with pytest.raises(ValueError):
         phrase_hits(df, "")
+
+
+def test_phrase_hits_many_matches_per_phrase_scans(spark):
+    from nntsc_spark.pipeline.search import phrase_hits, phrase_hits_many
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "gamma"), (3, "beta .*")],
+        "doc_id long, text string",
+    )
+    phrases = ["alpha beta", "beta", ".*"]
+    batch = {(r.doc_id, r.phrase): (r.n_hits, r.first_pos)
+             for r in phrase_hits_many(df, phrases).collect()}
+    singles = {}
+    for p in phrases:
+        for r in phrase_hits(df, p).collect():
+            singles[(r.doc_id, p)] = (r.n_hits, r.first_pos)
+    assert batch == singles
+    assert batch[(1, "alpha beta")] == (2, 1)
+    assert batch[(3, ".*")] == (1, 6)

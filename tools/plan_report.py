@@ -111,6 +111,7 @@ HEADLINE = [
     "quality_calibrated",
     "embedding_curation",
     "phrase_hits",
+    "phrase_hits_many",
 ]
 
 

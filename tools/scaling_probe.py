@@ -116,8 +116,9 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r9: per-source percent-rank calibration (one
                     # stratum window; output = input rows)
                     "quality_calibrated",
-                    # r9: exact-substring canary audit (zero-shuffle scan)
-                    "phrase_hits"]
+                    # r9: exact-substring canary audits (zero-shuffle
+                    # scan; batch form broadcasts the phrase table)
+                    "phrase_hits", "phrase_hits_many"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
