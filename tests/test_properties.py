@@ -409,3 +409,69 @@ def test_epoch_upsample_matches_python_reference(spark, epochs, default):
         if thr > 0 and bucket(doc_id) < thr:
             expected.append((doc_id, full))
     assert got == sorted(expected)
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=500),
+                min_size=2, max_size=30, unique=True),
+    freq=st.integers(min_value=1, max_value=40),
+    k=st.floats(min_value=1.0, max_value=5.0,
+                allow_nan=False, allow_infinity=False),
+)
+@settings(**SETTINGS)
+def test_gap_report_matches_bruteforce(spark, ts, freq, k):
+    from nntsc_spark.operators.frequency import gap_report
+
+    df = spark.createDataFrame([(1, t) for t in ts],
+                               "stream_id long, timestamp long")
+    fr = spark.createDataFrame([(1, freq)],
+                               "stream_id long, frequency long")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_seconds, r.missed)
+        for r in gap_report(df, k=k, frequency=fr).collect()
+    )
+    s = sorted(ts)
+    expected = []
+    for a, b in zip(s, s[1:]):
+        d = b - a
+        if d > k * freq:
+            expected.append((a, b, d, max(int(d / freq) - 1, 1)))
+    assert got == sorted(expected)
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=200),
+                    max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=200),
+                  st.integers(min_value=0, max_value=60)),
+        max_size=10,
+    ),
+    bucket=st.integers(min_value=1, max_value=50),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
+    """Bucketed equi-join strategy == the naive theta join, for any
+    bucket size — every overlap found, every match exactly once."""
+    from nntsc_spark.operators.intervals import interval_join
+
+    if not points or not intervals:
+        return
+    p = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(points)], "pid long, timestamp long"
+    )
+    iv = spark.createDataFrame(
+        [(j, s, s + w) for j, (s, w) in enumerate(intervals)],
+        "iid long, start long, end long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, bucket=bucket).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, w) in enumerate(intervals)
+        if s <= t <= s + w
+    )
+    assert got == expected
