@@ -573,8 +573,13 @@ def seasonal_decompose(
     method; Cleveland's STL is its loess refinement): value = trend +
     seasonal + remainder, per series key.
 
-    - trend: centered moving average over ``2*(period//2)+1`` ROWS,
-      NULL until the window is full (series edges) — one ordered window.
+    - trend: the textbook centered moving average — a simple
+      ``period``-point MA for odd periods, the classical 2x``m``
+      weighted MA for even periods (half-weight endpoints, i.e. the
+      mean of the two ``period``-point MAs offset by one row; what
+      statsmodels computes for ``period=24``).  NULL until the full
+      ``2*(period//2)+1``-row window exists (series edges) — ordered
+      windows over one partitioning either way.
     - seasonal: per-(key, phase) mean of the detrended values, centered
       by subtracting the per-key mean of the phase means so the seasonal
       component sums to ~0 over one period — two SMALL aggregations
@@ -589,43 +594,79 @@ def seasonal_decompose(
     assumed regular — compose with :func:`gapfill` first for sparse
     series, exactly as a forecaster would.
 
-    Every averaged intermediate (trend, phase means, their key mean) is
-    rounded to 6 decimals — the cross-engine determinism discipline
-    (textrank_keywords' per-iteration pin): group/window sums differ
-    between engines at the last ulp, and a downstream SUBTRACTION of two
-    such values would otherwise land on round-4 boundaries often enough
-    to flip output cells (observed: 10 rows per 4.6k before pinning).
-    1e-6 is far below any physical signal in the series.
+    Every averaged intermediate is pinned to 6 decimals — the
+    cross-engine determinism discipline (textrank_keywords'
+    per-iteration pin).  The trend uses round(·, 6) on the window mean
+    (window-frame accumulation is in-order on both engines); the phase
+    means and their key mean are quantized to integer MICRO-units
+    instead (scale-0 rounding of an identical double is engine-portable
+    where round-6 of a group avg is not — group-avg accumulation order
+    differs at the last ulp and flips round-6 cells sitting on
+    .0000005 boundaries), so the per-phase aggregation is an exact,
+    order-independent integer sum.  1e-6 is far below any physical
+    signal in the series.
     """
     order = [ts_col] + (order_cols or [])
-    half = int(period) // 2
+    period = int(period)
+    half = period // 2
     w_ord = Window.partitionBy(key).orderBy(*order)
-    w_ma = w_ord.rowsBetween(-half, half)
-    full = 2 * half + 1
+    w_full = w_ord.rowsBetween(-half, half)
+    if period % 2 == 0:
+        # classical 2xm centered MA: mean of the two m-point MAs offset
+        # by one row == half-weight endpoints (statsmodels' even-period
+        # trend); needs the full (m+1)-row window
+        w_a = w_ord.rowsBetween(-half, half - 1)
+        w_b = w_ord.rowsBetween(-half + 1, half)
+        trend = F.when(
+            F.count(value_col).over(w_full) == period + 1,
+            (
+                F.sum(value_col).over(w_a) + F.sum(value_col).over(w_b)
+            )
+            / F.lit(2.0 * period),
+        )
+    else:
+        trend = F.when(
+            F.count(value_col).over(w_full) == period,
+            F.avg(value_col).over(w_full),
+        )
     df = fact.withColumn(
-        "_phase", (F.row_number().over(w_ord) - 1) % int(period)
+        "_phase", (F.row_number().over(w_ord) - 1) % period
     ).withColumn(
-        "trend",
-        F.round(
-            F.when(
-                F.count(value_col).over(w_ma) == full,
-                F.avg(value_col).over(w_ma),
-            ),
-            6,
-        ),
-    ).withColumn("_detr", F.col(value_col) - F.col("trend"))
+        "trend", F.round(trend, 6)
+    ).withColumn(
+        # micro-unit quantization, not round(x, 6): scale-0 rounding of
+        # an identical double IS engine-portable (both engines round
+        # the exact same double to its nearest integer, half away from
+        # zero), whereas round(avg(...), 6) is not — the group avg's
+        # accumulation ORDER differs between engines by a last-ulp that
+        # round-6 flips whenever a mean lands on a .0000005 boundary
+        # (observed when the 2xm trend change moved one phase mean onto
+        # one).  Integer micro sums are exact and order-independent.
+        "_detr_u",
+        F.round((F.col(value_col) - F.col("trend")) * 1e6, 0).cast("long"),
+    )
     phase_means = df.groupBy(key, "_phase").agg(
-        F.round(F.avg("_detr"), 6).alias("_sbar")
+        F.round(
+            F.sum("_detr_u").cast("double") / F.count("_detr_u"), 0
+        )
+        .cast("long")
+        .alias("_sbar_u")
     )
     key_means = phase_means.groupBy(key).agg(
-        F.round(F.avg("_sbar"), 6).alias("_sbar0")
+        F.round(
+            F.sum("_sbar_u").cast("double") / F.count("_sbar_u"), 0
+        )
+        .cast("long")
+        .alias("_sbar0_u")
     )
     seasonal = (
         phase_means.join(key_means, key)
         .select(
             key,
             "_phase",
-            (F.col("_sbar") - F.col("_sbar0")).alias("seasonal"),
+            (
+                (F.col("_sbar_u") - F.col("_sbar0_u")) / F.lit(1e6)
+            ).alias("seasonal"),
         )
     )
     return (
@@ -634,7 +675,7 @@ def seasonal_decompose(
             "remainder",
             F.col(value_col) - F.col("trend") - F.col("seasonal"),
         )
-        .drop("_phase", "_detr")
+        .drop("_phase", "_detr_u")
     )
 
 

@@ -173,11 +173,14 @@ def clean_lines(
     )
     if max_count is not None:
         common = common_line_keys(lines, max_count)
+        # no broadcast hint: |common| is only bounded by total_lines /
+        # max_count (unbounded for small max_count), so a forced
+        # broadcast risks driver OOM at corpus scale — AQE still picks
+        # a broadcast anti-join from runtime stats when the set is
+        # genuinely small, and degrades to SMJ gracefully when not
         kept = kept.withColumn(
             "line_key", md5_long(F.col("line"))
-        ).join(
-            F.broadcast(common.select("line_key")), "line_key", "left_anti"
-        )
+        ).join(common.select("line_key"), "line_key", "left_anti")
     agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

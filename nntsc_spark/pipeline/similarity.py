@@ -1519,7 +1519,16 @@ def pq_codebooks_kmeans(
             d2 = np.min(
                 [((sub - c) ** 2).sum(axis=1) for c in centers], axis=0
             )
-            prob = d2 / max(d2.sum(), 1e-30)
+            tot = d2.sum()
+            if tot <= 0.0:
+                # every remaining training point coincides with an
+                # already-chosen center (degenerate but realistic for
+                # low-cardinality subspaces): d2/tot would feed
+                # rng.choice a non-normalized vector and raise — fall
+                # back to a uniform draw, keeping the seeded stream
+                centers.append(sub[rng.randint(len(sub))])
+                continue
+            prob = d2 / tot
             centers.append(sub[rng.choice(len(sub), p=prob)])
         cents = np.asarray(centers)
         for _ in range(int(iters)):
@@ -1966,16 +1975,4 @@ def ivfpq_topk(
             F.expr(f"round({chain}, 4)").alias("adc_d2"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_d2"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= int(k))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            "adc_d2",
-        )
-    )
+    return _per_query_topk(scored, int(k), "adc_d2", ascending=True)

@@ -88,7 +88,9 @@ def cms_estimate(
     ``depth * width`` rows, so the join broadcasts; probes are never
     shuffled beyond their own distinct().
 
-    Output: probes' columns + ``cms_cnt`` (long).
+    Output: (``col``, ``cms_cnt``) — ONE row per distinct probe key;
+    other probe columns are NOT carried through (callers needing them
+    join the estimate back on the key, as cms_heavy_hitters does).
     """
     cells = F.array(
         *[

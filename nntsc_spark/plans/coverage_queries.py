@@ -880,18 +880,31 @@ bounded AS (
   SELECT stream_id, timestamp, event_id, value,
          (row_number() OVER w1 - 1) % 24 AS phase,
          round(CASE WHEN count(value) OVER w2 = 25
-                    THEN avg(value) OVER w2 END, 6) AS trend
+                    THEN (sum(value) OVER w2a + sum(value) OVER w2b)
+                         / 48.0 END, 6) AS trend
   FROM bounded
   WINDOW w1 AS (PARTITION BY stream_id ORDER BY timestamp, event_id),
          w2 AS (PARTITION BY stream_id ORDER BY timestamp, event_id
-                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
+         w2a AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+                 ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+         w2b AS (PARTITION BY stream_id ORDER BY timestamp, event_id
+                 ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+), det AS (
+  SELECT *, CAST(round((value - trend) * 1e6, 0) AS BIGINT) AS detr_u
+  FROM win
 ), pm AS (
-  SELECT stream_id, phase, round(avg(value - trend), 6) AS sbar
-  FROM win GROUP BY 1, 2
-), km AS (SELECT stream_id, round(avg(sbar), 6) AS sbar0
+  SELECT stream_id, phase,
+         CAST(round(CAST(sum(detr_u) AS DOUBLE) / count(detr_u), 0)
+              AS BIGINT) AS sbar_u
+  FROM det GROUP BY 1, 2
+), km AS (SELECT stream_id,
+                 CAST(round(CAST(sum(sbar_u) AS DOUBLE) / count(sbar_u), 0)
+                      AS BIGINT) AS sbar0_u
           FROM pm GROUP BY 1),
 sea AS (
-  SELECT pm.stream_id, pm.phase, pm.sbar - km.sbar0 AS seasonal
+  SELECT pm.stream_id, pm.phase,
+         (pm.sbar_u - km.sbar0_u) / 1e6 AS seasonal
   FROM pm JOIN km USING (stream_id)
 )
 SELECT w.stream_id, w.timestamp, w.event_id, w.value,

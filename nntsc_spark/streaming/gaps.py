@@ -19,7 +19,11 @@ two complementary channels:
   channel no batch query can produce.  Exactly one open row per outage
   (the state remembers it reported); the eventual resume emits the
   closing row with real bounds, which consumers pair by (stream,
-  gap_start).
+  gap_start).  A resume that arrives IN cadence (the timeout was a
+  false positive — late/backfilled data) still closes the open row,
+  with ``missed=0`` as the retraction signal, and ANY processed
+  arrival re-arms the timeout — so one false positive can never
+  permanently disarm the channel.
 
 Frequency is learned per stream as an exponentially-weighted mean of
 inter-arrival deltas, EXCLUDING outage deltas (a gap folded into the
@@ -125,8 +129,17 @@ def _make_gap_fn(k: float, alpha: float, silence_timeout_ms: int | None):
                             False,
                         )
                     )
-                    reported = 0  # the outage (if reported open) closed
                 else:
+                    if reported:
+                        # false-positive open outage: the timeout fired
+                        # (e.g. late/backfilled data) but the resume
+                        # arrived in cadence.  Emit the closing row
+                        # anyway — consumers pair open/close on
+                        # (stream, gap_start), and a close with
+                        # missed=0 is their retraction signal.
+                        out.append(
+                            (stream_id, last_seen, ts, 0, ew_freq, False)
+                        )
                     # only in-cadence deltas teach the estimator
                     ew_freq = (
                         float(delta)
@@ -134,6 +147,12 @@ def _make_gap_fn(k: float, alpha: float, silence_timeout_ms: int | None):
                         else (1 - alpha) * ew_freq + alpha * float(delta)
                     )
                     n_deltas += 1
+                # ANY processed arrival means the outage, if one was
+                # reported open, has ended — re-arming must not depend
+                # on the resume delta qualifying as a gap, or one
+                # false-positive timeout permanently disarms the
+                # open-outage channel for this stream
+                reported = 0
             last_seen = ts
         state.update((last_seen, ew_freq, n_deltas, reported))
         if silence_timeout_ms is not None and not reported:

@@ -2167,3 +2167,23 @@ def test_phrase_hits_many_matches_per_phrase_scans(spark):
     assert batch == singles
     assert batch[(1, "alpha beta")] == (2, 1)
     assert batch[(3, ".*")] == (1, 6)
+
+
+def test_pq_kmeans_codebooks_degenerate_constant_subspace(spark):
+    """k-means++ seeding on a corpus where every training point
+    coincides with the chosen centers (all-identical vectors) must fall
+    back to a uniform draw instead of raising ValueError from
+    rng.choice on an all-zero probability vector (advice r9,
+    similarity.py)."""
+    from nntsc_spark.pipeline.similarity import pq_codebooks_kmeans
+
+    emb = spark.range(40).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> 1.0) AS embedding",
+    )
+    cbk = pq_codebooks_kmeans(emb, m=2, ks=4, dims=8, train_cap=40)
+    assert len(cbk) == 2 and all(len(b) == 4 for b in cbk)
+    # every center collapses onto the single training point
+    for book in cbk:
+        for center in book:
+            assert center == [1.0, 1.0, 1.0, 1.0]

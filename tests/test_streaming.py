@@ -1355,3 +1355,57 @@ def test_streaming_gap_detect_ignores_late_and_duplicate_arrivals():
     assert (row.stream_id, row.gap_start, row.gap_end, row.missed) == (
         1, 30, 130, 9,
     )
+
+
+def test_streaming_gap_detect_false_positive_timeout_rearms():
+    """A processing-time timeout that fires on late/backfilled data (the
+    resume arrives IN cadence) must not disarm the open-outage channel:
+    the in-cadence resume emits a retraction close row (missed=0), resets
+    the reported flag, and re-arms the timeout so the NEXT real outage
+    still raises its open=True alert (advice r9, gaps.py)."""
+    import pandas as pd
+
+    from nntsc_spark.streaming.gaps import _make_gap_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.timed_out = False
+            self.armed = []
+
+        exists = property(lambda s: s._v is not None)
+        hasTimedOut = property(lambda s: s.timed_out)
+        get = property(lambda s: s._v)
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            self.armed.append(ms)
+
+    fn = _make_gap_fn(3.0, 0.3, 1500)
+    st = FakeState()
+    # learn cadence ~10s
+    list(fn((1,), [pd.DataFrame({"timestamp": [0, 10, 20, 30]})], st))
+    # the timeout fires: one open=True row, reported=1, NOT re-armed
+    st.timed_out = True
+    opened = list(fn((1,), [], st))
+    row = list(opened[0].itertuples(index=False))[0]
+    assert row.open and row.gap_start == 30 and pd.isna(row.gap_end)
+    assert st.get[3] == 1
+    n_armed = len(st.armed)
+    # an IN-cadence arrival (delta=10 <= 3*10): false positive.  Must
+    # emit the retraction close row, reset reported, and re-arm.
+    st.timed_out = False
+    resumed = list(fn((1,), [pd.DataFrame({"timestamp": [40]})], st))
+    row = list(resumed[0].itertuples(index=False))[0]
+    assert (row.gap_start, row.gap_end, row.missed, row.open) == (
+        30, 40, 0, False,
+    )
+    assert st.get[3] == 0
+    assert len(st.armed) == n_armed + 1
+    # ...and a later REAL outage still raises its open alert
+    st.timed_out = True
+    reopened = list(fn((1,), [], st))
+    row = list(reopened[0].itertuples(index=False))[0]
+    assert row.open and row.gap_start == 40

@@ -684,3 +684,32 @@ def test_hampel_matches_plain_python_reference(spark):
         vals = [v for (ss, _, v) in rows if ss == s]
         for t, (med, flag, rep) in enumerate(ref(vals)):
             assert got[(s, t)] == (med, flag, rep), (s, t)
+
+
+def test_seasonal_decompose_even_period_uses_2xm_weighted_ma(spark):
+    """Even periods use the classical 2xm centered MA (half-weight
+    endpoints — statsmodels' even-period trend), not a (m+1)-point
+    simple MA.  On constant + zero-sum periodic the 2xm MA recovers the
+    constant exactly; the (m+1)-point simple MA would not (it
+    double-counts one phase): advice r9, timeseries.py."""
+    from nntsc_spark.operators.timeseries import seasonal_decompose
+
+    s = [4.0, -3.0, 2.0, -3.0]  # sums to 0 over period 4
+    rows = [(1, i, 100.0 + s[i % 4]) for i in range(16)]
+    df = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    out = {
+        r["timestamp"]: r
+        for r in seasonal_decompose(df, period=4).collect()
+    }
+    assert len(out) == 16
+    # the naive 5-point simple MA would give 100 + (s[(i-2)%4])/5 != 100
+    for i in range(16):
+        r = out[i]
+        if i < 2 or i >= 14:
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            assert r["trend"] == 100.0
+            assert abs(r["remainder"]) < 1e-9
+        assert abs(r["seasonal"] - s[i % 4]) < 1e-9
