@@ -286,7 +286,15 @@ class ExportServer:
     def _handle_request(self, sock: socket.socket, body) -> None:
         req = Req(body["request"])
         if req == Req.COLLECTIONS:
-            rows = [r.asDict() for r in list_collections(self.spark).collect()]
+            # same iterator discipline as the streams/history paths:
+            # rows stream through toLocalIterator (partition-at-a-time)
+            # instead of a collect().  The catalog is 14 rows today, so
+            # the reply stays one message — but no framing path keeps a
+            # collect() for a table whose size is a catalog property
+            rows = [
+                r.asDict()
+                for r in list_collections(self.spark).toLocalIterator()
+            ]
             self._send(sock, Msg.COLLECTIONS, rows)
         elif req == Req.SCHEMAS:
             self._send(

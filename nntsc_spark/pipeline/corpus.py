@@ -35,9 +35,16 @@ def training_corpus(
     eval_salt: str = "contam",
     ngram_n: int = 5,
     threshold: float = 0.5,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    emb_nlist: int = 8,
+    emb_threshold: float = 0.95,
+    emb_per_cell: int = 15,
 ) -> DataFrame:
     """One-call corpus prep: eval holdout -> quality + language filter ->
-    near-dup survivor election -> n-gram decontamination -> PII scrub.
+    near-dup survivor election -> n-gram decontamination -> PII scrub
+    [-> embedding-side curation, when ``embeddings`` is supplied].
 
     Stage order matters and mirrors production practice:
 
@@ -53,7 +60,20 @@ def training_corpus(
       corpus), so the kept set is computed without ever shuffling the
       full corpus by anything but its own keys.
 
-    Output: (doc_id, text [scrubbed], n_tokens, quality_score).
+    With ``embeddings`` (an (emb_id_col, emb_vec_col) table keyed by the
+    SAME ids as ``docs``), the embedding capstone chains on as the final
+    stage — the full pretraining-data composition (text dedup ->
+    selection -> embedding curation): :func:`~.similarity.
+    curate_embeddings` (SemDeDup + per-cell diversity cap) runs over the
+    vectors of the TEXT-side survivors only, and its picks filter the
+    output.  The coarse quantizer derives from the FULL embedding table
+    (a quantizer is an index property — which docs survive text filters
+    must not move the centroids), so curation cells mean the same thing
+    run-to-run as the text filters evolve.
+
+    Output: (doc_id, text [scrubbed], n_tokens, quality_score) — plus
+    (cell, centroid_sim) when the embedding stage ran (its output is
+    bounded at ``emb_nlist x emb_per_cell`` rows).
     """
     qf = quality_features(docs, text_col).select(
         "doc_id", "n_tokens", "quality_score"
@@ -90,9 +110,34 @@ def training_corpus(
     scrubbed = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return kept.select(
+    out = kept.select(
         "doc_id", scrubbed.alias("text"), "n_tokens", "quality_score"
     )
+    if embeddings is None:
+        return out
+    from .similarity import centroid_rows, curate_embeddings
+
+    # quantizer from the FULL table: an index property, not a function
+    # of which docs the text stages kept (and the oracle re-derives it
+    # from the same unfiltered lowest-id convention)
+    cents = centroid_rows(embeddings, emb_nlist, emb_id_col, emb_vec_col)
+    emb_kept = embeddings.join(
+        out.select(F.col("doc_id").alias(emb_id_col)),
+        emb_id_col,
+        "left_semi",
+    )
+    curated = curate_embeddings(
+        emb_kept,
+        nlist=emb_nlist,
+        threshold=emb_threshold,
+        per_cell=emb_per_cell,
+        id_col=emb_id_col,
+        vec_col=emb_vec_col,
+        centroids=cents,
+    ).select(
+        F.col(emb_id_col).alias("doc_id"), "cell", "centroid_sim"
+    )
+    return out.join(curated, "doc_id")
 
 
 def corpus_diff(

@@ -1178,6 +1178,93 @@ SELECT stream_id, bucket, timestamp, event_id, value
 FROM ranked WHERE pick = 1
 """
 
+def q_lttb_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB at scale: the bin-composed production variant — A1 hourly
+    pre-binning (a map-side-combinable groupBy, no ordered window over
+    raw samples) feeds the same 24-point LTTB.  The per-key sort LTTB
+    does need then runs over the BINNED series, whose length is bounded
+    by the time range / binsize however dense the raw sampling gets —
+    the full-history per-sample sort of the registered `lttb_downsample`
+    row (87 s sort-bound at x1000, SCALING.md) never materializes.
+    That is also how the reference's consumers actually draw: the
+    exporter ships BINNED history (aggregation binsize = the grapher's
+    pixel budget), so a pixel-budget downsampler composing on top of
+    bins is the operational shape.
+
+    Bin means are exact integer micro-unit sums divided once —
+    order-independent and engine-identical (seasonal_decompose's
+    quantization discipline), so LTTB's triangle arithmetic starts from
+    bit-identical doubles on both engines."""
+    from ..operators.timeseries import lttb_downsample
+
+    fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
+    binned = fact.groupBy(
+        "stream_id",
+        F.expr("(CAST(timestamp AS BIGINT) div 3600) * 3600").alias(
+            "binstart"
+        ),
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 1e6, 0).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e6)
+        ).alias("bin_value")
+    )
+    out = lttb_downsample(
+        binned, ts_col="binstart", value_col="bin_value", n_out=24
+    )
+    return out.select("stream_id", "bucket", "binstart", "bin_value")
+
+
+SQL_LTTB_BINNED = f"""
+WITH {_FACT_CTE},
+bounded AS (
+  SELECT stream_id, timestamp, value FROM fact
+  WHERE timestamp >= {START} AND timestamp <= {STOP}
+), bin AS (
+  SELECT stream_id, (timestamp // 3600) * 3600 AS binstart,
+         CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1e6 AS bin_value
+  FROM bounded GROUP BY 1, 2
+), idx AS (
+  SELECT stream_id, binstart, bin_value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY stream_id) AS n
+  FROM bin
+  WINDOW w AS (PARTITION BY stream_id ORDER BY binstart)
+), bk AS (
+  SELECT *, CAST(CASE WHEN n <= 24 THEN rn - 1
+                      WHEN rn = 1 THEN 0
+                      WHEN rn = n THEN 23
+                      ELSE (rn - 2) * 22 // (n - 2) + 1 END AS INT) AS bucket
+  FROM idx
+), anch AS (
+  SELECT stream_id, bucket, avg(rn) AS xb, round(avg(bin_value), 6) AS yb
+  FROM bk GROUP BY 1, 2
+), nbr AS (
+  SELECT stream_id, bucket,
+         lag(xb) OVER w2 AS px, lag(yb) OVER w2 AS py,
+         lead(xb) OVER w2 AS nx, lead(yb) OVER w2 AS ny
+  FROM anch
+  WINDOW w2 AS (PARTITION BY stream_id ORDER BY bucket)
+), scored AS (
+  SELECT bk.stream_id, bk.bucket, bk.binstart, bk.bin_value,
+         abs((px - nx) * (bk.bin_value - py)
+             - (px - bk.rn) * (ny - py)) AS area2
+  FROM bk JOIN nbr ON nbr.stream_id = bk.stream_id
+                  AND nbr.bucket = bk.bucket
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY stream_id, bucket
+      ORDER BY area2 DESC NULLS LAST, binstart) AS pick
+  FROM scored
+)
+SELECT stream_id, bucket, binstart, bin_value
+FROM ranked WHERE pick = 1
+"""
+
+
 def q_twa_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per (stream, hour) under hold-last-value
     interpolation — RRD AVERAGE-consolidation semantics (a sample holds
@@ -1456,6 +1543,139 @@ FROM span s LEFT JOIN g USING (stream_id)
 """
 
 
+def q_gap_report_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap_report at scale: the bounded production variant — last day of
+    history through the LOADER's start= (a literal on the raw ts column,
+    pushed to the parquet scan) + the reference's 200-diff frequency
+    sampling (exporter.py:509-510), mirroring `frequency_bounded`.  The
+    unbounded `gap_report` row keeps the full-history semantics; this
+    row pins the path a 100x user actually runs ("silences in the last
+    day"), whose per-stream sort input is the recent slice, not the
+    corpus (SCALING.md: the unbounded x1000 cells are 61-87 s
+    sort-bound)."""
+    from ..operators.frequency import estimate_frequency, gap_report
+
+    fact = events_fact(spark, sf_dir)
+    hi = fact.agg(F.max("timestamp")).collect()[0][0]
+    recent = events_fact(spark, sf_dir, start=int(hi) - 86_400)
+    freq = estimate_frequency(recent, max_diffs=200, fill_defaults=False)
+    return gap_report(
+        recent, k=3.0, order_cols=["event_id"], frequency=freq
+    )
+
+
+# the bounded-slice cadence estimate, shared by the two bounded rows:
+# SQL_FREQUENCY_BOUNDED's CTE chain minus the default-fill tail
+# (gap_report passes fill_defaults=False — diff-less keys are
+# unreachable for gaps anyway)
+_BOUNDED_EST_CTES = """
+bounded AS (
+  SELECT stream_id, timestamp, event_id FROM fact
+  WHERE timestamp >= (SELECT max(timestamp) - 86400 FROM fact)
+), numbered AS (
+  SELECT stream_id,
+         row_number() OVER (PARTITION BY stream_id ORDER BY timestamp) AS rn,
+         timestamp - lag(timestamp) OVER (PARTITION BY stream_id
+                                          ORDER BY timestamp) AS diff
+  FROM bounded
+), d AS (
+  SELECT stream_id, diff FROM numbered WHERE diff IS NOT NULL AND rn <= 201
+), counted AS (
+  SELECT stream_id, diff, count(*) AS cnt FROM d GROUP BY stream_id, diff
+), per_key AS (
+  SELECT stream_id, sum(cnt) AS total, max(cnt) AS mode_cnt,
+         sum(cnt * diff) AS wsum
+  FROM counted GROUP BY stream_id
+), mode_pick AS (
+  SELECT stream_id, diff AS mode_diff FROM (
+    SELECT stream_id, diff,
+           row_number() OVER (PARTITION BY stream_id
+                              ORDER BY cnt DESC, diff ASC) AS rn
+    FROM counted) WHERE rn = 1
+), small20 AS (
+  SELECT c.stream_id, min(c.diff) AS small20
+  FROM counted c JOIN per_key p ON c.stream_id = p.stream_id
+  WHERE c.cnt * 5 >= p.total GROUP BY c.stream_id
+), freqs AS (
+  SELECT p.stream_id,
+         CAST(CASE WHEN p.mode_cnt * 2 >= p.total THEN m.mode_diff
+                   WHEN s.small20 IS NOT NULL THEN s.small20
+                   ELSE CAST(round(p.wsum / p.total) AS BIGINT)
+              END AS BIGINT) AS frequency
+  FROM per_key p
+  JOIN mode_pick m ON p.stream_id = m.stream_id
+  LEFT JOIN small20 s ON p.stream_id = s.stream_id
+), lagged AS (
+  SELECT stream_id, timestamp,
+         lag(timestamp) OVER (PARTITION BY stream_id
+                              ORDER BY timestamp, event_id) AS prev
+  FROM bounded
+)"""
+
+SQL_GAP_REPORT_BOUNDED = f"""
+WITH {_FACT_CTE},
+{_BOUNDED_EST_CTES}
+SELECT l.stream_id, l.prev AS gap_start, l.timestamp AS gap_end,
+       CAST(l.timestamp - l.prev AS BIGINT) AS gap_seconds,
+       greatest(CAST(floor((l.timestamp - l.prev) / f.frequency)
+                     AS BIGINT) - 1, 1) AS missed,
+       f.frequency
+FROM lagged l JOIN freqs f USING (stream_id)
+WHERE l.prev IS NOT NULL AND f.frequency > 0
+  AND l.timestamp - l.prev > CAST(3.0 AS DOUBLE) * f.frequency
+"""
+
+
+def q_availability_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availability over the last day's slice with the bounded cadence
+    estimate — the production rollup of `gap_report_bounded` (span and
+    silences both measured on the recent slice: "yesterday's uptime"),
+    same bounds as `frequency_bounded`."""
+    from ..operators.frequency import (
+        availability_report,
+        estimate_frequency,
+    )
+
+    fact = events_fact(spark, sf_dir)
+    hi = fact.agg(F.max("timestamp")).collect()[0][0]
+    recent = events_fact(spark, sf_dir, start=int(hi) - 86_400)
+    freq = estimate_frequency(recent, max_diffs=200, fill_defaults=False)
+    return availability_report(
+        recent, k=3.0, order_cols=["event_id"], frequency=freq
+    )
+
+
+SQL_AVAILABILITY_BOUNDED = f"""
+WITH {_FACT_CTE},
+{_BOUNDED_EST_CTES},
+gaps AS (
+  SELECT l.stream_id,
+         CAST(l.timestamp - l.prev AS BIGINT) AS gap_seconds
+  FROM lagged l JOIN freqs f USING (stream_id)
+  WHERE l.prev IS NOT NULL AND f.frequency > 0
+    AND l.timestamp - l.prev > CAST(3.0 AS DOUBLE) * f.frequency
+),
+g AS (
+  SELECT stream_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap_seconds) AS BIGINT) AS silent_seconds
+  FROM gaps GROUP BY stream_id
+),
+span AS (
+  SELECT stream_id, min(timestamp) AS lo, max(timestamp) AS hi
+  FROM bounded GROUP BY stream_id
+)
+SELECT s.stream_id,
+       CAST(coalesce(g.n_gaps, 0) AS BIGINT) AS n_gaps,
+       CAST(coalesce(g.silent_seconds, 0) AS BIGINT) AS silent_seconds,
+       CAST(s.hi - s.lo AS BIGINT) AS span_seconds,
+       CASE WHEN s.hi > s.lo THEN
+         round(1.0::DOUBLE - coalesce(g.silent_seconds, 0)
+               / CAST(s.hi - s.lo AS DOUBLE), 4)
+       END AS availability
+FROM span s LEFT JOIN g USING (stream_id)
+"""
+
+
 TAIL_REGISTRY = {
     "smoke_array": (q_smoke_array, SQL_SMOKE_ARRAY),
     "funnel": (q_funnel, SQL_FUNNEL),
@@ -1483,6 +1703,10 @@ TAIL_REGISTRY = {
     # round-9: LTTB pixel-budget downsampling (parallel fixed-anchor
     # variant: neighbour-bucket mean anchors, argmax triangle area)
     "lttb_downsample": (q_lttb_downsample, SQL_LTTB_DOWNSAMPLE),
+    # round-10: the bin-composed production variant (A1 hourly pre-bin
+    # feeds the same 24-point LTTB — the per-key sort sees bins, not
+    # raw samples; the operational grapher shape)
+    "lttb_binned": (q_lttb_binned, SQL_LTTB_BINNED),
     # round-9: RRD AVERAGE-consolidation semantics — hold-last-value
     # time-weighted per-bin means, exact integer-second weights
     "twa_bin": (q_twa_bin, SQL_TWA_BIN),
@@ -1498,4 +1722,12 @@ TAIL_REGISTRY = {
     # round-9: per-stream uptime over the observed span (gap_report's
     # rollup — the matrix consumers' availability number)
     "availability": (q_availability, SQL_AVAILABILITY),
+    # round-10: the bounded production variants (last-day pushed scan
+    # bound + 200-diff sampling, frequency_bounded's pattern) — the
+    # paths a 100x user runs where the unbounded rows sort full history
+    "gap_report_bounded": (q_gap_report_bounded, SQL_GAP_REPORT_BOUNDED),
+    "availability_bounded": (
+        q_availability_bounded,
+        SQL_AVAILABILITY_BOUNDED,
+    ),
 }

@@ -2545,6 +2545,72 @@ QUALIFY row_number() OVER (PARTITION BY cell
 """
 
 
+def q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two capstones composed into ONE pipeline (r9 verdict task
+    #8): text-side training_corpus (eval holdout -> quality/language ->
+    near-dup survivors -> decontamination -> PII scrub), then
+    embedding-side curation (SemDeDup + per-cell diversity cap) over
+    the text survivors' vectors — the chain a real pretraining data
+    pipeline runs.  The quantizer derives from the FULL embedding
+    table, so curation cells are stable as text filters evolve."""
+    from ..pipeline.corpus import training_corpus
+
+    return training_corpus(
+        load_table(spark, sf_dir, "documents"),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+        emb_nlist=_SEMDEDUP_NLIST,
+        emb_threshold=_SEMDEDUP_TAU,
+        emb_per_cell=15,
+    )
+
+
+# SQL_SEMANTIC_DEDUP's chain with `e` re-scoped to the text survivors
+# (tc) while `cents` stays the UNFILTERED lowest-id convention — the
+# same quantizer-is-an-index-property rule the Spark side applies.
+SQL_TRAINING_CORPUS_CURATED = f"""
+WITH tc AS (SELECT * FROM ({SQL_TRAINING_CORPUS}) t),
+eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM eall
+          WHERE vec_id < {_SEMDEDUP_NLIST}),
+e AS (SELECT eall.vec_id, eall.v
+      FROM eall JOIN tc ON eall.vec_id = tc.doc_id),
+scored AS (
+  SELECT e.vec_id, c.cell, {_COS.format(a="e.v", b="c.cv")} AS cs
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cell, cs AS centroid_sim FROM (
+    SELECT vec_id, cell, cs,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cell ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS v1, a.centroid_sim AS s1,
+         b.vec_id AS v2, b.centroid_sim AS s2
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE {_COS.format(a="ea.v", b="eb.v")} >= {_SEMDEDUP_TAU}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN s1 <= s2 THEN v2 ELSE v1 END AS vec_id
+  FROM pairs
+),
+cur AS (
+  SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.centroid_sim
+  FROM assign a LEFT JOIN losers l USING (vec_id)
+  WHERE l.vec_id IS NULL
+  QUALIFY row_number() OVER (PARTITION BY a.cell
+                             ORDER BY a.centroid_sim ASC,
+                                      a.vec_id ASC) <= 15
+)
+SELECT tc.doc_id, tc.text, tc.n_tokens, tc.quality_score,
+       cur.cell, cur.centroid_sim
+FROM tc JOIN cur ON cur.vec_id = tc.doc_id
+"""
+
+
 
 
 def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2676,6 +2742,12 @@ TAIL_PIPELINE_REGISTRY = {
     "quality_calibrated": (q_quality_calibrated, SQL_QUALITY_CALIBRATED),
     # round-9: the embedding-side curation capstone (SemDeDup -> cap)
     "embedding_curation": (q_embedding_curation, SQL_EMBEDDING_CURATION),
+    # round-10: the two capstones composed — text training_corpus feeds
+    # embedding-side curation (quantizer from the full table)
+    "training_corpus_curated": (
+        q_training_corpus_curated,
+        SQL_TRAINING_CORPUS_CURATED,
+    ),
     # round-9: exact-substring audit (canary/leak spot-check), single
     # and batch forms
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),

@@ -2187,3 +2187,150 @@ def test_pq_kmeans_codebooks_degenerate_constant_subspace(spark):
     for book in cbk:
         for center in book:
             assert center == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_ivfpq_persistent_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """r9 verdict task #1/#7: the IVFADC codes table persisted
+    cell-partitioned serves queries identical to the inline ivfpq_topk
+    (same quantizer + codebooks), with dynamic partition pruning on the
+    probe join."""
+    from nntsc_spark.pipeline.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(4))
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(emb, path, nlist=8, m=8, ks=16)
+
+    inline = {(r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+              for r in ivfpq_topk(
+                  emb, qids, k=5, nlist=8, nprobe=2, m=8, ks=16
+              ).collect()}
+    served_df = ivfpq_query_index(emb, path, qids, k=5, nprobe=2)
+    served = {(r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+              for r in served_df.collect()}
+    assert served == inline and served
+
+    # the probed-cell IN-list must prune STATICALLY at the scan — the
+    # partition filter on `cell` means unprobed code directories are
+    # never listed, let alone read
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "partitionfilters: [cell" in plan.lower().replace("#", ""), (
+        plan[:2000]
+    )
+
+
+def test_ivfpq_append_matches_rebuild_exactly_once_and_flags_drift(
+    spark, sf_dir, tmp_path
+):
+    """Exactly-once IVFADC maintenance: build on half, append the other
+    half -> queries match a full rebuild with the SAME quantizer and
+    codebooks; a double-run of the same batch changes nothing; growing
+    residual norms trip the drift flag."""
+    from nntsc_spark.pipeline.similarity import (
+        _sampled_residual_codebooks,
+        centroid_rows,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    # shared quantizer + codebooks derived from half A so the appended
+    # index and the full rebuild encode identically
+    cents = centroid_rows(half_a, nlist=8)
+    cbs = _sampled_residual_codebooks(half_a, cents, ks=16, m=8, dims=64)
+
+    inc = str(tmp_path / "inc")
+    ivfpq_build_index(half_a, inc, nlist=8, centroids=cents, codebooks=cbs)
+    res = ivfpq_append(half_b, inc, batch_id=1)
+    assert res["n_appended"] == half_b.count()
+    assert not res["needs_requantization"]
+
+    full = str(tmp_path / "full")
+    ivfpq_build_index(emb, full, nlist=8, centroids=cents, codebooks=cbs)
+
+    qids = list(range(4))
+    got_inc = {(r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+               for r in ivfpq_query_index(emb, inc, qids, k=5, nprobe=2)
+               .collect()}
+    got_full = {(r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+                for r in ivfpq_query_index(emb, full, qids, k=5, nprobe=2)
+                .collect()}
+    assert got_inc == got_full and got_inc
+
+    # crash-retry idempotence: same batch again -> identical results,
+    # no duplicated code rows
+    ivfpq_append(half_b, inc, batch_id=1)
+    again = {(r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+             for r in ivfpq_query_index(emb, inc, qids, k=5, nprobe=2)
+             .collect()}
+    assert again == got_inc
+    assert spark.read.parquet(f"{inc}/codes").count() == emb.count()
+    with pytest.raises(ValueError, match="batch_id"):
+        ivfpq_append(half_b, inc, batch_id=0)
+
+    # drift: append vectors far from every centroid -> residual norms
+    # grow -> flag trips (relative growth beyond drift_tol)
+    import random
+
+    rng = random.Random(7)
+    far = spark.createDataFrame(
+        [(10_000 + i,
+          [rng.uniform(40.0, 60.0) for _ in range(64)])
+         for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    res2 = ivfpq_append(far, inc, batch_id=2)
+    assert res2["needs_requantization"]
+    assert res2["mean_resid_norm"] > res2["build_mean_resid_norm"]
+
+
+def test_training_corpus_embedding_stage_boundary_accounting(spark, sf_dir):
+    """r9 verdict task #8: the composed pipeline's embedding stage is a
+    pure FILTER on the text stage's output (every curated row's text
+    columns are exactly the text-only run's), its row count respects the
+    nlist x per_cell bound, and it equals running curate_embeddings
+    manually over the text survivors' vectors with the full-table
+    quantizer."""
+    from nntsc_spark.pipeline.corpus import training_corpus
+    from nntsc_spark.pipeline.similarity import (
+        centroid_rows,
+        curate_embeddings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_only = training_corpus(docs)
+    composed = training_corpus(
+        docs, embeddings=emb, emb_nlist=8, emb_per_cell=5
+    )
+
+    t_rows = {r["doc_id"]: r for r in text_only.collect()}
+    c_rows = composed.collect()
+    assert 0 < len(c_rows) <= 8 * 5
+    for r in c_rows:
+        base = t_rows[r["doc_id"]]  # KeyError = not a pure filter
+        assert (r["text"], r["n_tokens"], r["quality_score"]) == (
+            base["text"], base["n_tokens"], base["quality_score"]
+        )
+
+    # manual composition: same ids, same (cell, centroid_sim)
+    cents = centroid_rows(emb, 8)
+    emb_kept = emb.join(
+        text_only.select(F.col("doc_id").alias("vec_id")),
+        "vec_id", "left_semi",
+    )
+    manual = {
+        (r["vec_id"], r["cell"], r["centroid_sim"])
+        for r in curate_embeddings(
+            emb_kept, nlist=8, per_cell=5, centroids=cents
+        ).collect()
+    }
+    got = {(r["doc_id"], r["cell"], r["centroid_sim"]) for r in c_rows}
+    assert got == manual

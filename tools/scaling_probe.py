@@ -62,7 +62,15 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            "hampel_outliers",
            # r9: batch gap report (frequency window + lag window; the
            # densified replica axis shrinks gaps, so output stays small)
-           "gap_report", "availability"]
+           "gap_report", "availability",
+           # r10: the oracle-pinned bounded production variants (last-day
+           # pushed scan bound + 200-diff sampling) — these are the rows
+           # that must stay near-flat where the unbounded family climbs
+           "gap_report_bounded", "availability_bounded",
+           # r10: bin-composed LTTB (the per-key sort sees hourly bins,
+           # not raw samples — the densified replica axis adds samples
+           # per bin, not bins, so the curve should go flat)
+           "lttb_binned"]
 # Pipeline heavies probe on replicated documents/embeddings (see
 # build_pipeline_replica): the 100 TB claims for dedup/ANN/contamination
 # rest on these measured curves, not plan reading alone.
@@ -271,6 +279,69 @@ def _capped_queries():
             F.round(F.avg(F.abs("remainder")), 4).alias("mean_abs_remainder"),
         )
 
+    def _pipe_factor(d: str) -> int:
+        """Replica factor from the pipeline dir name (px{N}; SF_DIR=x1)."""
+        base = os.path.basename(d.rstrip("/"))
+        return int(base[2:]) if base.startswith("px") else 1
+
+    def ivfpq_index_topk(spark, d):
+        # the encode-once production shape (r9 verdict task #1): build
+        # the persistent cell-partitioned IVFADC index ONCE per replica
+        # (rep 1 pays it, rep 2 measures query-only — the steady state a
+        # billion-vector serving layer runs), then answer the registered
+        # query's ids against the codes table with static cell pruning.
+        from nntsc_spark.pipeline.similarity import (
+            ivfpq_build_index,
+            ivfpq_query_index,
+        )
+        from nntsc_spark.plans.pipeline_queries import (
+            _IVFPQ_NLIST,
+            _IVFPQ_NPROBE,
+            _PQ_K,
+            _QUERY_IDS,
+        )
+
+        emb = load_table(spark, d, "embeddings")
+        idx = f"{SCRATCH}/ivfpq_idx_x{_pipe_factor(d)}"
+        if not os.path.exists(f"{idx}/codes"):
+            ivfpq_build_index(emb, idx, nlist=_IVFPQ_NLIST)
+        return ivfpq_query_index(
+            emb, idx, _QUERY_IDS, k=_PQ_K, nprobe=_IVFPQ_NPROBE
+        )
+
+    def semantic_dedup_scaled(spark, d):
+        # r9 verdict task #3: SemDeDup probed with nlist SCALING WITH N
+        # (the paper's own sizing — nlist = N / target_cell_size, LAION
+        # runs used ~1e5 clusters), so per-cell pair work stays bounded
+        # as the corpus grows.  Sign-flip replicas are safe HERE (unlike
+        # embedding_clusters): at tau=0.95 the synthetic cross-replica
+        # cosine tail (~N(0, 1/64), sd 0.125) is 8 sigma below the
+        # threshold, so candidate structure stays the original's.
+        # The flat-quantizer assignment is honestly O(nlist * dims) per
+        # row — faiss pays the same unless it fronts an HNSW quantizer —
+        # so this row measures the production cost curve, including it.
+        from nntsc_spark.pipeline.similarity import semantic_dedup
+
+        f = _pipe_factor(d)
+        emb = load_table(spark, d, "embeddings")
+        out = semantic_dedup(emb, nlist=8 * f, threshold=0.95)
+        # per-vector output x100 = 500k rows: roll up so the cell
+        # measures the operator, not Arrow delivery
+        return out.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        )
+
+    def embedding_curation_scaled(spark, d):
+        # same sizing rule; output stays bounded at nlist x per_cell
+        from nntsc_spark.pipeline.similarity import curate_embeddings
+
+        f = _pipe_factor(d)
+        emb = load_table(spark, d, "embeddings")
+        return curate_embeddings(
+            emb, nlist=8 * f, threshold=0.95, per_cell=15
+        )
+
     return (
         {"frequency_bounded": frequency_bounded,
          "gap_report_summary": gap_report_summary,
@@ -285,6 +356,9 @@ def _capped_queries():
             "ngram_jaccard_capped": lambda spark, d: ngram_jaccard_pairs(
                 load_table(spark, d, "documents"), max_df=128
             ),
+            "ivfpq_index_topk": ivfpq_index_topk,
+            "semantic_dedup_scaled": semantic_dedup_scaled,
+            "embedding_curation_scaled": embedding_curation_scaled,
         },
     )
 
@@ -320,6 +394,12 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     # same instrument limit: row-level repair output (x1000 = 46M rows
     # on its 1-in-10 stream subset x 8 cols)
     "hampel_outliers": 100,
+    # nlist scales with N for these (8 * factor cells): at x1000 the
+    # flat-quantizer assignment alone is 5M rows x 8000 inlined fold
+    # exprs — the regime where production fronts a tree/HNSW quantizer;
+    # x100 (800 cells) already demonstrates the bounded-cell curve
+    "semantic_dedup_scaled": 100,
+    "embedding_curation_scaled": 100,
 }
 
 
@@ -597,6 +677,26 @@ def main() -> None:
         "cluster the same bytes spread across nodes; when per-node volume",
         "still bites, minhash_pruned (~10x/decade to x1000) is the",
         "built-in lighter-shuffle near-dup path.",
+        "",
+        "r10 rows: gap_report_bounded / availability_bounded are the",
+        "ORACLE-PINNED bounded variants (registered queries, unlike the",
+        "probe-only gap_report_summary) and lttb_binned composes A1",
+        "hourly pre-binning under the same 24-point LTTB — all three",
+        "should stay near-flat because the replica densifies a fixed",
+        "time axis.  ivfpq_index_topk measures the ENCODE-ONCE serving",
+        "shape: rep 1 builds the persistent cell-partitioned codes table",
+        "(cost amortized over the index lifetime), rep 2 — the min —",
+        "measures pure query cost against statically-pruned cell",
+        "directories.  semantic_dedup_scaled / embedding_curation_scaled",
+        "probe the two heaviest bench queries with nlist SCALING WITH N",
+        "(8 x factor, the SemDeDup paper's own N/target_cell_size rule;",
+        "LAION runs used ~1e5 clusters): per-cell pair work stays",
+        "bounded, and the row honestly includes the O(nlist * dims)",
+        "flat-quantizer assignment cost production would front with a",
+        "tree/HNSW quantizer beyond ~1e3 cells (hence their x100 cap).",
+        "Sign-flip replicas are safe for these two (tau=0.95 sits 8",
+        "sigma above the synthetic cross-replica cosine tail), unlike",
+        "embedding_clusters' tau=0.4 regime.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
