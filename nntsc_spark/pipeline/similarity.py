@@ -1004,6 +1004,69 @@ def embedding_dedup_clusters(
     )
 
 
+#: switch cell assignment from inlined-literal HOF folds to Arrow-batched
+#: BLAS above this quantizer size.  The folds run INTERPRETED (outside
+#: codegen) at O(nlist * dims) lambda evaluations per row — fine at the
+#: oracle-pinned nlist<=16, ~minutes per million rows by nlist=800; a
+#: blocked GEMM does the same flops at memory bandwidth.
+ARROW_ASSIGN_MIN_NLIST = 64
+
+
+def _assign_cells_arrow(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, _vn, cell, centroid_sim) via Arrow-batched numpy: one
+    GEMM per batch against the broadcast centroid matrix — the
+    large-``nlist`` assignment path (SemDeDup sizing puts nlist at
+    N/target_cell_size; LAION runs used ~1e5 clusters, far past where
+    per-row interpreted folds are viable).
+
+    Semantics mirror the fold path (round-4 cosine scores, argmax with
+    first-index/lowest-cell ties) but float accumulation ORDER differs
+    (BLAS blocking vs left-to-right fold) and numpy rounds half-even vs
+    SQL HALF_UP, so round-4 boundary cells can flip at the last ulp —
+    which is why the ORACLE-pinned queries (nlist <= 16) stay on the
+    fold path and this one serves the production sizing only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(
+        [v for _, v in sorted(cents, key=lambda cv: cv[0])],
+        dtype=np.float64,
+    )
+    cn = np.sqrt((C * C).sum(axis=1))
+    schema = (
+        f"`{id_col}` long, `{vec_col}` array<double>, _vn double, "
+        "cell int, centroid_sim double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 4)
+            cell = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(pdf[vec_col]),
+                    "_vn": vn,
+                    "cell": cell.astype("int32"),
+                    "centroid_sim": S[np.arange(len(S)), cell],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def semantic_dedup(
     emb: DataFrame,
     nlist: int = 8,
@@ -1049,24 +1112,35 @@ def semantic_dedup(
     cents = centroids if centroids is not None else centroid_rows(
         emb, nlist, id_col, vec_col
     )
-    pre = emb.select(
-        id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
-    )
-    withcs = pre.select(
-        id_col,
-        vec_col,
-        "_vn",
-        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
-    )
-    assigned = withcs.select(
-        id_col,
-        vec_col,
-        "_vn",
-        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
-        .cast("int")
-        .alias("cell"),
-        F.array_max("_cs").alias("centroid_sim"),
-    )
+    if len(cents) >= ARROW_ASSIGN_MIN_NLIST:
+        assigned = _assign_cells_arrow(emb, cents, id_col, vec_col)
+    else:
+        pre = emb.select(
+            id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
+        )
+        withcs = pre.select(
+            id_col,
+            vec_col,
+            "_vn",
+            F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+        )
+        assigned = withcs.select(
+            id_col,
+            vec_col,
+            "_vn",
+            (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_max("_cs").alias("centroid_sim"),
+        )
+    # assignment feeds THREE consumers (both pair-join sides + the
+    # final kept join-back); unpersisted, the O(N * nlist) scoring
+    # projection re-evaluates per consumer — measured 3x of the
+    # dominant stage at nlist-scales-with-N sizing (SCALING.md,
+    # semantic_dedup_scaled)
+    from .dedup import scratch_persist
+
+    assigned = scratch_persist(assigned)
     # block-pair decomposition: joining on cell ALONE caps the pair
     # stage's parallelism at nlist (and a hot cell serializes through
     # one task).  Each vector gets a deterministic block (id % B); the

@@ -2334,3 +2334,50 @@ def test_training_corpus_embedding_stage_boundary_accounting(spark, sf_dir):
     }
     got = {(r["doc_id"], r["cell"], r["centroid_sim"]) for r in c_rows}
     assert got == manual
+
+
+def test_arrow_assignment_matches_fold_path_at_large_nlist(spark, sf_dir):
+    """The BLAS assignment path (nlist >= ARROW_ASSIGN_MIN_NLIST) must
+    agree with the inlined-fold path on cell and round-4 centroid_sim
+    wherever the decision isn't a round-4 boundary tie (accumulation
+    order differs between GEMM and left-to-right folds, so exact-ulp
+    equality is not the contract — argmax stability is)."""
+    import numpy as np
+
+    from nntsc_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        centroid_rows,
+        ivf_cell_scores_sql,
+        vnorm_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_rows(emb, 64)
+    got = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"])
+        for r in _assign_cells_arrow(emb, cents, "vec_id", "embedding")
+        .collect()
+    }
+    assert len(got) == emb.count()
+
+    # fold-path reference scores, straight from the same SQL the small-
+    # nlist path inlines
+    ref = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(vnorm_sql("embedding")).alias("_vn"),
+    ).select(
+        "vec_id",
+        F.expr(ivf_cell_scores_sql("embedding", cents)).alias("_cs"),
+    ).collect()
+    n_checked = 0
+    for r in ref:
+        cs = np.asarray(r["_cs"])
+        order = np.argsort(-cs, kind="stable")
+        margin = cs[order[0]] - cs[order[1]]
+        cell, sim = got[r["vec_id"]]
+        assert abs(sim - cs[cell]) <= 2e-4
+        if margin > 1e-3:  # unambiguous winner
+            assert cell == int(order[0]), (r["vec_id"], cell, order[0])
+            n_checked += 1
+    assert n_checked > 400  # the synthetic corpus is mostly unambiguous

@@ -259,3 +259,31 @@ def test_per_key_caps_run_as_window_group_limit(spark, sf_dir):
     for name in ("source_cap", "cluster_sample"):
         plan = plan_text(spark, sf_dir, name)
         assert plan.count("WindowGroupLimit") >= 2, name  # Partial + Final
+
+
+def test_despan_pair_reuses_cached_token_windows(spark, sf_dir):
+    # doc_despan and doc_despan_keepfirst both scratch_persist the SAME
+    # token_windows(docs, w=10) plan; after one runs, the other's plan
+    # must serve the explode from InMemoryRelation, not re-run it (the
+    # suspected mechanism behind the r9 bench outlier — pinned here so a
+    # real eviction regression can't hide behind host-load noise again)
+    REG["doc_despan"](spark, sf_dir).count()  # warms the pool
+    plan = plan_text(spark, sf_dir, "doc_despan_keepfirst")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        plan[:1500]
+    )
+
+
+def test_per_query_topk_prunes_before_global_rank(spark, sf_dir):
+    # every ANN top-k must run the TWO-stage rank: a local top-k per
+    # (query_id, input partition) before the global per-query window —
+    # the bare per-query window shuffles a query's whole candidate set
+    # into one partition (ivfpq_topk's x100 cell: 41 s in that one
+    # sort).  In the plan that is two Window operators whose first
+    # partitions by (query_id, _pid).
+    for name in ("similarity_topk", "pq_topk", "ivfpq_topk",
+                 "similarity_ivf_topk"):
+        plan = plan_text(spark, sf_dir, name)
+        assert re.search(
+            r"Window \[.{0,200}partitionBy=\[query_id[^\]]*_pid", plan
+        ) or "_pid" in plan, name
