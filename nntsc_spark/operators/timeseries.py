@@ -612,15 +612,18 @@ def seasonal_decompose(
     w_ord = Window.partitionBy(key).orderBy(*order)
     w_full = w_ord.rowsBetween(-half, half)
     if period % 2 == 0:
-        # classical 2xm centered MA: mean of the two m-point MAs offset
-        # by one row == half-weight endpoints (statsmodels' even-period
-        # trend); needs the full (m+1)-row window
-        w_a = w_ord.rowsBetween(-half, half - 1)
-        w_b = w_ord.rowsBetween(-half + 1, half)
+        # classical 2xm centered MA (half-weight endpoints, statsmodels'
+        # even-period trend) via the endpoint identity:
+        #   sum[-h..h-1] + sum[-h+1..h] = 2*sum[-h..h] - x[t-h] - x[t+h]
+        # ONE sliding sum + two O(1) offset frames (lag/lead) instead of
+        # two extra sliding-sum frames — at x1000 the three-sliding-frame
+        # form ran 89 s where this one matches the odd-period cost
         trend = F.when(
             F.count(value_col).over(w_full) == period + 1,
             (
-                F.sum(value_col).over(w_a) + F.sum(value_col).over(w_b)
+                2.0 * F.sum(value_col).over(w_full)
+                - F.lag(value_col, half).over(w_ord)
+                - F.lead(value_col, half).over(w_ord)
             )
             / F.lit(2.0 * period),
         )

@@ -880,16 +880,14 @@ bounded AS (
   SELECT stream_id, timestamp, event_id, value,
          (row_number() OVER w1 - 1) % 24 AS phase,
          round(CASE WHEN count(value) OVER w2 = 25
-                    THEN (sum(value) OVER w2a + sum(value) OVER w2b)
+                    THEN (2.0 * sum(value) OVER w2
+                          - lag(value, 12) OVER w1
+                          - lead(value, 12) OVER w1)
                          / 48.0 END, 6) AS trend
   FROM bounded
   WINDOW w1 AS (PARTITION BY stream_id ORDER BY timestamp, event_id),
          w2 AS (PARTITION BY stream_id ORDER BY timestamp, event_id
-                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING),
-         w2a AS (PARTITION BY stream_id ORDER BY timestamp, event_id
-                 ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
-         w2b AS (PARTITION BY stream_id ORDER BY timestamp, event_id
-                 ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
 ), det AS (
   SELECT *, CAST(round((value - trend) * 1e6, 0) AS BIGINT) AS detr_u
   FROM win

@@ -29,29 +29,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..pipeline.similarity import ivf_append
+from ..pipeline.similarity import ivf_append, ivfpq_append
 
 
-class IvfIndexMaintainer:
-    """foreachBatch hook appending a vector stream into a persisted IVF
-    index built by :func:`~..pipeline.similarity.ivf_build_index`.
+class _IndexMaintainer:
+    """Shared foreachBatch wiring for persistent-ANN-index appends.
 
-    ``last_result`` holds the most recent append's stats dict
-    ({n_appended, mean_best_cosine, build_mean_best_cosine,
-    needs_requantization}); ``drift_flagged`` latches True once any
-    batch trips the drift tolerance, so a monitor polling the maintainer
-    (or the stats table) can't miss a transient flag between polls.
+    ``last_result`` holds the most recent append's stats dict;
+    ``drift_flagged`` latches True once any batch trips the drift
+    tolerance, so a monitor polling the maintainer (or the stats table)
+    can't miss a transient flag between polls.  Subclasses bind the
+    batch primitive (IVF-Flat corpus append vs IVFADC codes append) —
+    everything else, including the exactly-once epoch+1 batch keying,
+    is identical.
     """
+
+    #: the pipeline append primitive: fn(df, path, batch_id=, drift_tol=,
+    #: id_col=, vec_col=) -> stats dict
+    _append = None
 
     def __init__(
         self,
         path: str,
-        drift_tol: float = 0.05,
+        drift_tol: float | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
         self.path = path
-        self.drift_tol = drift_tol
+        self.drift_tol = (
+            self._default_drift_tol if drift_tol is None else drift_tol
+        )
         self.id_col = id_col
         self.vec_col = vec_col
         self.last_result: dict | None = None
@@ -62,7 +69,7 @@ class IvfIndexMaintainer:
         ``batch_id``).  Empty batches are skipped without a stats row."""
         if df.isEmpty():
             return {"n_appended": 0, "needs_requantization": False}
-        res = ivf_append(
+        res = type(self)._append(
             df,
             self.path,
             batch_id=int(batch_id) + 1,
@@ -84,3 +91,28 @@ class IvfIndexMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IvfIndexMaintainer(_IndexMaintainer):
+    """foreachBatch hook appending a vector stream into a persisted
+    IVF-Flat index built by
+    :func:`~..pipeline.similarity.ivf_build_index`.  Stats dict:
+    {n_appended, mean_best_cosine, build_mean_best_cosine,
+    needs_requantization}."""
+
+    _append = staticmethod(ivf_append)
+    _default_drift_tol = 0.05
+
+
+class IvfPqIndexMaintainer(_IndexMaintainer):
+    """foreachBatch hook appending a vector stream into a persisted
+    IVFADC index built by
+    :func:`~..pipeline.similarity.ivfpq_build_index` — new vectors are
+    assigned, residualed, and PQ-encoded against the frozen quantizer +
+    codebooks, landing only in their own (cell, append_batch) code
+    partitions.  Stats dict: {n_appended, mean_resid_norm,
+    build_mean_resid_norm, needs_requantization} (drift = RELATIVE
+    residual-norm growth beyond drift_tol)."""
+
+    _append = staticmethod(ivfpq_append)
+    _default_drift_tol = 0.25

@@ -1409,3 +1409,63 @@ def test_streaming_gap_detect_false_positive_timeout_rearms():
     reopened = list(fn((1,), [], st))
     row = list(reopened[0].itertuples(index=False))[0]
     assert row.open and row.gap_start == 40
+
+
+def test_ivfpq_index_maintainer_streams_code_appends_exactly_once(
+    spark, tmp_path
+):
+    """Streaming IVFADC maintenance (r9 verdict task #7's streaming
+    half): a vector stream PQ-encodes into a built codes index through
+    foreachBatch; queries then see seed + streamed vectors, and a
+    crash-retry of the same epoch does not duplicate code rows."""
+    from nntsc_spark.pipeline.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+    from nntsc_spark.streaming.similarity import IvfPqIndexMaintainer
+
+    dims = 8
+    seed = spark.createDataFrame(
+        [(i, [1.0 * (i % 2), 1.0 - (i % 2)] + [0.01 * i] * (dims - 2))
+         for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(seed, path, nlist=2, m=2, ks=4, dims=dims)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for i in range(4):
+            f.write(json.dumps(
+                {"vec_id": 100 + i,
+                 "embedding": [1.0, 0.0] + [0.02 * i] * (dims - 2)}
+            ) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(src))
+    maint = IvfPqIndexMaintainer(path)
+    q = maint.start_stream(stream, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    assert maint.last_result["n_appended"] == 4
+    assert not maint.drift_flagged  # same distribution as the seed
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 16 + 4
+    # streamed vectors are queryable against the codes table (query
+    # vectors come from a raw table, exactly the production contract)
+    allvecs = seed.unionByName(spark.createDataFrame(
+        [(100 + i, [1.0, 0.0] + [0.02 * i] * (dims - 2)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    ))
+    res = ivfpq_query_index(allvecs, path, [100], k=3, nprobe=1).collect()
+    assert res and all(r.query_id == 100 for r in res)
+    # crash-retry of the SAME epoch overwrites its own partitions
+    batch = spark.createDataFrame(
+        [(100 + i, [1.0, 0.0] + [0.02 * i] * (dims - 2)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    maint.process_batch(batch, 0)
+    assert spark.read.parquet(f"{path}/codes").count() == 20
+    n_stats = spark.read.parquet(f"{path}/stats").count()
+    maint.process_batch(batch.limit(0), 5)
+    assert spark.read.parquet(f"{path}/stats").count() == n_stats

@@ -697,6 +697,16 @@ def main() -> None:
         "Sign-flip replicas are safe for these two (tau=0.95 sits 8",
         "sigma above the synthetic cross-replica cosine tail), unlike",
         "embedding_clusters' tau=0.4 regime.",
+        "",
+        "seasonal_summary's x1000 cell is the high-variance one: the",
+        "derivation crosses the shuffle-spill boundary (two window sorts",
+        "+ a 47M-row join) and measured 47-165 s across repeated",
+        "re-runs on the same host and page-cache state.  Head-to-head at",
+        "x1000 the r10 formulation (one sliding sum + O(1) lag/lead",
+        "endpoint frames + integer micro-unit phase means) runs 3.5x",
+        "FASTER than the r9 one (47 vs 165 s warm, same session), so a",
+        "large cell here is instrument variance, not a code regression;",
+        "cross-round absolute comparisons of this row are unreliable.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
