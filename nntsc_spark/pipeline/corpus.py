@@ -115,7 +115,15 @@ def training_corpus(
     )
     if embeddings is None:
         return out
+    from .dedup import scratch_persist
     from .similarity import centroid_rows, curate_embeddings
+
+    # the text pipeline output feeds TWO consumers (the embedding-side
+    # semi-join build and the final join's left); unpersisted, the whole
+    # dedup+decontamination lineage would re-evaluate per consumer
+    # (measured: the composed plan carried 35 scans / 43 shuffles vs
+    # training_corpus's own 8 / 9 before this persist)
+    out = scratch_persist(out)
 
     # quantizer from the FULL table: an index property, not a function
     # of which docs the text stages kept (and the oracle re-derives it

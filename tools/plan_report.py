@@ -112,6 +112,11 @@ HEADLINE = [
     "embedding_curation",
     "phrase_hits",
     "phrase_hits_many",
+    # round-10 operators
+    "gap_report_bounded",
+    "availability_bounded",
+    "lttb_binned",
+    "training_corpus_curated",
 ]
 
 
