@@ -1067,6 +1067,149 @@ def _assign_cells_arrow(
     return emb.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
+def two_level_quantizer(
+    cents: list[tuple[int, list[float]]],
+    branch: int | None = None,
+    iters: int = 10,
+    seed: int = 1,
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Group a fine quantizer's ``nlist`` centroids under ``branch``
+    super-centroids (default ``ceil(sqrt(nlist))``) — the driver-side
+    half of two-level assignment.  K-means over the CENTROIDS (nlist
+    rows — always tiny relative to the corpus), seeded and
+    deterministic.
+
+    Returns (super_centroids, members): ``members[s]`` lists the fine
+    CELL ids under super-cell ``s`` (every fine cell appears exactly
+    once; empty super-cells are dropped).
+    """
+    import math
+
+    import numpy as np
+
+    C = np.asarray(
+        [v for _, v in sorted(cents, key=lambda cv: cv[0])],
+        dtype=np.float64,
+    )
+    ids = [c for c, _ in sorted(cents, key=lambda cv: cv[0])]
+    k1 = int(branch) if branch else max(int(math.ceil(len(C) ** 0.5)), 1)
+    k1 = min(k1, len(C))
+    rng = np.random.RandomState(seed)
+    sc = C[rng.choice(len(C), size=k1, replace=False)]
+    for _ in range(int(iters)):
+        d2 = ((C[:, None, :] - sc[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        moved = sc.copy()
+        for j in range(k1):
+            if (a == j).any():
+                moved[j] = C[a == j].mean(axis=0)
+        if np.allclose(moved, sc, atol=1e-12):
+            break
+        sc = moved
+    d2 = ((C[:, None, :] - sc[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    members = [
+        [ids[i] for i in np.flatnonzero(a == j)] for j in range(k1)
+    ]
+    keep = [j for j, m in enumerate(members) if m]
+    return [list(map(float, sc[j])) for j in keep], [
+        members[j] for j in keep
+    ]
+
+
+def _assign_cells_two_level(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    branch: int | None = None,
+    probe_supers: int = 2,
+) -> DataFrame:
+    """Two-level (coarse -> fine) cell assignment: route each vector to
+    its ``probe_supers`` nearest SUPER-centroids, then GEMM only against
+    those super-cells' member fine centroids — O(N * (K1 + probe *
+    nlist/K1) * dims) instead of the flat path's O(N * nlist * dims),
+    ~sqrt(nlist)-fold fewer flops at the default branching.  This is the
+    standard coarse-quantizer front (faiss fronts an HNSW/IMI quantizer
+    the same way) that makes SemDeDup's nlist-scales-with-N sizing
+    viable past ~1e4 cells, where even BLAS flat assignment is
+    flop-bound.
+
+    APPROXIMATE: a vector whose true fine centroid hides under an
+    unprobed super-cell is routed to its best PROBED fine centroid —
+    the classic recall-for-flops trade, bounded by ``probe_supers``
+    (pytest pins the agreement rate against flat assignment).  Output
+    schema and score semantics match :func:`_assign_cells_arrow`
+    (round-4 cosine, lowest-cell ties).
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(cents, key=lambda cv: cv[0])
+    C = np.asarray([v for _, v in order], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    cell_ids = np.asarray([c for c, _ in order], dtype=np.int64)
+    pos_of_cell = {c: i for i, c in enumerate(cell_ids)}
+    supers, members = two_level_quantizer(cents, branch=branch)
+    SC = np.asarray(supers, dtype=np.float64)
+    scn = np.sqrt((SC * SC).sum(axis=1))
+    member_pos = [
+        np.asarray([pos_of_cell[c] for c in m], dtype=np.int64)
+        for m in members
+    ]
+    p = min(int(probe_supers), len(supers))
+    schema = (
+        f"`{id_col}` long, `{vec_col}` array<double>, _vn double, "
+        "cell int, centroid_sim double"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((V * V).sum(axis=1))
+            S1 = (V @ SC.T) / (vn[:, None] * scn[None, :])
+            # top-p super-cells per row; rows sharing a probe SET batch
+            # into one GEMM against the union of member centroids
+            top = np.argsort(-S1, axis=1)[:, :p]
+            top.sort(axis=1)
+            best_cell = np.empty(len(V), dtype=np.int64)
+            best_sim = np.empty(len(V), dtype=np.float64)
+            keys = [tuple(r) for r in top]
+            by_key: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                by_key.setdefault(k, []).append(i)
+            for k, rows in by_key.items():
+                pos = np.concatenate([member_pos[s] for s in k])
+                rows = np.asarray(rows)
+                sub = V[rows]
+                S2 = np.round(
+                    (sub @ C[pos].T)
+                    / (vn[rows][:, None] * cn[pos][None, :]),
+                    4,
+                )
+                # lowest-cell tie-break: scan candidates in cell order
+                o = np.argsort(cell_ids[pos], kind="stable")
+                S2o = S2[:, o]
+                am = S2o.argmax(axis=1)
+                best_cell[rows] = cell_ids[pos][o][am]
+                best_sim[rows] = S2o[np.arange(len(rows)), am]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: list(pdf[vec_col]),
+                    "_vn": vn,
+                    "cell": best_cell.astype("int32"),
+                    "centroid_sim": best_sim,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def semantic_dedup(
     emb: DataFrame,
     nlist: int = 8,
@@ -1075,6 +1218,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
+    assign_two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then drop within-cluster *semantic* duplicates —
@@ -1112,7 +1256,13 @@ def semantic_dedup(
     cents = centroids if centroids is not None else centroid_rows(
         emb, nlist, id_col, vec_col
     )
-    if len(cents) >= ARROW_ASSIGN_MIN_NLIST:
+    if assign_two_level:
+        # the >=1e4-cell production front: coarse->fine routing cuts
+        # assignment to O(N * (sqrt(nlist) + 2*sqrt(nlist)) * dims);
+        # APPROXIMATE (pytest-pinned agreement on clustered data), so
+        # strictly opt-in — the oracle-pinned defaults never take it
+        assigned = _assign_cells_two_level(emb, cents, id_col, vec_col)
+    elif len(cents) >= ARROW_ASSIGN_MIN_NLIST:
         assigned = _assign_cells_arrow(emb, cents, id_col, vec_col)
     else:
         pre = emb.select(

@@ -2381,3 +2381,72 @@ def test_arrow_assignment_matches_fold_path_at_large_nlist(spark, sf_dir):
             assert cell == int(order[0]), (r["vec_id"], cell, order[0])
             n_checked += 1
     assert n_checked > 400  # the synthetic corpus is mostly unambiguous
+
+
+def test_two_level_assignment_agrees_with_flat(spark, sf_dir):
+    """The coarse->fine two-level assignment (the >=1e4-cell production
+    front) must (a) reproduce flat assignment EXACTLY when every
+    super-cell is probed — same round-4 scores, same lowest-cell ties —
+    and (b) agree with flat assignment on the vast majority of rows at
+    the default probe_supers=2 recall-for-flops setting."""
+    from nntsc_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        _assign_cells_two_level,
+        centroid_rows,
+        two_level_quantizer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_rows(emb, 100)
+    supers, members = two_level_quantizer(cents)
+    # every fine cell appears exactly once across super-cells
+    flat_members = sorted(c for m in members for c in m)
+    assert flat_members == sorted(c for c, _ in cents)
+
+    flat = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"])
+        for r in _assign_cells_arrow(emb, cents, "vec_id", "embedding")
+        .collect()
+    }
+    exact = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"])
+        for r in _assign_cells_two_level(
+            emb, cents, "vec_id", "embedding",
+            probe_supers=len(supers),
+        ).collect()
+    }
+    assert exact == flat  # full probe == flat, bit for bit
+
+    # the recall check needs CLUSTERED data (the regime coarse routing
+    # exists for): on an isotropic corpus every cosine margin is ~0 and
+    # super-cell pruning is uninformative by construction (measured 66%
+    # there — that is the instrument, not the operator; real embedding
+    # corpora cluster, which is the whole premise of SemDeDup/IVF)
+    import random
+
+    rng = random.Random(5)
+    axes = [[1.0 if d == a else 0.0 for d in range(16)] for a in range(8)]
+    rows = []
+    for i in range(400):
+        ax = axes[i % 8]
+        rows.append(
+            (i, [x + rng.gauss(0.0, 0.05) for x in ax])
+        )
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    ccents = centroid_rows(clustered, 64)
+    cflat = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_arrow(
+            clustered, ccents, "vec_id", "embedding"
+        ).collect()
+    }
+    capprox = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_two_level(
+            clustered, ccents, "vec_id", "embedding", probe_supers=2
+        ).collect()
+    }
+    agree = sum(1 for k, v in capprox.items() if v == cflat[k])
+    assert agree / len(cflat) >= 0.95, agree / len(cflat)
