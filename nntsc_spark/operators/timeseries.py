@@ -632,6 +632,8 @@ def seasonal_decompose(
             F.count(value_col).over(w_full) == period,
             F.avg(value_col).over(w_full),
         )
+    from ..pipeline.dedup import scratch_persist
+
     df = fact.withColumn(
         "_phase", (F.row_number().over(w_ord) - 1) % period
     ).withColumn(
@@ -648,6 +650,11 @@ def seasonal_decompose(
         "_detr_u",
         F.round((F.col(value_col) - F.col("trend")) * 1e6, 0).cast("long"),
     )
+    # the windowed frame feeds TWO consumers (the phase-mean aggregation
+    # AND the final join's left side); unpersisted, the per-key ordered
+    # window — the expensive stage — evaluates twice (the same
+    # multi-consumer trap semantic_dedup's assignment had)
+    df = scratch_persist(df)
     phase_means = df.groupBy(key, "_phase").agg(
         F.round(
             F.sum("_detr_u").cast("double") / F.count("_detr_u"), 0

@@ -698,15 +698,15 @@ def main() -> None:
         "sigma above the synthetic cross-replica cosine tail), unlike",
         "embedding_clusters' tau=0.4 regime.",
         "",
-        "seasonal_summary's x1000 cell is the high-variance one: the",
-        "derivation crosses the shuffle-spill boundary (two window sorts",
-        "+ a 47M-row join) and measured 47-165 s across repeated",
-        "re-runs on the same host and page-cache state.  Head-to-head at",
-        "x1000 the r10 formulation (one sliding sum + O(1) lag/lead",
-        "endpoint frames + integer micro-unit phase means) runs 3.5x",
-        "FASTER than the r9 one (47 vs 165 s warm, same session), so a",
-        "large cell here is instrument variance, not a code regression;",
-        "cross-round absolute comparisons of this row are unreliable.",
+        "seasonal_decompose's windowed frame feeds two consumers (the",
+        "phase-mean aggregation and the final join's left side); r10",
+        "persists it, so the per-key ordered window — the expensive",
+        "stage — runs once (x1000 summary cell: 73 -> 10 s), on top of",
+        "the 2xm-trend endpoint identity (one sliding sum + O(1)",
+        "lag/lead frames; head-to-head 3.5x faster than the",
+        "three-sliding-frame form at x1000).  Isolated re-measures of",
+        "x1000 cells are cold-I/O noisy (47-165 s spread observed before",
+        "warming the replica files) — warm the page cache first.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as fh:
