@@ -2545,6 +2545,33 @@ QUALIFY row_number() OVER (PARTITION BY cell
 """
 
 
+def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC served from the PERSISTENT cell-partitioned codes index
+    (the billion-vector layout): build the index (assign + residual +
+    PQ-encode, map-only — the pass a production system amortizes over
+    the index lifetime), then answer the same queries as `ivfpq_topk`
+    against the codes table with static probed-cell partition pruning.
+    Same sampled quantizer conventions, so the one relational oracle
+    pins BOTH the inline and the index-served path; pytest additionally
+    pins served == inline bit-for-bit and exactly-once appends."""
+    import hashlib
+    import tempfile
+
+    from ..pipeline.similarity import ivfpq_build_index, ivfpq_query_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/sparktsc-ivfpq-idx-{tag}"
+    # rebuild per call (mode=overwrite inside): the registered query
+    # must not depend on scratch state surviving between runs
+    ivfpq_build_index(
+        emb, path, nlist=_IVFPQ_NLIST, m=_PQ_M, ks=_PQ_KS
+    )
+    return ivfpq_query_index(
+        emb, path, _QUERY_IDS, k=_PQ_K, nprobe=_IVFPQ_NPROBE
+    )
+
+
 def q_training_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two capstones composed into ONE pipeline (r9 verdict task
     #8): text-side training_corpus (eval holdout -> quality/language ->
@@ -2721,6 +2748,9 @@ TAIL_PIPELINE_REGISTRY = {
     "hll_merge_days": (q_hll_merge_days, SQL_HLL_MERGE_DAYS),
     # round-9: IVFADC — coarse cells + PQ residuals + probed ADC LUTs
     "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    # round-10: the SAME query served from the persistent
+    # cell-partitioned codes index — one oracle pins both paths
+    "ivfpq_index_topk": (q_ivfpq_index_topk, SQL_IVFPQ_TOPK),
     # round-9: exact-partition train/val/test assignment from one hash
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     # round-9: snapshot diff accounting for incremental refreshes

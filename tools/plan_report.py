@@ -117,6 +117,7 @@ HEADLINE = [
     "availability_bounded",
     "lttb_binned",
     "training_corpus_curated",
+    "ivfpq_index_topk",
 ]
 
 
