@@ -2362,6 +2362,13 @@ def ivfpq_build_index(
     (
         codes.drop("_rnorm")
         .withColumn(APPEND_BATCH_COL, F.lit(0))
+        # cluster by the partition column before the partitioned write:
+        # without it every task holding rows of cell c opens a file
+        # under cell=c (up to tasks x cells tiny files — the classic
+        # dynamic-partition small-file storm); with it each cell's rows
+        # land in one task.  At 100 TB add a salt to the repartition
+        # keys to split a giant cell across several writers.
+        .repartition("cell")
         .write.partitionBy("cell", APPEND_BATCH_COL)
         .mode("overwrite")
         .parquet(f"{path}/codes")
@@ -2440,6 +2447,7 @@ def ivfpq_append(
     (
         codes.drop("_rnorm")
         .withColumn(APPEND_BATCH_COL, F.lit(int(batch_id)))
+        .repartition("cell")  # one writer per cell (see build note)
         .write.partitionBy("cell", APPEND_BATCH_COL)
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
