@@ -475,3 +475,54 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
         if s <= t <= s + w
     )
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # query_id
+            st.integers(min_value=0, max_value=40),    # neighbor_id
+            st.integers(min_value=0, max_value=50),    # score (as int/10)
+        ),
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    ascending=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_per_query_topk_matches_single_window_reference(
+    spark, rows, k, ascending
+):
+    """The two-stage (query, partition)-local top-k — round 10's ANN
+    rank-stage rewrite — must be EXACT: identical rows and ranks to the
+    naive single per-query window under the shared (score, neighbor_id)
+    total order, for any candidate multiset, k, and sort direction.
+    Duplicate (query, neighbor) candidate rows are allowed on input
+    (LSH multi-table generators produce them pre-dedup)."""
+    from nntsc_spark.pipeline.similarity import _per_query_topk
+
+    # dedup (query, neighbor) pairs: row_number over a non-unique total
+    # order would be nondeterministic on exact ties of BOTH keys
+    seen = {}
+    for q, n, s in rows:
+        seen[(q, n)] = s / 10.0
+    data = [(q, n, s) for (q, n), s in seen.items()]
+    if not data:
+        return
+    df = spark.createDataFrame(
+        data, "query_id long, neighbor_id long, score double"
+    ).repartition(7)  # several input partitions so the local stage acts
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.score)
+        for r in _per_query_topk(df, k, "score", ascending=ascending)
+        .collect()
+    )
+    expected = []
+    by_q: dict = {}
+    for q, n, s in data:
+        by_q.setdefault(q, []).append((s, n))
+    for q, cands in by_q.items():
+        cands.sort(key=lambda sn: (sn[0] if ascending else -sn[0], sn[1]))
+        for rank, (s, n) in enumerate(cands[:k], start=1):
+            expected.append((q, n, rank, s))
+    assert got == sorted(expected)
