@@ -482,10 +482,40 @@ def vnorm_sql(vec_col: str) -> str:
     )
 
 
+def _canon_cents(
+    cents: list[tuple[int, list[float]]],
+) -> list[tuple[int, list[float]]]:
+    """Centroids sorted by cell id — the canonical order every assignment
+    path scores in, so first-index argmax ties always break toward the
+    LOWEST cell id regardless of the order the caller built the list in."""
+    return sorted(
+        ((int(c), [float(x) for x in v]) for c, v in cents),
+        key=lambda cv: cv[0],
+    )
+
+
+def _cell_ids_array_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """SQL literal: the ACTUAL cell ids in canonical (id-sorted) order,
+    for translating a positional argmax/argmin index into the cell label.
+
+    Every assignment path emits the actual centroid id as ``cell`` (r10
+    advice: the fold/arrow paths emitted positional indices while the
+    two-level path and the driver-side IVFADC probe builder used real
+    ids — they coincided only while injected quantizers kept contiguous
+    ids starting at 0).  Positional indices remain internal-only (e.g.
+    the residual-subtraction ``element_at``)."""
+    return (
+        "array("
+        + ", ".join(str(int(c)) for c, _ in _canon_cents(cents))
+        + ")"
+    )
+
+
 def ivf_cell_scores_sql(
     vec_col: str, cents: list[tuple[int, list[float]]], vnorm_col: str = "_vn"
 ) -> str:
-    """Spark-SQL text: array of round(cosine(vec, centroid_j), 4) per cell.
+    """Spark-SQL text: array of round(cosine(vec, centroid_j), 4) per cell,
+    in canonical (id-sorted) cell order whatever order ``cents`` arrives in.
 
     Centroid vectors are inlined as double literals, so cell assignment is a
     PURE PROJECTION over the scan — no join, no shuffle; at cluster scale
@@ -499,7 +529,7 @@ def ivf_cell_scores_sql(
     matches.
     """
     scores = []
-    for _, vec in cents:
+    for _, vec in _canon_cents(cents):
         arr = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
         dot = (
             f"aggregate(zip_with(`{vec_col}`, {arr}, "
@@ -559,11 +589,16 @@ def ivf_topk(
         vec_col,
         F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
     )
-    # first index holding the max = lowest cell id on ties
+    # first index holding the max = lowest cell id on ties (canonical
+    # id-sorted score order); emit the ACTUAL cell id, not the position
+    ids_arr = F.expr(_cell_ids_array_sql(cents))
     assigned = withcs.select(
         id_col,
         vec_col,
-        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        F.element_at(
+            ids_arr,
+            F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int"),
+        )
         .cast("int")
         .alias("cell"),
         "_cs",
@@ -576,7 +611,13 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.posexplode("_cs").alias("cell", "c"),
+            F.posexplode("_cs").alias("_pos", "c"),
+        )
+        .withColumn(
+            "cell",
+            F.element_at(ids_arr, (F.col("_pos") + 1).cast("int")).cast(
+                "int"
+            ),
         )
         .withColumn("_pr", F.row_number().over(probe_rank))
         .where(F.col("_pr") <= nprobe)
@@ -720,7 +761,8 @@ def _assign_cells(
     vec_col: str,
 ) -> DataFrame:
     """Map-only cell assignment (inlined quantizer, zero shuffle):
-    (id, vec, cell, _best) with _best = cosine to the winning centroid."""
+    (id, vec, cell, _best) with _best = cosine to the winning centroid;
+    ``cell`` is the ACTUAL centroid id (ties -> lowest id)."""
     pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
     withcs = pre.select(
         id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
@@ -728,7 +770,10 @@ def _assign_cells(
     return withcs.select(
         id_col,
         vec_col,
-        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        F.element_at(
+            F.expr(_cell_ids_array_sql(cents)),
+            F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int"),
+        )
         .cast("int")
         .alias("cell"),
         F.array_max("_cs").alias("_best"),
@@ -807,7 +852,11 @@ def ivf_build_index(
         .parquet(f"{path}/corpus")
     )
     spark.createDataFrame(
-        [(c, v) for c, v in enumerate(v for _, v in cents)],
+        # ACTUAL centroid ids, matching the corpus's cell labels — the
+        # old positional re-labeling (enumerate) made a reloaded
+        # quantizer disagree with the corpus whenever injected centroid
+        # ids were non-contiguous (r10 advice finding, generalized)
+        [(int(c), [float(x) for x in v]) for c, v in _canon_cents(cents)],
         "cell_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_assign_stats(assigned, path, "build", 0)
@@ -1034,10 +1083,9 @@ def _assign_cells_arrow(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(
-        [v for _, v in sorted(cents, key=lambda cv: cv[0])],
-        dtype=np.float64,
-    )
+    order = sorted(cents, key=lambda cv: cv[0])
+    C = np.asarray([v for _, v in order], dtype=np.float64)
+    cell_ids = np.asarray([int(c) for c, _ in order], dtype=np.int64)
     cn = np.sqrt((C * C).sum(axis=1))
     schema = (
         f"`{id_col}` long, `{vec_col}` array<double>, _vn double, "
@@ -1052,15 +1100,26 @@ def _assign_cells_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vn = np.sqrt((V * V).sum(axis=1))
-            S = np.round((V @ C.T) / (vn[:, None] * cn[None, :]), 4)
-            cell = S.argmax(axis=1)
+            # zero-norm guard: clamp the divisor so a degenerate all-zero
+            # vector scores 0.0 to every cell (argmax -> lowest cell,
+            # centroid_sim 0.0) instead of NaN rows whose argmax picks an
+            # arbitrary cell.  (The fold path divides by 0 in Spark SQL,
+            # which yields NULL scores — also non-crashing; neither path
+            # treats a zero vector as meaningful.)
+            S = np.round(
+                (V @ C.T) / (np.maximum(vn, 1e-30)[:, None] * cn[None, :]),
+                4,
+            )
+            pos = S.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     vec_col: list(pdf[vec_col]),
                     "_vn": vn,
-                    "cell": cell.astype("int32"),
-                    "centroid_sim": S[np.arange(len(S)), cell],
+                    # ACTUAL cell id (argmax over id-sorted order keeps
+                    # the lowest-id tie-break)
+                    "cell": cell_ids[pos].astype("int32"),
+                    "centroid_sim": S[np.arange(len(S)), pos],
                 }
             )
 
@@ -1171,7 +1230,10 @@ def _assign_cells_two_level(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             vn = np.sqrt((V * V).sum(axis=1))
-            S1 = (V @ SC.T) / (vn[:, None] * scn[None, :])
+            # zero-norm guard (see _assign_cells_arrow)
+            S1 = (V @ SC.T) / (
+                np.maximum(vn, 1e-30)[:, None] * scn[None, :]
+            )
             # top-p super-cells per row; rows sharing a probe SET batch
             # into one GEMM against the union of member centroids
             top = np.argsort(-S1, axis=1)[:, :p]
@@ -1188,7 +1250,10 @@ def _assign_cells_two_level(
                 sub = V[rows]
                 S2 = np.round(
                     (sub @ C[pos].T)
-                    / (vn[rows][:, None] * cn[pos][None, :]),
+                    / (
+                        np.maximum(vn[rows], 1e-30)[:, None]
+                        * cn[pos][None, :]
+                    ),
                     4,
                 )
                 # lowest-cell tie-break: scan candidates in cell order
@@ -1278,7 +1343,12 @@ def semantic_dedup(
             id_col,
             vec_col,
             "_vn",
-            (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+            F.element_at(
+                F.expr(_cell_ids_array_sql(cents)),
+                F.array_position(F.col("_cs"), F.array_max("_cs")).cast(
+                    "int"
+                ),
+            )
             .cast("int")
             .alias("cell"),
             F.array_max("_cs").alias("centroid_sim"),
@@ -1417,7 +1487,10 @@ def cluster_balanced_sample(
         F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
     ).select(
         id_col,
-        (F.array_position(F.col("_cs"), F.array_max("_cs")) - 1)
+        F.element_at(
+            F.expr(_cell_ids_array_sql(cents)),
+            F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int"),
+        )
         .cast("int")
         .alias("cell"),
         F.array_max("_cs").alias("centroid_sim"),
@@ -1657,7 +1730,14 @@ def ivf_query_index(
             F.col(vec_col).alias("qvec"),
             F.posexplode(
                 F.expr(ivf_cell_scores_sql(vec_col, cents))
-            ).alias("cell", "c"),
+            ).alias("_pos", "c"),
+        )
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.expr(_cell_ids_array_sql(cents)),
+                (F.col("_pos") + 1).cast("int"),
+            ).cast("int"),
         )
         .withColumn("_pr", F.row_number().over(probe_rank))
         .where(F.col("_pr") <= nprobe)
@@ -2060,16 +2140,24 @@ def ivfpq_residuals(
     assigned = withds.select(
         id_col,
         vec_col,
+        # positional index stays INTERNAL (drives the centroid-vector
+        # element_at); the emitted `cell` is the ACTUAL centroid id, the
+        # same label _ivfpq_probe_luts keys its ADC LUTs by
         (F.array_position(F.col("_ds"), F.array_min("_ds")) - 1)
         .cast("int")
-        .alias("cell"),
+        .alias("_pos"),
     )
     return assigned.select(
         id_col,
-        "cell",
+        F.element_at(
+            F.expr(_cell_ids_array_sql(centroids)),
+            (F.col("_pos") + 1).cast("int"),
+        )
+        .cast("int")
+        .alias("cell"),
         F.expr(
             f"zip_with(`{vec_col}`, "
-            f"element_at({_cents_array_sql(centroids)}, cell + 1), "
+            f"element_at({_cents_array_sql(centroids)}, _pos + 1), "
             "(x, y) -> double(x) - y)"
         ).alias("residual"),
     )
@@ -2443,7 +2531,6 @@ def ivfpq_append(
     codes = _ivfpq_encode_batch(
         new, cents, codebooks, id_col, vec_col
     ).persist()
-    stats = _write_ivfpq_stats(codes, path, "append", batch_id)
     (
         codes.drop("_rnorm")
         .withColumn(APPEND_BATCH_COL, F.lit(int(batch_id)))
@@ -2453,6 +2540,13 @@ def ivfpq_append(
         .mode("overwrite")
         .parquet(f"{path}/codes")
     )
+    # stats AFTER the codes land (matching ivfpq_build_index's order): a
+    # crash between the two writes must not leave a stats row for a batch
+    # whose codes never arrived — drift monitoring would see a phantom
+    # append until the batch retried.  The codes-first order fails safe:
+    # orphaned code partitions are replaced by the retry, and a batch
+    # with codes but no stats row under-counts rather than fabricates.
+    stats = _write_ivfpq_stats(codes, path, "append", batch_id)
     codes.unpersist()
     build_rows = (
         spark.read.parquet(f"{path}/stats")
@@ -2475,6 +2569,55 @@ def ivfpq_append(
         "build_mean_resid_norm": build_mean,
         "needs_requantization": bool(drift),
     }
+
+
+def ivfpq_ensure_index(
+    emb: DataFrame,
+    path: str,
+    fingerprint: str,
+    **build_kw,
+) -> bool:
+    """Build the IVFADC index at ``path`` unless it already carries
+    ``fingerprint`` — the amortization seam between "the registered query
+    must not depend on scratch state surviving between runs" and "the
+    registered query must not re-encode the corpus per call" (r10 verdict
+    task #1: the rebuild-per-call shape was the slowest bench row by 3x,
+    measuring the build instead of the serving path the index exists for).
+
+    ``fingerprint`` is a caller-cheap corpus descriptor (source path +
+    row count + max id + quantizer params): the first call over a given
+    corpus builds, every later call serves, and ANY corpus or parameter
+    change misses the fingerprint and rebuilds — state-independence is
+    preserved because a fresh environment simply takes the build branch.
+
+    The fingerprint is persisted as a tiny parquet table (works on any
+    Hadoop-visible filesystem, unlike a driver-local marker file) and is
+    written LAST, after codes/centroids/codebooks/stats all landed — an
+    interrupted build leaves no fingerprint and is retried whole, never
+    served half-written.
+
+    Returns True when the index was (re)built, False on a fingerprint hit.
+    """
+    spark = emb.sparkSession
+    # Hadoop-FS existence probe (not a speculative read): a first run or
+    # interrupted build has no fingerprint table, and letting the parquet
+    # reader discover that logs a FileNotFoundException stack per call
+    jvm = spark._jvm
+    fp_path = jvm.org.apache.hadoop.fs.Path(f"{path}/fingerprint")
+    fs = fp_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fp_path):
+        try:
+            rows = spark.read.parquet(f"{path}/fingerprint").collect()
+            if rows and rows[0]["fp"] == fingerprint:
+                return False
+        except Exception:
+            # unreadable/foreign fingerprint table -> rebuild below
+            pass
+    ivfpq_build_index(emb, path, **build_kw)
+    spark.createDataFrame([(fingerprint,)], "fp string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/fingerprint")
+    return True
 
 
 def ivfpq_query_index(

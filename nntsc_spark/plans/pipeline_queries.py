@@ -2547,25 +2547,41 @@ QUALIFY row_number() OVER (PARTITION BY cell
 
 def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC served from the PERSISTENT cell-partitioned codes index
-    (the billion-vector layout): build the index (assign + residual +
-    PQ-encode, map-only — the pass a production system amortizes over
-    the index lifetime), then answer the same queries as `ivfpq_topk`
-    against the codes table with static probed-cell partition pruning.
-    Same sampled quantizer conventions, so the one relational oracle
-    pins BOTH the inline and the index-served path; pytest additionally
-    pins served == inline bit-for-bit and exactly-once appends."""
+    (the billion-vector layout): ensure the index exists (assign +
+    residual + PQ-encode, map-only — the pass a production system
+    amortizes over the index lifetime), then answer the same queries as
+    `ivfpq_topk` against the codes table with static probed-cell
+    partition pruning.  Same sampled quantizer conventions, so the one
+    relational oracle pins BOTH the inline and the index-served path;
+    pytest additionally pins served == inline bit-for-bit, exactly-once
+    appends, and stale-fingerprint rebuild.
+
+    The build is FINGERPRINT-GATED (r10 verdict task #1): the first call
+    over a corpus builds, later calls serve — so the bench measures the
+    serving path, not a per-call corpus re-encode.  The fingerprint
+    (path + row count + max id + quantizer params) rebuilds on any
+    corpus change; the scratch dir is keyed by PID so concurrent harness
+    sessions never race each other's overwrite (r10 advice)."""
     import hashlib
+    import os
     import tempfile
 
-    from ..pipeline.similarity import ivfpq_build_index, ivfpq_query_index
+    from ..pipeline.similarity import ivfpq_ensure_index, ivfpq_query_index
 
     emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")
+    ).collect()[0]
+    fp = (
+        f"{sf_dir}|n={stats['n']}|max={stats['mx']}"
+        f"|nlist={_IVFPQ_NLIST}|m={_PQ_M}|ks={_PQ_KS}"
+    )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/sparktsc-ivfpq-idx-{tag}"
-    # rebuild per call (mode=overwrite inside): the registered query
-    # must not depend on scratch state surviving between runs
-    ivfpq_build_index(
-        emb, path, nlist=_IVFPQ_NLIST, m=_PQ_M, ks=_PQ_KS
+    path = (
+        f"{tempfile.gettempdir()}/sparktsc-ivfpq-idx-{tag}-{os.getpid()}"
+    )
+    ivfpq_ensure_index(
+        emb, path, fp, nlist=_IVFPQ_NLIST, m=_PQ_M, ks=_PQ_KS
     )
     return ivfpq_query_index(
         emb, path, _QUERY_IDS, k=_PQ_K, nprobe=_IVFPQ_NPROBE

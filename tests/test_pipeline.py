@@ -2450,3 +2450,140 @@ def test_two_level_assignment_agrees_with_flat(spark, sf_dir):
     }
     agree = sum(1 for k, v in capprox.items() if v == cflat[k])
     assert agree / len(cflat) >= 0.95, agree / len(cflat)
+
+
+def test_assignment_paths_agree_on_noncontiguous_cell_ids(spark):
+    """All THREE assignment paths (inlined fold, Arrow BLAS, two-level
+    full-probe) must emit the ACTUAL centroid id as `cell` — including
+    when the injected quantizer's ids are non-contiguous and arrive
+    unsorted (r10 advice: the fold/arrow paths emitted positional
+    indices, diverging from the two-level path and from the driver-side
+    IVFADC probe builder exactly when ids weren't 0..nlist-1)."""
+    import random
+
+    from nntsc_spark.pipeline.similarity import (
+        _assign_cells,
+        _assign_cells_arrow,
+        _assign_cells_two_level,
+        ivfpq_residuals,
+    )
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.gauss(0.0, 1.0) for _ in range(8)])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # non-contiguous, unsorted centroid ids: positions 0..3 != ids
+    cents = [
+        (17, [1.0, 0, 0, 0, 0, 0, 0, 0]),
+        (3, [0, 1.0, 0, 0, 0, 0, 0, 0]),
+        (99, [0, 0, 1.0, 0, 0, 0, 0, 0]),
+        (42, [0, 0, 0, 1.0, 0, 0, 0, 0]),
+    ]
+    valid = {3, 17, 42, 99}
+
+    fold = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(emb, cents, "vec_id", "embedding").collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_arrow(
+            emb, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_two_level(
+            emb, cents, "vec_id", "embedding", probe_supers=4
+        ).collect()
+    }
+    assert set(fold.values()) <= valid
+    assert fold == arrow == two
+
+    # the IVFADC encode side labels cells the same way (its L2 argmin can
+    # legitimately differ from the cosine argmax, but every label must be
+    # a real centroid id — the probe LUTs are keyed by actual ids)
+    res = {
+        r["vec_id"]: r["cell"]
+        for r in ivfpq_residuals(emb, cents).collect()
+    }
+    assert set(res.values()) <= valid
+
+
+def test_arrow_assignment_zero_norm_vector_is_deterministic(spark):
+    """A degenerate all-zero vector must not produce NaN scores whose
+    argmax lands on an arbitrary cell: the guarded divisor scores it 0.0
+    everywhere, so it lands in the lowest cell id with centroid_sim 0.0."""
+    from nntsc_spark.pipeline.similarity import _assign_cells_arrow
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(5, [1.0, 0, 0, 0]), (2, [0, 1.0, 0, 0])]
+    got = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"])
+        for r in _assign_cells_arrow(
+            emb, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got[0] == (2, 0.0)  # lowest cell id, sim 0.0 — not NaN
+    assert got[1] == (5, 1.0)
+
+
+def test_ivfpq_ensure_index_amortizes_and_rebuilds_on_stale(
+    spark, sf_dir, tmp_path
+):
+    """The fingerprint gate: same fingerprint -> the build is SKIPPED
+    (the registered query's bench shape measures serving, not a per-call
+    corpus re-encode); a changed fingerprint (corpus grew, params
+    changed) -> rebuild; an interrupted build (no fingerprint written)
+    -> retried whole."""
+    from nntsc_spark.pipeline.similarity import (
+        ivfpq_ensure_index,
+        ivfpq_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    fp = "corpus|n=500|nlist=8|m=8|ks=16"
+
+    assert ivfpq_ensure_index(emb, path, fp, nlist=8, m=8, ks=16) is True
+    first = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_query_index(
+            emb, path, [0, 1], k=5, nprobe=2
+        ).collect()
+    }
+    assert first
+
+    # hit: no rebuild, served results identical
+    assert ivfpq_ensure_index(emb, path, fp, nlist=8, m=8, ks=16) is False
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_query_index(
+            emb, path, [0, 1], k=5, nprobe=2
+        ).collect()
+    }
+    assert again == first
+
+    # stale: corpus fingerprint changed -> rebuild runs
+    assert (
+        ivfpq_ensure_index(
+            emb, path, fp + "|n2", nlist=8, m=8, ks=16
+        )
+        is True
+    )
+
+    # interrupted build: kill the fingerprint table -> next ensure rebuilds
+    import shutil
+
+    shutil.rmtree(f"{path}/fingerprint")
+    assert (
+        ivfpq_ensure_index(emb, path, fp + "|n2", nlist=8, m=8, ks=16)
+        is True
+    )
