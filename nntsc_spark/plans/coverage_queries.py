@@ -1624,6 +1624,55 @@ WHERE l.prev IS NOT NULL AND f.frequency > 0
 """
 
 
+def q_gap_report_summary_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-stream gap ROLLUP over the bounded slice: the "summarize my
+    gaps" production shape (r10 verdict task #2 — the last sort-bound
+    family member with no registered bounded variant; its unbounded
+    probe ran 12.4x/decade).  Same bounds as `gap_report_bounded`
+    (last-day loader-pushed scan + the reference's 200-diff sampling,
+    exporter.py:509-510), with one keys-bounded aggregate on top:
+    (n_gaps, silent_seconds, longest_gap, missed_total) per stream —
+    the outage dashboard row, not the per-gap listing."""
+    from ..operators.frequency import estimate_frequency, gap_report
+
+    fact = events_fact(spark, sf_dir)
+    hi = fact.agg(F.max("timestamp")).collect()[0][0]
+    recent = events_fact(spark, sf_dir, start=int(hi) - 86_400)
+    freq = estimate_frequency(recent, max_diffs=200, fill_defaults=False)
+    gaps = gap_report(
+        recent, k=3.0, order_cols=["event_id"], frequency=freq
+    )
+    return gaps.groupBy("stream_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_seconds").cast("long").alias("silent_seconds"),
+        F.max("gap_seconds").cast("long").alias("longest_gap"),
+        F.sum("missed").cast("long").alias("missed_total"),
+    )
+
+
+SQL_GAP_REPORT_SUMMARY_BOUNDED = f"""
+WITH {_FACT_CTE},
+{_BOUNDED_EST_CTES},
+gaps AS (
+  SELECT l.stream_id,
+         CAST(l.timestamp - l.prev AS BIGINT) AS gap_seconds,
+         greatest(CAST(floor((l.timestamp - l.prev) / f.frequency)
+                       AS BIGINT) - 1, 1) AS missed
+  FROM lagged l JOIN freqs f USING (stream_id)
+  WHERE l.prev IS NOT NULL AND f.frequency > 0
+    AND l.timestamp - l.prev > CAST(3.0 AS DOUBLE) * f.frequency
+)
+SELECT stream_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_seconds) AS BIGINT) AS silent_seconds,
+       CAST(max(gap_seconds) AS BIGINT) AS longest_gap,
+       CAST(sum(missed) AS BIGINT) AS missed_total
+FROM gaps GROUP BY stream_id
+"""
+
+
 def q_availability_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availability over the last day's slice with the bounded cadence
     estimate — the production rollup of `gap_report_bounded` (span and
@@ -1727,5 +1776,11 @@ TAIL_REGISTRY = {
     "availability_bounded": (
         q_availability_bounded,
         SQL_AVAILABILITY_BOUNDED,
+    ),
+    # round-11: the per-stream gap rollup over the same bounds — the
+    # last sort-bound family member gets its registered production shape
+    "gap_report_summary_bounded": (
+        q_gap_report_summary_bounded,
+        SQL_GAP_REPORT_SUMMARY_BOUNDED,
     ),
 }
