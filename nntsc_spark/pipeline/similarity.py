@@ -2105,11 +2105,103 @@ def _assign_l2_py(v: list[float], cents: list[tuple[int, list[float]]]) -> int:
     return int(best_c)
 
 
+def _ivfpq_residuals_two_level(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    branch: int | None = None,
+    probe_supers: int = 2,
+) -> DataFrame:
+    """Two-level (coarse -> fine) residual assignment for the IVFADC
+    ENCODE side: route each vector to its ``probe_supers`` nearest
+    super-centroids by squared L2, take the exact round-4 full d2 argmin
+    over only those super-cells' member centroids, and subtract the
+    winner — O(N * (K1 + probe * nlist/K1) * dims) flops instead of the
+    flat fold's O(N * nlist) INTERPRETED lambda folds, the same
+    coarse-quantizer front :func:`_assign_cells_two_level` gives the
+    cosine paths (r10 verdict task #7: assignment dominates the index
+    build cost exactly in the >=1e4-cell regime the persistent index
+    exists for).
+
+    Same L2 conventions as :func:`_assign_l2_round4_sql` (full
+    non-negative d2, round 4, ties -> lowest cell id), with the
+    two standing numeric caveats of every numpy path: BLAS accumulation
+    order and half-even rounding can flip a round-4 BOUNDARY tie vs the
+    fold — so this is strictly opt-in and the oracle-pinned defaults
+    never take it.  APPROXIMATE like its cosine sibling: a vector whose
+    true cell hides under an unprobed super-cell lands in its best
+    probed cell (full probe == flat, pytest-pinned).
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = _canon_cents(cents)
+    C = np.asarray([v for _, v in order], dtype=np.float64)
+    cn2 = (C * C).sum(axis=1)
+    cell_ids = np.asarray([c for c, _ in order], dtype=np.int64)
+    pos_of_cell = {c: i for i, c in enumerate(cell_ids)}
+    supers, members = two_level_quantizer(cents, branch=branch)
+    SC = np.asarray(supers, dtype=np.float64)
+    scn2 = (SC * SC).sum(axis=1)
+    member_pos = [
+        np.asarray([pos_of_cell[c] for c in m], dtype=np.int64)
+        for m in members
+    ]
+    p = min(int(probe_supers), len(supers))
+    schema = f"`{id_col}` long, cell int, residual array<double>"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n2 = (V * V).sum(axis=1)
+            # routing metric: squared L2 to super-centroids (monotone in
+            # the unrounded distance — no rounding needed to pick probes)
+            D1 = n2[:, None] - 2.0 * (V @ SC.T) + scn2[None, :]
+            top = np.argsort(D1, axis=1, kind="stable")[:, :p]
+            top.sort(axis=1)
+            best_pos = np.empty(len(V), dtype=np.int64)
+            keys = [tuple(r) for r in top]
+            by_key: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                by_key.setdefault(k, []).append(i)
+            for k, rows in by_key.items():
+                pos = np.concatenate([member_pos[s] for s in k])
+                rows = np.asarray(rows)
+                sub = V[rows]
+                D2 = np.round(
+                    n2[rows][:, None]
+                    - 2.0 * (sub @ C[pos].T)
+                    + cn2[pos][None, :],
+                    4,
+                )
+                # lowest-cell tie-break: scan candidates in cell order
+                o = np.argsort(cell_ids[pos], kind="stable")
+                am = D2[:, o].argmin(axis=1)
+                best_pos[rows] = pos[o][am]
+            R = V - C[best_pos]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell_ids[best_pos].astype("int32"),
+                    "residual": list(R),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def ivfpq_residuals(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_two_level: bool = False,
+    probe_supers: int = 2,
 ) -> DataFrame:
     """(id, cell, residual): assign each vector to its nearest coarse
     centroid (full-L2 round-4 argmin, ties -> lowest cell) and subtract
@@ -2117,7 +2209,16 @@ def ivfpq_residuals(
     inlined as literals, ``element_at`` centroid lookup), so residualing
     100 TB is a map-only pass.  Feed the output to
     :func:`pq_codebooks_kmeans(..., vec_col="residual")` for production
-    residual codebooks, or to :func:`pq_encode` for codes."""
+    residual codebooks, or to :func:`pq_encode` for codes.
+
+    ``assign_two_level=True`` swaps the flat inlined-fold argmin for the
+    coarse->fine numpy front (:func:`_ivfpq_residuals_two_level`) — the
+    large-``nlist`` build path; strictly opt-in (approximate routing +
+    numpy rounding caveats), oracle-pinned defaults never take it."""
+    if assign_two_level:
+        return _ivfpq_residuals_two_level(
+            emb, centroids, id_col, vec_col, probe_supers=probe_supers
+        )
     pre = emb.select(
         id_col,
         vec_col,
@@ -2388,11 +2489,16 @@ def _ivfpq_encode_batch(
     codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    assign_two_level: bool = False,
+    probe_supers: int = 2,
 ) -> DataFrame:
     """(id, cell, codes, _rnorm): the map-only assign -> residual ->
     encode chain shared by build and append, with the residual norm
     riding along for the stats/drift pass."""
-    res = ivfpq_residuals(emb, cents, id_col=id_col, vec_col=vec_col)
+    res = ivfpq_residuals(
+        emb, cents, id_col=id_col, vec_col=vec_col,
+        assign_two_level=assign_two_level, probe_supers=probe_supers,
+    )
     res = res.withColumn(
         "_rnorm",
         F.expr(
@@ -2418,6 +2524,8 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    assign_two_level: bool = False,
+    probe_supers: int = 2,
 ) -> None:
     """Materialize the IVFADC index on disk: PQ codes of the residuals
     written ``partitionBy(cell, append_batch)`` plus the quantizer and
@@ -2435,6 +2543,11 @@ def ivfpq_build_index(
     :func:`pq_codebooks_kmeans` over :func:`ivfpq_residuals`); defaults
     are the oracle-re-derivable sampled conventions, identical to
     :func:`ivfpq_topk`'s.
+
+    ``assign_two_level=True`` routes the assign/residual pass through
+    the coarse->fine quantizer front (r10 verdict task #7) — the build's
+    dominant cost at the 1e5-cell regime the persistent index exists
+    for; opt-in, with served-results parity at full probe pytest-pinned.
     """
     spark = emb.sparkSession
     cents = centroids if centroids is not None else centroid_rows(
@@ -2445,7 +2558,8 @@ def ivfpq_build_index(
             emb, cents, ks, m, dims, id_col, vec_col
         )
     codes = _ivfpq_encode_batch(
-        emb, cents, codebooks, id_col, vec_col
+        emb, cents, codebooks, id_col, vec_col,
+        assign_two_level=assign_two_level, probe_supers=probe_supers,
     ).persist()
     (
         codes.drop("_rnorm")
@@ -2569,6 +2683,98 @@ def ivfpq_append(
         "build_mean_resid_norm": build_mean,
         "needs_requantization": bool(drift),
     }
+
+
+def ivfpq_maintain(
+    corpus: DataFrame,
+    path: str,
+    drift_tol: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    assign_two_level: bool = False,
+) -> dict:
+    """The maintenance job :func:`ivfpq_append`'s ``needs_requantization``
+    flag points to (r10 verdict task #6 — the flag existed, nothing acted
+    on it): inspect the index's stats table, and if any append batch's
+    mean residual norm exceeds the build anchor by ``drift_tol``
+    (relative), RETRAIN the coarse quantizer over the CURRENT corpus
+    (k-means|| by default — the lowest-id sampler would re-pick the same
+    stale vectors) and rebuild the index in place.
+
+    Idempotent by the same discipline as the writes it wraps: the rebuild
+    statically overwrites codes/centroids/codebooks AND the stats table
+    (one fresh ``build`` row, no append rows), so a second run sees no
+    drifted batches and no-ops — double-run safe, and a crash mid-rebuild
+    is repaired by re-running (every write is an overwrite).  A stale
+    :func:`ivfpq_ensure_index` fingerprint at the same path is removed so
+    fingerprint-gated callers rebuild their view too.
+
+    ``corpus`` must be the FULL current corpus (build + appended rows) —
+    the index stores only codes, so requantization needs the raw vectors
+    back, exactly like a production ANN rebuild.  Geometry (nlist, m, ks)
+    is read from the existing index; ``centroids``/``codebooks`` inject
+    production quantizers.
+
+    Returns {rebuilt, drifted_batches, build_mean_resid_norm,
+    new_mean_resid_norm} (the last is None when not rebuilt).
+    """
+    spark = corpus.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    anchor = max(
+        (r for r in stats if r["kind"] == "build"),
+        key=lambda r: r["batch_id"],
+        default=None,
+    )
+    if anchor is None or anchor["mean_resid_norm"] <= 0:
+        raise ValueError(f"{path}/stats has no usable build anchor row")
+    drifted = sorted(
+        int(r["batch_id"])
+        for r in stats
+        if r["kind"] == "append"
+        and r["n"] > 0
+        and r["mean_resid_norm"]
+        > float(anchor["mean_resid_norm"]) * (1.0 + drift_tol)
+    )
+    out = {
+        "rebuilt": False,
+        "drifted_batches": drifted,
+        "build_mean_resid_norm": float(anchor["mean_resid_norm"]),
+        "new_mean_resid_norm": None,
+    }
+    if not drifted:
+        return out
+    old_cents, old_books = _read_ivfpq_quantizers(spark, path)
+    nlist = len(old_cents)
+    m = len(old_books)
+    ks = len(old_books[0])
+    dims = sum(len(cb[0]) for cb in old_books)
+    cents = centroids if centroids is not None else (
+        kmeans_parallel_centroids(
+            corpus, nlist, id_col=id_col, vec_col=vec_col
+        )
+    )
+    ivfpq_build_index(
+        corpus, path, nlist=nlist, m=m, ks=ks, dims=dims,
+        id_col=id_col, vec_col=vec_col, centroids=cents,
+        codebooks=codebooks, assign_two_level=assign_two_level,
+    )
+    # invalidate any fingerprint gate at this path: the corpus the
+    # fingerprint described no longer matches the rebuilt quantizer
+    jvm = spark._jvm
+    fp_path = jvm.org.apache.hadoop.fs.Path(f"{path}/fingerprint")
+    fs = fp_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(fp_path):
+        fs.delete(fp_path, True)
+    new_anchor = (
+        spark.read.parquet(f"{path}/stats")
+        .where(F.col("kind") == "build")
+        .collect()[0]
+    )
+    out["rebuilt"] = True
+    out["new_mean_resid_norm"] = float(new_anchor["mean_resid_norm"])
+    return out
 
 
 def ivfpq_ensure_index(

@@ -18,7 +18,11 @@ thin Structured Streaming wiring, following the same
   the maintainer exposes the latest verdict so an operator (or an
   alerting job reading ``{path}/stats``) can schedule re-quantization —
   deliberately NOT automatic: a rebuild is O(corpus) and belongs in a
-  maintenance window, like storage.compact_fact.
+  maintenance window, like storage.compact_fact.  The maintenance-window
+  job itself is :func:`~..pipeline.similarity.ivfpq_maintain` (stats ->
+  drifted? -> k-means|| retrain -> in-place rebuild, double-run
+  idempotent); run it over the full current corpus when
+  ``drift_flagged`` latches.
 
 At 100 TB the corpus table stays ``partitionBy(cell)`` so query-time
 probe pruning is directory-level regardless of how many appends have

@@ -2587,3 +2587,115 @@ def test_ivfpq_ensure_index_amortizes_and_rebuilds_on_stale(
         ivfpq_ensure_index(emb, path, fp + "|n2", nlist=8, m=8, ks=16)
         is True
     )
+
+
+def test_ivfpq_build_two_level_full_probe_matches_flat(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_build_index(assign_two_level=True) at FULL probe must
+    produce the same index as the flat fold build — same cells, same PQ
+    codes, so identical served results (r10 verdict task #7: assignment
+    is the build's dominant cost at production nlist; the two-level
+    front must be a pure speedup when every super-cell is probed)."""
+    from nntsc_spark.pipeline.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivfpq_build_index(emb, str(tmp_path / "flat"), nlist=8, m=8, ks=16)
+    ivfpq_build_index(
+        emb, str(tmp_path / "two"), nlist=8, m=8, ks=16,
+        assign_two_level=True, probe_supers=8,  # min()s to all supers
+    )
+
+    flat_codes = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(
+            str(tmp_path / "flat" / "codes")
+        ).collect()
+    }
+    two_codes = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(
+            str(tmp_path / "two" / "codes")
+        ).collect()
+    }
+    assert two_codes == flat_codes and flat_codes
+
+    qids = [0, 1, 2, 3]
+    served_flat = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+        for r in ivfpq_query_index(
+            emb, str(tmp_path / "flat"), qids, k=5, nprobe=2
+        ).collect()
+    }
+    served_two = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_d2)
+        for r in ivfpq_query_index(
+            emb, str(tmp_path / "two"), qids, k=5, nprobe=2
+        ).collect()
+    }
+    assert served_two == served_flat and served_flat
+
+
+def test_ivfpq_maintain_rebuilds_on_drift_and_is_idempotent(
+    spark, tmp_path
+):
+    """Close the IVFADC drift loop (flag -> action): build on an axis-A
+    corpus, append a distribution-shifted axis-C batch (drift flagged),
+    then ivfpq_maintain retrains the quantizer over the CURRENT corpus
+    and rebuilds in place — residual norms recover, a served query for a
+    C vector finds its C neighbors, and a second maintain run no-ops
+    (the rebuild's static stats overwrite leaves no drifted batches)."""
+    from nntsc_spark.pipeline.similarity import (
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_maintain,
+        ivfpq_query_index,
+    )
+
+    path = str(tmp_path / "idx")
+    axis_a = spark.createDataFrame(
+        [
+            (i, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.001 * i])
+            for i in range(16)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    axis_c = spark.createDataFrame(
+        [
+            (100 + i, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.001 * i])
+            for i in range(8)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.008]),
+    ]
+    ivfpq_build_index(
+        axis_a, path, nlist=2, m=4, ks=4, dims=8, centroids=cents
+    )
+    res = ivfpq_append(axis_c, path, batch_id=1)
+    assert res["needs_requantization"]
+
+    corpus = axis_a.unionByName(axis_c)
+    out = ivfpq_maintain(corpus, path)
+    assert out["rebuilt"] is True
+    assert out["drifted_batches"] == [1]
+    # the retrained quantizer covers BOTH clusters: residuals recover
+    assert out["new_mean_resid_norm"] < res["mean_resid_norm"] / 2
+    assert out["new_mean_resid_norm"] < 0.25
+
+    # recall restored: a C query served from the rebuilt index finds its
+    # C neighbors (the stale quantizer + out-of-range PQ codebooks gave
+    # it garbage ADC distances)
+    served = ivfpq_query_index(
+        corpus, path, [100], k=3, nprobe=1
+    ).collect()
+    assert served and all(r.neighbor_id >= 100 for r in served), served
+
+    # double-run idempotent: the rebuild cleared the append stats rows
+    out2 = ivfpq_maintain(corpus, path)
+    assert out2["rebuilt"] is False and out2["drifted_batches"] == []

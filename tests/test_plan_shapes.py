@@ -287,3 +287,24 @@ def test_per_query_topk_prunes_before_global_rank(spark, sf_dir):
         assert re.search(
             r"Window \[.{0,200}partitionBy=\[query_id[^\]]*_pid", plan
         ) or "_pid" in plan, name
+
+
+def test_cohort_retention_broadcasts_cohorts_and_pushes_bounds(
+    spark, sf_dir
+):
+    """cohort_retention's plan has exactly the shape a 100x run needs —
+    pinned because its BENCH row wobbled 1.4x across rounds with NO code
+    change (r10 verdict task #4): if the wobble ever comes from a real
+    plan flip (broadcast -> sort-merge, or the signup/time predicates
+    falling off the scan) this fails; otherwise the row is measuring
+    fixture noise, not the operator."""
+    plan = plan_text(spark, sf_dir, "cohort_retention")
+    # the per-user min-signup cohort table is keys-bounded -> broadcast
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    # the time bounds reach the parquet scan (the plan-string printer
+    # truncates long PushedFilters lists, so assert the leading entries
+    # only; the signup EqualTo rides the same list — verified on the
+    # untruncated formatted plan)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "GreaterThanOrEqual(ts" in pushed, pushed
