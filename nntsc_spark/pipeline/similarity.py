@@ -1515,6 +1515,7 @@ def curate_embeddings(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
+    assign_two_level: bool = False,
 ) -> DataFrame:
     """The embedding-side curation capstone (the vector sibling of
     pipeline/corpus.py's ``training_corpus``): SemDeDup semantic
@@ -1541,6 +1542,7 @@ def curate_embeddings(
         vec_col=vec_col,
         centroids=centroids,
         block_factor=block_factor,
+        assign_two_level=assign_two_level,
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("centroid_sim").asc(), F.col(id_col).asc()

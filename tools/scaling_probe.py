@@ -67,6 +67,10 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
            # pushed scan bound + 200-diff sampling) — these are the rows
            # that must stay near-flat where the unbounded family climbs
            "gap_report_bounded", "availability_bounded",
+           # r11: the per-stream gap rollup over the same bounds, now a
+           # REGISTERED query (was the probe-only gap_report_summary
+           # capped variant — the last family member without one)
+           "gap_report_summary_bounded",
            # r10: bin-composed LTTB (the per-key sort sees hourly bins,
            # not raw samples — the densified replica axis adds samples
            # per bin, not bins, so the curve should go flat)
@@ -164,11 +168,10 @@ def _capped_queries():
     - ngram_jaccard_capped: max_df=128 drops shingles shared by more
       than 128 docs from the inverted index — the quadratic-term guard.
 
-    - gap_report_summary: gap detection against the BOUNDED estimate
-      with a per-stream rollup — the production shape of gap_report.
-
     These run to MAX_CAPPED_FACTOR so the crossover claims in
     jaccard_verify's and frequency's docstrings carry measured numbers.
+    (gap_report_summary graduated in r11: it is now the REGISTERED
+    gap_report_summary_bounded query in the main QUERIES list.)
     """
     from nntsc_spark.operators.frequency import estimate_frequency
     from nntsc_spark.pipeline.dedup import (
@@ -183,30 +186,6 @@ def _capped_queries():
         # agg, itself linear — part of the measured cost)
         hi = fact.agg(F.max("timestamp")).collect()[0][0]
         return estimate_frequency(fact, since=hi - 86_400, max_diffs=200)
-
-    def gap_report_summary(spark, d):
-        # production shape: BOTH ordered windows run over the recent
-        # slice (events_fact start= — a pushed-down scan bound, exactly
-        # frequency_bounded's remedy), because that is what an
-        # operational gap monitor asks ("silences in the last day"),
-        # plus the 200-diff estimate sample and a per-stream rollup.
-        # The registered gap_report row keeps the unbounded full-history
-        # semantics; this row pins the remedy's curve.
-        from nntsc_spark.operators.frequency import gap_report
-
-        fact = events_fact(spark, d)
-        hi = fact.agg(F.max("timestamp")).collect()[0][0]
-        recent = events_fact(spark, d, start=int(hi) - 86_400)
-        freq = estimate_frequency(
-            recent, max_diffs=200, fill_defaults=False
-        )
-        gaps = gap_report(recent, k=3.0, order_cols=["event_id"],
-                          frequency=freq)
-        return gaps.groupBy("stream_id").agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.sum("gap_seconds").alias("silent_seconds"),
-            F.max("gap_seconds").alias("longest_gap"),
-        )
 
     from nntsc_spark.operators.timeseries import counter_rate
     from nntsc_spark.plans.queries import START, STOP
@@ -317,14 +296,21 @@ def _capped_queries():
         # embedding_clusters): at tau=0.95 the synthetic cross-replica
         # cosine tail (~N(0, 1/64), sd 0.125) is 8 sigma below the
         # threshold, so candidate structure stays the original's.
-        # The flat-quantizer assignment is honestly O(nlist * dims) per
-        # row — faiss pays the same unless it fronts an HNSW quantizer —
-        # so this row measures the production cost curve, including it.
+        # Assignment: the flat BLAS path (honest O(nlist * dims) per
+        # row) up to x100; the x1000 cell (nlist=8000, 50M vectors)
+        # switches to the TWO-LEVEL coarse quantizer front
+        # (assign_two_level=True — r10 verdict task #3), exactly the
+        # handoff production makes past ~1e3-1e4 cells (faiss fronts an
+        # HNSW/IMI quantizer the same way); the routing is approximate
+        # (pytest pins >=95% agreement with flat on clustered data).
         from nntsc_spark.pipeline.similarity import semantic_dedup
 
         f = _pipe_factor(d)
         emb = load_table(spark, d, "embeddings")
-        out = semantic_dedup(emb, nlist=8 * f, threshold=0.95)
+        out = semantic_dedup(
+            emb, nlist=8 * f, threshold=0.95,
+            assign_two_level=(f >= 1000),
+        )
         # per-vector output x100 = 500k rows: roll up so the cell
         # measures the operator, not Arrow delivery
         return out.groupBy("cell").agg(
@@ -339,12 +325,41 @@ def _capped_queries():
         f = _pipe_factor(d)
         emb = load_table(spark, d, "embeddings")
         return curate_embeddings(
-            emb, nlist=8 * f, threshold=0.95, per_cell=15
+            emb, nlist=8 * f, threshold=0.95, per_cell=15,
+            assign_two_level=(f >= 1000),
+        )
+
+    def training_corpus_curated_scaled(spark, d):
+        # the heaviest registered query (r10 verdict task #5: no measured
+        # curve) probed with the embedding stage under the SCALED sizing
+        # rule (emb_nlist = 8 x factor — the registered query's fixed
+        # nlist=8 would make per-cell pair work quadratic in the factor,
+        # measuring the sizing mistake, not the operator).  The text
+        # side runs the registered composition verbatim.
+        from nntsc_spark.pipeline.corpus import training_corpus
+
+        f = _pipe_factor(d)
+        # the doc replica re-keys ids by +i*10M, the embedding replica
+        # by +i*1M — re-align the vector ids to the doc keying so each
+        # replica's survivors find their vectors (identity at x1)
+        emb = load_table(spark, d, "embeddings").select(
+            (
+                F.col("vec_id") % 1_000_000
+                + F.floor(F.col("vec_id") / 1_000_000).cast("long")
+                * F.lit(10_000_000)
+            ).alias("vec_id"),
+            "embedding",
+        )
+        return training_corpus(
+            load_table(spark, d, "documents"),
+            embeddings=emb,
+            emb_nlist=8 * f,
+            emb_threshold=0.95,
+            emb_per_cell=15,
         )
 
     return (
         {"frequency_bounded": frequency_bounded,
-         "gap_report_summary": gap_report_summary,
          "counter_rate_summary": counter_rate_summary,
          "holt_winters_summary": holt_winters_summary,
          "ewma_summary": ewma_summary,
@@ -359,6 +374,7 @@ def _capped_queries():
             "ivfpq_index_topk": ivfpq_index_topk,
             "semantic_dedup_scaled": semantic_dedup_scaled,
             "embedding_curation_scaled": embedding_curation_scaled,
+            "training_corpus_curated_scaled": training_corpus_curated_scaled,
         },
     )
 
@@ -394,13 +410,16 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     # same instrument limit: row-level repair output (x1000 = 46M rows
     # on its 1-in-10 stream subset x 8 cols)
     "hampel_outliers": 100,
-    # nlist scales with N for these (8 * factor cells): at x1000 the
-    # flat-quantizer assignment alone is 5M rows x 8000 inlined fold
-    # exprs — the regime where production fronts a tree/HNSW quantizer;
-    # x100 (800 cells) already demonstrates the bounded-cell curve
-    "semantic_dedup_scaled": 100,
-    "embedding_curation_scaled": 100,
+    # the composed capstone's TEXT side is the pipeline-heavy regime
+    # (x1000 documents = 5M docs, shingle tables in the billions — the
+    # MAX_PIPELINE_FACTOR rationale); its embedding stage's x1000 story
+    # is carried by semantic_dedup_scaled/embedding_curation_scaled
+    "training_corpus_curated_scaled": 100,
 }
+# (semantic_dedup_scaled / embedding_curation_scaled lost their x100
+# caps in r11: their x1000 cells run the two-level coarse-quantizer
+# front — assign_two_level=True — which removes the flat O(nlist*dims)
+# assignment bound the caps existed for.)
 
 
 def build_replica(spark, factor: int) -> str:
@@ -616,7 +635,7 @@ def main() -> None:
         "slice, which is why its curve stays near-flat where the unbounded",
         "row climbs.",
         "",
-        "The gap/availability family (gap_report, gap_report_summary,",
+        "The gap/availability family (gap_report, availability,",
         "availability) and lttb_downsample sit in frequency's SORT-bound",
         "class, not the delivery-bound one — their outputs are small but",
         "each runs 1-2 per-key full-history ordered windows, so their",
@@ -679,11 +698,13 @@ def main() -> None:
         "built-in lighter-shuffle near-dup path.",
         "",
         "r10 rows: gap_report_bounded / availability_bounded are the",
-        "ORACLE-PINNED bounded variants (registered queries, unlike the",
-        "probe-only gap_report_summary) and lttb_binned composes A1",
-        "hourly pre-binning under the same 24-point LTTB — all three",
-        "should stay near-flat because the replica densifies a fixed",
-        "time axis.  ivfpq_index_topk measures the ENCODE-ONCE serving",
+        "ORACLE-PINNED bounded variants (registered queries) and",
+        "lttb_binned composes A1 hourly pre-binning under the same",
+        "24-point LTTB — all three stay near-flat because the replica",
+        "densifies a fixed time axis; r11 adds gap_report_summary_bounded",
+        "(the per-stream rollup, also registered — the probe-only",
+        "gap_report_summary capped variant graduated into it).",
+        "ivfpq_index_topk measures the ENCODE-ONCE serving",
         "shape: rep 1 builds the persistent cell-partitioned codes table",
         "(cost amortized over the index lifetime), rep 2 — the min —",
         "measures pure query cost against statically-pruned cell",
@@ -691,12 +712,47 @@ def main() -> None:
         "probe the two heaviest bench queries with nlist SCALING WITH N",
         "(8 x factor, the SemDeDup paper's own N/target_cell_size rule;",
         "LAION runs used ~1e5 clusters): per-cell pair work stays",
-        "bounded, and the row honestly includes the O(nlist * dims)",
-        "flat-quantizer assignment cost production would front with a",
-        "tree/HNSW quantizer beyond ~1e3 cells (hence their x100 cap).",
+        "bounded, and the rows honestly include quantizer-assignment",
+        "cost — flat BLAS O(nlist * dims) per row up to x100, and from",
+        "x1000 (nlist=8000) the TWO-LEVEL coarse-quantizer front",
+        "(assign_two_level=True), the same handoff production makes past",
+        "~1e3-1e4 cells (faiss fronts an HNSW/IMI quantizer identically).",
+        "Two-level vs flat at the SAME nlist=80 on the px10 replica:",
+        "kept/dropped dedup verdicts agree 100%, raw cell labels 58% —",
+        "the latter is the instrument, not the router (sign-flip",
+        "replicas are near-isotropic, so cosine margins between",
+        "candidate cells are ~0 and ANY tie-flip changes the label;",
+        "pytest pins >=95% cell agreement on clustered data, the regime",
+        "a coarse quantizer exists for).",
         "Sign-flip replicas are safe for these two (tau=0.95 sits 8",
         "sigma above the synthetic cross-replica cosine tail), unlike",
         "embedding_clusters' tau=0.4 regime.",
+        "",
+        "r11 rows: training_corpus_curated_scaled is the composed",
+        "text+embedding capstone (the heaviest registered query, 47",
+        "shuffles) with the embedding stage under the scaled sizing rule",
+        "(emb_nlist = 8 x factor; the registered query's fixed nlist=8",
+        "would quadratically overfill cells as the corpus grows,",
+        "measuring the sizing mistake).  Its dominant stage is the TEXT",
+        "side's near-dup survivor election (the minhash band join +",
+        "connected components over 50k docs/replica — the same costs the",
+        "dedup_minhash and dedup_clusters rows carry); the embedding",
+        "stage adds the semantic_dedup_scaled shape over survivors only.",
+        "Its x1000 cell stops at the pipeline-heavy cap with the whole",
+        "PIPELINE_QUERIES family (x1000 documents = 5M docs, shingle",
+        "tables in the billions — hours per cell on this box; the",
+        "embedding stage's x1000 story is semantic_dedup_scaled's row).",
+        "",
+        "ivfpq_build_index(assign_two_level=True) — the same coarse",
+        "front applied to the ENCODE side, whose flat path is ALWAYS the",
+        "interpreted inlined-fold argmin (no BLAS fallback: the round-4",
+        "L2 conventions are oracle-pinned) — measured head-to-head on",
+        "this box: px10/nlist=80 flat 26.2 s vs two-level 19.5 s (1.3x);",
+        "px100/nlist=800 flat 92.6 s vs two-level 36.8 s (2.5x).  The",
+        "ratio grows with nlist (assignment's share of the build), which",
+        "is the r10-verdict case for fronting the 1e5-cell 100 TB build;",
+        "full-probe parity with the flat build is pytest-pinned",
+        "bit-for-bit on codes and served results.",
         "",
         "seasonal_decompose's windowed frame feeds two consumers (the",
         "phase-mean aggregation and the final join's left side); r10",
