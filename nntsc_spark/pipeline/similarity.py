@@ -1014,6 +1014,72 @@ def ivf_append(
     }
 
 
+def ivf_maintain(
+    corpus: DataFrame,
+    path: str,
+    drift_tol: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> dict:
+    """The IVF-Flat sibling of :func:`ivfpq_maintain`: act on
+    :func:`ivf_append`'s ``needs_requantization`` flag by retraining the
+    quantizer (k-means|| over the CURRENT corpus) and re-running
+    :func:`ivf_build_index` in place.  Drift here is a DROP in mean
+    best-cell cosine (vectors landing ever farther from every centroid),
+    the inverse of the IVFADC residual-norm growth, so the gate is
+    ``build_mean - batch_mean > drift_tol`` (absolute, matching
+    ivf_append's own check).  Same idempotence story: the rebuild's
+    static stats overwrite clears append rows, so a second run no-ops.
+
+    Returns {rebuilt, drifted_batches, build_mean_best_cosine,
+    new_mean_best_cosine}.
+    """
+    spark = corpus.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    anchor = max(
+        (r for r in stats if r["kind"] == "build"),
+        key=lambda r: r["batch_id"],
+        default=None,
+    )
+    if anchor is None:
+        raise ValueError(f"{path}/stats has no build anchor row")
+    build_mean = float(anchor["mean_best_cosine"])
+    drifted = sorted(
+        int(r["batch_id"])
+        for r in stats
+        if r["kind"] == "append"
+        and r["n"] > 0
+        and build_mean - float(r["mean_best_cosine"]) > drift_tol
+    )
+    out = {
+        "rebuilt": False,
+        "drifted_batches": drifted,
+        "build_mean_best_cosine": build_mean,
+        "new_mean_best_cosine": None,
+    }
+    if not drifted:
+        return out
+    nlist = spark.read.parquet(f"{path}/centroids").count()
+    cents = centroids if centroids is not None else (
+        kmeans_parallel_centroids(
+            corpus, int(nlist), id_col=id_col, vec_col=vec_col
+        )
+    )
+    ivf_build_index(
+        corpus, path, nlist=int(nlist), id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+    new_anchor = (
+        spark.read.parquet(f"{path}/stats")
+        .where(F.col("kind") == "build")
+        .collect()[0]
+    )
+    out["rebuilt"] = True
+    out["new_mean_best_cosine"] = float(new_anchor["mean_best_cosine"])
+    return out
+
+
 def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -1275,6 +1341,115 @@ def _assign_cells_two_level(
     return emb.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
+def _semantic_pairs_arrow(
+    assigned: DataFrame,
+    threshold: float,
+    block_factor: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The BLAS pair-verify stage for large-``nlist`` SemDeDup: the same
+    (cell, block-pair) candidate decomposition as the relational join,
+    executed as one GEMM per group via ``applyInPandas`` instead of one
+    interpreted 64-term HOF fold per candidate pair.  At the
+    nlist-scales-with-N sizing the verify stage dominates end-to-end cost
+    (measured 722 s of the x1000 scaled probe cell = ~16e9 interpreted
+    lambda evals for 250M candidate pairs; the same flops are seconds of
+    GEMM at memory bandwidth).
+
+    Output (v1, s1, v2, s2) matches the join stage: every within-cell
+    unordered pair with round-4 cosine >= threshold, v1 < v2, with each
+    member's centroid_sim riding along for the loser rule.  Same numeric
+    caveats as every numpy path (BLAS accumulation order + half-even vs
+    HALF_UP rounding can flip a round-4 BOUNDARY pair) — gated to
+    ``nlist >= ARROW_ASSIGN_MIN_NLIST`` alongside the assignment, so the
+    oracle-pinned small-nlist defaults never take it.
+
+    Memory: a group holds at most two id-blocks of ONE cell (~2/B of the
+    hottest cell's rows x dims doubles) — ``block_factor`` bounds both
+    parallelism and per-task memory, exactly as it does for the join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = max(int(block_factor), 1)
+    blk = F.pmod(F.col(id_col), F.lit(B)).cast("int")
+    base = assigned.select(
+        id_col, vec_col, "_vn", "centroid_sim", "cell"
+    )
+    lo = base.withColumn("_bi", blk).withColumn(
+        "_bj", F.explode(F.sequence(blk, F.lit(B - 1)))
+    )
+    # NOTE sequence(0, blk - 1) would DESCEND to [0, -1] at blk = 0
+    # (Spark auto-steps -1 when start > stop) — emit the inclusive
+    # range and drop the same-block key instead
+    hi = (
+        base.withColumn("_bj", blk)
+        .withColumn("_bi", F.explode(F.sequence(F.lit(0), blk)))
+        .where(F.col("_bi") < F.col("_bj"))
+    )
+    both = lo.withColumn("_side", F.lit(0)).unionByName(
+        hi.withColumn("_side", F.lit(1))
+    )
+    schema = "v1 long, s1 double, v2 long, s2 double"
+    thr = float(threshold)
+
+    empty = pd.DataFrame(
+        {"v1": [], "s1": [], "v2": [], "s2": []}
+    ).astype({"v1": "int64", "v2": "int64"})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] == 0]
+        right = pdf[pdf["_side"] == 1]
+        # a cell may populate only one block of a cross-block key (or a
+        # single row of a same-block key) — nothing to pair
+        if len(left) == 0 or (len(right) == 0 and len(left) < 2):
+            return empty
+        ids_l = left[id_col].to_numpy()
+        V_l = np.vstack([np.asarray(v, dtype=np.float64) for v in left[vec_col]])
+        vn_l = left["_vn"].to_numpy()
+        cs_l = left["centroid_sim"].to_numpy()
+        if len(right):
+            # cross-block rectangle: roles fixed by block
+            ids_r = right[id_col].to_numpy()
+            V_r = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in right[vec_col]]
+            )
+            S = np.round(
+                (V_l @ V_r.T) / (vn_l[:, None] * right["_vn"].to_numpy()[None, :]), 4
+            )
+            ii, jj = np.nonzero(S >= thr)
+            if not len(ii):
+                return pd.DataFrame(
+                    {"v1": [], "s1": [], "v2": [], "s2": []}
+                ).astype({"v1": "int64", "v2": "int64"})
+            a_ids, b_ids = ids_l[ii], ids_r[jj]
+            a_cs, b_cs = cs_l[ii], right["centroid_sim"].to_numpy()[jj]
+        else:
+            # same-block triangle: pair each unordered pair once by id
+            S = np.round(
+                (V_l @ V_l.T) / (vn_l[:, None] * vn_l[None, :]), 4
+            )
+            ii, jj = np.nonzero(np.triu(S >= thr, k=1))
+            if not len(ii):
+                return pd.DataFrame(
+                    {"v1": [], "s1": [], "v2": [], "s2": []}
+                ).astype({"v1": "int64", "v2": "int64"})
+            a_ids, b_ids = ids_l[ii], ids_l[jj]
+            a_cs, b_cs = cs_l[ii], cs_l[jj]
+        first = a_ids < b_ids
+        return pd.DataFrame(
+            {
+                "v1": np.where(first, a_ids, b_ids),
+                "s1": np.where(first, a_cs, b_cs),
+                "v2": np.where(first, b_ids, a_ids),
+                "s2": np.where(first, b_cs, a_cs),
+            }
+        )
+
+    return both.groupBy("cell", "_bi", "_bj").applyInPandas(fn, schema)
+
+
 def semantic_dedup(
     emb: DataFrame,
     nlist: int = 8,
@@ -1361,6 +1536,31 @@ def semantic_dedup(
     from .dedup import scratch_persist
 
     assigned = scratch_persist(assigned)
+    if len(cents) >= ARROW_ASSIGN_MIN_NLIST:
+        # large-nlist path: the pair VERIFY dominates end-to-end cost at
+        # the nlist-scales-with-N sizing, and one interpreted HOF fold
+        # per candidate pair is the slow shape — run the identical
+        # (cell, block-pair) decomposition as cell-local GEMMs instead
+        # (same gate as the assignment: oracle-pinned small-nlist
+        # defaults keep the relational join + fold)
+        pairs = _semantic_pairs_arrow(
+            assigned, threshold, block_factor, id_col, vec_col
+        )
+        losers = pairs.select(
+            F.when(F.col("s1") <= F.col("s2"), F.col("v2"))
+            .otherwise(F.col("v1"))
+            .alias(id_col)
+        ).distinct()
+        return (
+            assigned.drop(vec_col)
+            .join(losers.withColumn("_drop", F.lit(True)), id_col, "left")
+            .select(
+                id_col,
+                "cell",
+                "centroid_sim",
+                F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+            )
+        )
     # block-pair decomposition: joining on cell ALONE caps the pair
     # stage's parallelism at nlist (and a hot cell serializes through
     # one task).  Each vector gets a deterministic block (id % B); the
