@@ -263,6 +263,25 @@ def _capped_queries():
         base = os.path.basename(d.rstrip("/"))
         return int(base[2:]) if base.startswith("px") else 1
 
+    def _scaled_centroids(spark, emb, f):
+        """Quantizer for the nlist=8f sizing rule, None = the default
+        lowest-id sampler.  Beyond nlist=2000 the default SATURATES on
+        this replica corpus (replica 0 holds the only ids < 1M, and it
+        has 2000 rows — centroid_rows(emb, 8000) silently yields 2000
+        cells, 4x-overfull cells, and a measured 54x/decade cell that
+        benchmarked the saturation, not the operator).  Sample the 8
+        lowest ids PER replica instead: same determinism, correct nlist,
+        and per-replica coverage (each replica's sign-flip subspace gets
+        its own centroids, the structure the corpus actually has)."""
+        if 8 * f <= 2000:
+            return None
+        rows = (
+            emb.where(F.col("vec_id") % 1_000_000 < 8)
+            .orderBy("vec_id")
+            .collect()
+        )
+        return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
     def ivfpq_index_topk(spark, d):
         # the encode-once production shape (r9 verdict task #1): build
         # the persistent cell-partitioned IVFADC index ONCE per replica
@@ -310,6 +329,7 @@ def _capped_queries():
         out = semantic_dedup(
             emb, nlist=8 * f, threshold=0.95,
             assign_two_level=(f >= 1000),
+            centroids=_scaled_centroids(spark, emb, f),
         )
         # per-vector output x100 = 500k rows: roll up so the cell
         # measures the operator, not Arrow delivery
@@ -327,6 +347,7 @@ def _capped_queries():
         return curate_embeddings(
             emb, nlist=8 * f, threshold=0.95, per_cell=15,
             assign_two_level=(f >= 1000),
+            centroids=_scaled_centroids(spark, emb, f),
         )
 
     def training_corpus_curated_scaled(spark, d):
@@ -717,6 +738,12 @@ def main() -> None:
         "x1000 (nlist=8000) the TWO-LEVEL coarse-quantizer front",
         "(assign_two_level=True), the same handoff production makes past",
         "~1e3-1e4 cells (faiss fronts an HNSW/IMI quantizer identically).",
+        "At this sizing the pair VERIFY dominates end to end, and r11",
+        "moved it to cell-local GEMMs (_semantic_pairs_arrow, one GEMM",
+        "per (cell, block-pair) group) behind the same nlist gate: the",
+        "x1000 semantic_dedup cell measured 722 s with one interpreted",
+        "64-term fold per candidate pair and 76 s with the GEMM stage —",
+        "identical pair sets and verdicts, pytest-pinned.",
         "Two-level vs flat at the SAME nlist=80 on the px10 replica:",
         "kept/dropped dedup verdicts agree 100%, raw cell labels 58% —",
         "the latter is the instrument, not the router (sign-flip",
