@@ -47,7 +47,15 @@ def main() -> None:
     spark.range(1).mapInPandas(lambda it: it, "id long").collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    deadline = time.time() + float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "540"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "540"))
+    t_start = time.time()
+    deadline = t_start + budget
+    # soft deadline: past 60% of the budget, drop to min-of-2 instead of
+    # jumping straight to single COLD runs — a hard cut mid-run used to
+    # leave every later query single-rep, and their first-execution
+    # plan-compile noise (~1.4x) then read as phantom round-over-round
+    # regressions on exactly the tail of the registry
+    soft = t_start + 0.6 * budget
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -64,7 +72,10 @@ def main() -> None:
                 fn(spark, sf_dir).toPandas()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-                if time.time() > deadline:
+                now = time.time()
+                if now > deadline:  # out of budget: keep what we have
+                    break
+                if now > soft and rep >= 1:  # soft regime: min-of-2
                     break
             timings[name] = round(best, 3)
         except Exception as exc:  # keep benching: one bad query != no bench
