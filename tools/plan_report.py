@@ -118,6 +118,8 @@ HEADLINE = [
     "lttb_binned",
     "training_corpus_curated",
     "ivfpq_index_topk",
+    # round-11 operators
+    "gap_report_summary_bounded",
 ]
 
 
