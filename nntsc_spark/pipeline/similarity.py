@@ -762,7 +762,21 @@ def _assign_cells(
 ) -> DataFrame:
     """Map-only cell assignment (inlined quantizer, zero shuffle):
     (id, vec, cell, _best) with _best = cosine to the winning centroid;
-    ``cell`` is the ACTUAL centroid id (ties -> lowest id)."""
+    ``cell`` is the ACTUAL centroid id (ties -> lowest id).
+
+    Large quantizers route through the Arrow/BLAS path (the same
+    ``ARROW_ASSIGN_MIN_NLIST`` gate as every other assignment site): an
+    IVF-Flat index built at production nlist must not pay O(nlist)
+    INTERPRETED folds per row; identical labels and round-4 scores up to
+    the standing BLAS boundary-tie caveat, and the pytest-pinned
+    small-nlist builds keep the fold."""
+    if len(cents) >= ARROW_ASSIGN_MIN_NLIST:
+        return _assign_cells_arrow(emb, cents, id_col, vec_col).select(
+            id_col,
+            vec_col,
+            "cell",
+            F.col("centroid_sim").alias("_best"),
+        )
     pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
     withcs = pre.select(
         id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")

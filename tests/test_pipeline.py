@@ -2824,3 +2824,38 @@ def test_semantic_dedup_arrow_pair_stage_matches_join(spark, sf_dir):
         for r in assigned.select("vec_id", "cell").collect()
     }
     assert got == ref
+
+
+def test_ivf_build_index_large_nlist_uses_arrow_labels(
+    spark, sf_dir, tmp_path
+):
+    """An IVF-Flat index built at production nlist routes assignment
+    through the BLAS path — the persisted corpus must carry exactly the
+    arrow labels (actual centroid ids), and queries against it serve."""
+    from nntsc_spark.pipeline.similarity import (
+        _assign_cells_arrow,
+        centroid_rows,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_rows(emb, 64)
+    ivf_build_index(emb, str(tmp_path / "big"), nlist=64, centroids=cents)
+    persisted = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(
+            str(tmp_path / "big" / "corpus")
+        ).select("vec_id", "cell").collect()
+    }
+    arrow = {
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells_arrow(
+            emb, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    assert persisted == arrow
+    served = ivf_query_index(
+        spark, str(tmp_path / "big"), [0, 1], k=3, nprobe=8
+    ).collect()
+    assert len(served) == 6
