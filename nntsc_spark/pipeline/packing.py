@@ -119,6 +119,52 @@ def pack_sequences(
     )
 
 
+def corpus_shuffle(
+    docs: DataFrame,
+    shards: int = 64,
+    seed: str = "shuffle-0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: the step between a
+    curated corpus and a data loader.  Every row gets a pseudo-random
+    order key (salted md5 of its id), a shard (key mod ``shards``), and
+    its position within the shard — so readers stream shard files in
+    position order and see a reproducible global permutation, and a
+    re-run (same corpus, same seed) emits the identical order: epoch
+    boundaries, checkpoint resume, and A/B runs all line up.  A new
+    ``seed`` is a fresh permutation (per-epoch reshuffle).
+
+    Scale shape: this is the ONLY scalable global shuffle — one hash
+    projection over the scan, one shuffle keyed by shard, and a
+    per-shard sort bounded at corpus/shards rows.  A naive global
+    ``ORDER BY rand()`` is a whole-corpus range sort whose sampling +
+    skew handling dominate at 100 TB, and it is not reproducible across
+    retries; ``shards`` is the parallelism/memory knob (pick it near the
+    output file count).  The hash is the repo's portable md5-long, so
+    the DuckDB oracle re-derives the identical permutation.
+
+    Output: all input columns + (shard INT, shuffle_pos BIGINT),
+    position 0-based within shard.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_long
+
+    key = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + seed))
+    )
+    keyed = docs.withColumn("_okey", key).withColumn(
+        "shard", F.pmod(F.col("_okey"), F.lit(int(shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_okey", id_col)
+    return (
+        keyed.withColumn(
+            "shuffle_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_okey")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

@@ -2052,6 +2052,36 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rank <= {_PQ_K}
 """
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (r11): salted-hash
+    order key -> shard -> within-shard position; the reproducible
+    permutation a data loader streams, scalable because the only sort is
+    per-shard (corpus/shards rows) — never a whole-corpus ORDER BY
+    rand().  The oracle re-derives the identical permutation from the
+    portable md5-long key."""
+    from ..pipeline.packing import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_shuffle(docs, shards=16, seed="epoch-0").select(
+        "doc_id", "shard", "shuffle_pos"
+    )
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|epoch-0'),
+                            1, 15))::BIGINT AS k
+  FROM documents
+)
+SELECT doc_id, CAST(k % 16 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % 16
+                               ORDER BY k, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM keyed
+"""
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/validation/test partition of the corpus from
     one md5 bucket per document (exact partition: exclusive, exhaustive,
@@ -2769,6 +2799,9 @@ TAIL_PIPELINE_REGISTRY = {
     "ivfpq_index_topk": (q_ivfpq_index_topk, SQL_IVFPQ_TOPK),
     # round-9: exact-partition train/val/test assignment from one hash
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    # round-11: deterministic global training-order shuffle (salted
+    # hash -> shard -> per-shard position; the data-loader permutation)
+    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     # round-9: snapshot diff accounting for incremental refreshes
     "corpus_diff": (q_corpus_diff, SQL_CORPUS_DIFF),
     # round-9: RefinedWeb-style per-source doc cap (WindowGroupLimit

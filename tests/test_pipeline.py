@@ -2859,3 +2859,48 @@ def test_ivf_build_index_large_nlist_uses_arrow_labels(
         spark, str(tmp_path / "big"), [0, 1], k=3, nprobe=8
     ).collect()
     assert len(served) == 6
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark, sf_dir):
+    """corpus_shuffle: (a) every doc appears exactly once with a unique
+    (shard, position) slot and positions are dense 0..n_s-1 per shard;
+    (b) same seed -> identical order across runs; (c) a new seed is a
+    different permutation; (d) the plan sorts per shard, never globally
+    (no rangepartitioning exchange)."""
+    from nntsc_spark.pipeline.packing import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = corpus_shuffle(docs, shards=8, seed="e0").select(
+        "doc_id", "shard", "shuffle_pos"
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    slots = {(r["shard"], r["shuffle_pos"]) for r in rows}
+    assert len(slots) == n  # unique slots
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["shuffle_pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))  # dense per shard
+
+    again = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in corpus_shuffle(docs, shards=8, seed="e0")
+        .select("doc_id", "shard", "shuffle_pos")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["shuffle_pos"]) for r in rows}
+
+    other = {
+        (r["doc_id"], r["shard"], r["shuffle_pos"])
+        for r in corpus_shuffle(docs, shards=8, seed="e1")
+        .select("doc_id", "shard", "shuffle_pos")
+        .collect()
+    }
+    assert other != again  # fresh permutation per epoch seed
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
+    assert "hashpartitioning(shard" in plan, plan[:1500]
