@@ -130,7 +130,11 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "quality_calibrated",
                     # r9: exact-substring canary audits (zero-shuffle
                     # scan; batch form broadcasts the phrase table)
-                    "phrase_hits", "phrase_hits_many"]
+                    "phrase_hits", "phrase_hits_many",
+                    # r11: deterministic training-order shuffle (hash
+                    # projection + one shard-keyed shuffle + per-shard
+                    # sort bounded at corpus/shards rows)
+                    "corpus_shuffle"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
