@@ -80,7 +80,9 @@ QUERIES = ["select_raw", "agg_bin", "matrix", "smoke", "rollup_build",
 # rest on these measured curves, not plan reading alone.
 PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     "similarity_ivf_topk", "text_repetition",
-                    "dedup_spans", "training_corpus",
+                    "dedup_spans",
+                    # (training_corpus moved to the capped set in r11 —
+                    # it now runs to x1000)
                     # r6/r7 additions: selection + mixing operators whose
                     # bounded-cost claims (bucket-capped DSIR model, #source-
                     # bounded rate tables) deserve measured curves too
@@ -400,6 +402,13 @@ def _capped_queries():
             "semantic_dedup_scaled": semantic_dedup_scaled,
             "embedding_curation_scaled": embedding_curation_scaled,
             "training_corpus_curated_scaled": training_corpus_curated_scaled,
+            # r11: the text capstone itself now takes an x1000 cell (the
+            # r6-era "hours per cell" estimate is stale after the
+            # md5-long shuffle keys + despan/minhash optimizations:
+            # measured 327 s warm) — registered here so the capped loop
+            # extends the PIPELINE_QUERIES row past its x100 cap; cells
+            # <= x100 come from the cache either way
+            "training_corpus": q.queries()["training_corpus"],
         },
     )
 
@@ -771,8 +780,13 @@ def main() -> None:
         "stage adds the semantic_dedup_scaled shape over survivors only.",
         "Its x1000 cell stops at the pipeline-heavy cap with the whole",
         "PIPELINE_QUERIES family (x1000 documents = 5M docs, shingle",
-        "tables in the billions — hours per cell on this box; the",
-        "embedding stage's x1000 story is semantic_dedup_scaled's row).",
+        "tables in the billions; the embedding stage's x1000 story is",
+        "semantic_dedup_scaled's row).  The TEXT capstone",
+        "(training_corpus) itself now takes the x1000 cell (327 s warm,",
+        "~19x/decade): like ngram_jaccard_capped it is single-box",
+        "SPILL-bound there — shuffle volume is linear, but past executor",
+        "memory it runs at disk bandwidth; on a cluster the same bytes",
+        "spread across nodes.",
         "",
         "ivfpq_build_index(assign_two_level=True) — the same coarse",
         "front applied to the ENCODE side, whose flat path is ALWAYS the",
