@@ -41,6 +41,8 @@ def training_corpus(
     emb_nlist: int = 8,
     emb_threshold: float = 0.95,
     emb_per_cell: int = 15,
+    emb_centroids: list[tuple[int, list[float]]] | None = None,
+    emb_assign_two_level: bool = False,
 ) -> DataFrame:
     """One-call corpus prep: eval holdout -> quality + language filter ->
     near-dup survivor election -> n-gram decontamination -> PII scrub
@@ -127,8 +129,15 @@ def training_corpus(
 
     # quantizer from the FULL table: an index property, not a function
     # of which docs the text stages kept (and the oracle re-derives it
-    # from the same unfiltered lowest-id convention)
-    cents = centroid_rows(embeddings, emb_nlist, emb_id_col, emb_vec_col)
+    # from the same unfiltered lowest-id convention).  ``emb_centroids``
+    # injects a production quantizer (k-means||, or any sampler whose id
+    # domain actually spans the corpus — the lowest-id default needs ids
+    # 0..nlist-1 to exist); same contract as every other centroids= seam.
+    cents = (
+        emb_centroids
+        if emb_centroids is not None
+        else centroid_rows(embeddings, emb_nlist, emb_id_col, emb_vec_col)
+    )
     emb_kept = embeddings.join(
         out.select(F.col("doc_id").alias(emb_id_col)),
         emb_id_col,
@@ -142,6 +151,7 @@ def training_corpus(
         id_col=emb_id_col,
         vec_col=emb_vec_col,
         centroids=cents,
+        assign_two_level=emb_assign_two_level,
     ).select(
         F.col(emb_id_col).alias("doc_id"), "cell", "centroid_sim"
     )

@@ -383,6 +383,11 @@ def _capped_queries():
             emb_nlist=8 * f,
             emb_threshold=0.95,
             emb_per_cell=15,
+            # same x1000 remedies as semantic_dedup_scaled: a quantizer
+            # whose id domain spans the replicas (the lowest-id default
+            # saturates past nlist=2000) and the two-level front
+            emb_centroids=_scaled_centroids(spark, emb, f),
+            emb_assign_two_level=(f >= 1000),
         )
 
     return (
@@ -444,11 +449,6 @@ PER_QUERY_MAX_FACTOR: dict[str, int] = {
     # same instrument limit: row-level repair output (x1000 = 46M rows
     # on its 1-in-10 stream subset x 8 cols)
     "hampel_outliers": 100,
-    # the composed capstone's TEXT side is the pipeline-heavy regime
-    # (x1000 documents = 5M docs, shingle tables in the billions — the
-    # MAX_PIPELINE_FACTOR rationale); its embedding stage's x1000 story
-    # is carried by semantic_dedup_scaled/embedding_curation_scaled
-    "training_corpus_curated_scaled": 100,
 }
 # (semantic_dedup_scaled / embedding_curation_scaled lost their x100
 # caps in r11: their x1000 cells run the two-level coarse-quantizer
