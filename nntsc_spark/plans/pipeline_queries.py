@@ -2732,6 +2732,65 @@ JOIN (VALUES {", ".join(f"('{p}')" for p in sorted(set(_CANARY_PHRASES)))})
 """
 
 
+def q_vocab_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-variant / typo-neighbour report over the corpus vocabulary:
+    every unordered pair of distinct tokens within Levenshtein distance 2,
+    with each token's corpus frequency — the fuzzy-matching sibling of the
+    exact-identity dedup family (the reference's stream identity is exact
+    column equality, database.py:731-787; record linkage needs the
+    tolerant version).
+
+    The Spark side runs the BLOCKED join (q-gram inverted index + the
+    1-gram short stratum + the tiny cross — never all-pairs; see
+    `edit_distance_pairs`); the oracle brute-forces the same answer over
+    the vocabulary, which is exactly the point: candidate generation is
+    complete, so blocked == brute.  q=2 with max_dist=2 puts the length-6
+    tokens through the q-gram stratum, shorter ones through the 1-gram
+    stratum, and single-char tokens through the cross — all three paths
+    oracle-pinned."""
+    from ..pipeline.dedup import edit_distance_pairs
+    from ..pipeline.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+    n1 = vocab.select(F.col("tok").alias("s1"), F.col("n").alias("n1"))
+    n2 = vocab.select(F.col("tok").alias("s2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            F.col("s1").alias("tok1"),
+            F.col("s2").alias("tok2"),
+            "dist",
+            "n1",
+            "n2",
+        )
+    )
+
+
+SQL_VOCAB_FUZZY = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT a.tok AS tok1, b.tok AS tok2,
+       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist,
+       a.n AS n1, b.n AS n2
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= 2
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2831,4 +2890,7 @@ TAIL_PIPELINE_REGISTRY = {
     # and batch forms
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
     "phrase_hits_many": (q_phrase_hits_many, SQL_PHRASE_HITS_MANY),
+    # round-11: fuzzy (edit-distance) matching — q-gram blocked
+    # Levenshtein join over the corpus vocabulary
+    "vocab_fuzzy": (q_vocab_fuzzy, SQL_VOCAB_FUZZY),
 }

@@ -2904,3 +2904,74 @@ def test_corpus_shuffle_is_deterministic_permutation(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
     assert "hashpartitioning(shard" in plan, plan[:1500]
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Blocked candidate generation is COMPLETE (recall 1.0) and the
+    verify is exact: seeded random vocabularies over a small alphabet
+    (so collisions and tiny strings are dense) across (k, q) combos,
+    compared to an all-pairs Levenshtein reference.  Exercises all three
+    strata: q-gram (len >= (k+1)q), 1-gram short keys, and the tiny
+    cross (len <= k, including share-no-character pairs like 'a'/'b')."""
+    import itertools
+    import random
+
+    from nntsc_spark.pipeline.dedup import edit_distance_pairs
+
+    rng = random.Random(11)
+    for trial in range(3):
+        words = sorted(
+            {
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 12)))
+                for _ in range(rng.randint(12, 35))
+            }
+        )
+        df = spark.createDataFrame([(w,) for w in words], "s string")
+        for k, q in [(1, 2), (2, 3), (3, 2), (0, 2)]:
+            got = {
+                (r.s1, r.s2, r.dist)
+                for r in edit_distance_pairs(df, "s", max_dist=k, q=q).collect()
+            }
+            want = {
+                (a, b, _lev(a, b))
+                for a, b in itertools.combinations(words, 2)
+                if _lev(a, b) <= k
+            }
+            assert got == want, (trial, k, q, want - got, got - want)
+
+
+def test_edit_distance_pairs_max_df_is_recall_only(spark):
+    """The hot-gram cap loses pairs only (never fabricates or mis-scores):
+    capped output is a subset of exact output with identical distances,
+    and a pair whose blocking grams are all low-df survives the cap."""
+    from nntsc_spark.pipeline.dedup import edit_distance_pairs
+
+    # 12 words sharing the hot gram 'zz' + one pair ('walrus'/'walruz')
+    # matched through low-df grams only
+    words = [f"zz{c}" for c in "abcdefghijkl"] + ["walrus", "walruz"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    exact = {
+        (r.s1, r.s2): r.dist
+        for r in edit_distance_pairs(df, "s", max_dist=1, q=2).collect()
+    }
+    capped = {
+        (r.s1, r.s2): r.dist
+        for r in edit_distance_pairs(
+            df, "s", max_dist=1, q=2, max_df=4
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(exact[p] == d for p, d in capped.items())
+    assert ("walrus", "walruz") in capped

@@ -308,3 +308,17 @@ def test_cohort_retention_broadcasts_cohorts_and_pushes_bounds(
     # untruncated formatted plan)
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "GreaterThanOrEqual(ts" in pushed, pushed
+
+
+def test_vocab_fuzzy_blocks_equi_except_bounded_tiny_cross(spark, sf_dir):
+    """The fuzzy-match main path is inverted-index equi-joins (q-gram /
+    1-gram candidate self-joins on 60-bit gram hashes) — never an
+    all-pairs comparison over the vocabulary.  The ONE permitted
+    non-equi join is the tiny-cross stratum: a broadcast cross of the
+    len<=k by len<=2k key slivers (alphabet-bounded universes), which
+    closes completeness for pairs like 'a'/'b' that share no character.
+    A second nested-loop join, or any CartesianProduct, means the
+    blocked join degenerated to brute force."""
+    plan = plan_text(spark, sf_dir, "vocab_fuzzy")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]

@@ -136,7 +136,13 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # r11: deterministic training-order shuffle (hash
                     # projection + one shard-keyed shuffle + per-shard
                     # sort bounded at corpus/shards rows)
-                    "corpus_shuffle"]
+                    "corpus_shuffle",
+                    # r11: fuzzy edit-distance matching — vocabulary-
+                    # bounded (the gram index and pair join scale with
+                    # DISTINCT tokens, not corpus rows; replicas reuse
+                    # the same vocabulary, so the curve isolates the
+                    # explode+distinct front)
+                    "vocab_fuzzy"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
