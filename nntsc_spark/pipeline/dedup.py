@@ -1262,3 +1262,174 @@ def edit_distance_pairs(
         .where(F.col("dist") >= 0)
         .select("s1", "s2", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def fuzzy_canonical_map(
+    vocab: DataFrame,
+    pairs: DataFrame,
+    tok_col: str = "tok",
+    n_col: str = "n",
+) -> DataFrame:
+    """One-step typo canonicalization over :func:`edit_distance_pairs`
+    output: each token maps to the MOST FREQUENT member of
+    {itself} ∪ its fuzzy neighbours (ties broken to the
+    lexicographically smallest candidate), the deterministic election a
+    cleaning pass applies before counting/joining on token identity.
+
+    Deliberately one-step, not a transitive closure: chaining
+    ``cat -> hat -> had`` would merge tokens arbitrarily far apart (the
+    classic over-merge failure of closure-based spell canonicalization);
+    one election per token keeps every mapping within ``max_dist`` of
+    its source and makes the result order- and partitioning-independent.
+
+    Input contracts: ``vocab`` is (tok, n) with distinct tokens;
+    ``pairs`` is the (s1, s2, ...) unordered-pair frame from
+    :func:`edit_distance_pairs` over the same keys.  Output:
+    ``(tok, canonical, canonical_n)`` for EVERY vocab token (callers
+    filter ``canonical != tok`` for the variant report).
+
+    Scale: all frames are vocabulary-bounded; the election is one
+    rank-1 window whose predicate runs as WindowGroupLimit (map-side
+    top-1 per token before the shuffle)."""
+    from pyspark.sql import Window
+
+    nb = pairs.select(
+        F.col("s1").alias("_t"), F.col("s2").alias("_cand")
+    ).unionByName(
+        pairs.select(F.col("s2").alias("_t"), F.col("s1").alias("_cand"))
+    )
+    self_c = vocab.select(
+        F.col(tok_col).alias("_t"), F.col(tok_col).alias("_cand")
+    )
+    scored = (
+        nb.unionByName(self_c)
+        .join(
+            vocab.select(
+                F.col(tok_col).alias("_cand"), F.col(n_col).alias("_cn")
+            ),
+            "_cand",
+        )
+    )
+    w = Window.partitionBy("_t").orderBy(F.desc("_cn"), F.asc("_cand"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_t").alias(tok_col),
+            F.col("_cand").alias("canonical"),
+            F.col("_cn").alias("canonical_n"),
+        )
+    )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str = "s",
+    right_col: str = "s",
+    max_dist: int = 2,
+    q: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Two-table record linkage within Levenshtein distance ``max_dist``:
+    every (left key, right key) pair — including exact matches at
+    distance 0 — via the same complete blocked candidate generation as
+    :func:`edit_distance_pairs` (the self-join form), never a cross
+    join of the tables.
+
+    Strata mirror the self form, crossed between sides: q-gram inverted
+    indexes joined left-vs-right on 60-bit gram hashes with the exact
+    distinct-type count prune; 1-gram indexes for the short-key regime;
+    and a broadcast tiny-cross of the two ``len <= 2k`` slivers keeping
+    pairs whose SHORTER member is ``len <= k``.  Keys deduplicate per
+    side first, so linkage is between key universes — callers join the
+    result back to rows.  Output: (left_col, right_col, dist); when both
+    sides pass the same column name the right one gains a ``_r`` suffix.
+
+    100 TB shape: identical to the self form — equi-joins on uniform
+    hash keys, output-proportional verify, opt-in ``max_df`` hot-gram
+    cap (recall-only loss) — with the candidate fan-out bounded by
+    sum over grams of df_left * df_right."""
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 2:
+        raise ValueError("q must be >= 2 (q=1 is the built-in short stratum)")
+    out_l = left_col
+    out_r = right_col if right_col != left_col else f"{right_col}_r"
+
+    def keyed(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("string").alias("s"))
+            .where(F.col("s").isNotNull() & (F.length("s") > 0))
+            .distinct()
+        )
+
+    kl = scratch_persist(keyed(left, left_col))
+    kr = scratch_persist(keyed(right, right_col))
+    kq = (k + 1) * q
+
+    def cross_candidates(ql: int) -> DataFrame:
+        lf = kl if ql > 1 else kl.where(F.length("s") < kq)
+        rf = kr if ql > 1 else kr.where(F.length("s") < kq)
+        if ql > 1:
+            lf, rf = lf.where(F.length("s") >= ql), rf.where(F.length("s") >= ql)
+        il = _qgram_index(lf, ql)
+        ir = _qgram_index(rf, ql)
+        if max_df is not None:
+            for side in ("il", "ir"):
+                idx = il if side == "il" else ir
+                hot = (
+                    idx.groupBy("gh")
+                    .agg(F.count(F.lit(1)).alias("_df"))
+                    .where(F.col("_df") > int(max_df))
+                    .select("gh")
+                )
+                pruned = idx.join(F.broadcast(hot), "gh", "left_anti")
+                if side == "il":
+                    il = pruned
+                else:
+                    ir = pruned
+        dl = il.groupBy("s").agg(F.count(F.lit(1)).alias("_dgl"))
+        dr = ir.groupBy("s").agg(F.count(F.lit(1)).alias("_dgr"))
+        shared = (
+            il.select(F.col("s").alias("_l"), "gh")
+            .join(ir.select(F.col("s").alias("_r"), "gh"), "gh")
+            .groupBy("_l", "_r")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        return (
+            shared.join(dl.select(F.col("s").alias("_l"), "_dgl"), "_l")
+            .join(dr.select(F.col("s").alias("_r"), "_dgr"), "_r")
+            .where(
+                F.col("_shared")
+                >= F.greatest(F.col("_dgl"), F.col("_dgr")) - F.lit(k * ql)
+            )
+            .select("_l", "_r")
+        )
+
+    cand_c = (
+        F.broadcast(
+            kl.where(F.length("s") <= 2 * k).select(F.col("s").alias("_l"))
+        )
+        .crossJoin(
+            kr.where(F.length("s") <= 2 * k).select(F.col("s").alias("_r"))
+        )
+        .where(F.least(F.length("_l"), F.length("_r")) <= k)
+    )
+    cand = (
+        cross_candidates(q)
+        .unionByName(cross_candidates(1))
+        .unionByName(cand_c)
+        .distinct()
+    )
+    return (
+        cand.where(F.abs(F.length("_l") - F.length("_r")) <= k)
+        .withColumn("dist", F.levenshtein("_l", "_r", k))
+        .where(F.col("dist") >= 0)
+        .select(
+            F.col("_l").alias(out_l),
+            F.col("_r").alias(out_r),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

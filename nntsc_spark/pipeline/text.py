@@ -997,3 +997,49 @@ def calibrate_scores_per_stratum(
 
     w = Window.partitionBy(strata_col).orderBy(score_col)
     return docs.withColumn(out_col, F.percent_rank().over(w))
+
+
+def apply_token_map(
+    docs: DataFrame,
+    token_map: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite every document with a token-substitution map — the apply
+    step of vocabulary normalization (typo canonicalization via
+    ``fuzzy_canonical_map``, casefolding tables, deny-list rewrites).
+
+    ``token_map`` is (tok, canonical); tokens absent from the map pass
+    through unchanged, so callers hand in only the CHANGED entries and
+    the join stays variant-sized, not vocabulary-sized.  Order and
+    spacing are preserved exactly: posexplode carries each token's
+    position (empty tokens from repeated separators included), the map
+    joins by token, and the document reassembles by position — the same
+    ordered collect_list reassembly as ``clean_lines``.
+
+    Distributed shape: one left equi-join of the corpus token table
+    against the map (AQE broadcasts a small map; no explicit hint, so an
+    adversarially large map degrades to a shuffle join instead of a
+    driver OOM — the ``clean_lines`` r9 lesson as a default), then one
+    map-side-combinable groupBy(doc).  Output:
+    (id, text_norm, n_changed)."""
+    toks = docs.select(
+        id_col, F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+    )
+    mapped = toks.join(token_map, "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("canonical"), F.col("tok")).alias("out"),
+        (F.col("canonical").isNotNull()
+         & (F.col("canonical") != F.col("tok"))).alias("_chg"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda s: s["out"],
+            ),
+            " ",
+        ).alias("text_norm"),
+        F.sum(F.col("_chg").cast("int")).cast("long").alias("n_changed"),
+    )

@@ -2791,6 +2791,130 @@ WHERE levenshtein(a.tok, b.tok) <= 2
 """
 
 
+def q_vocab_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy pairs made ACTIONABLE: each token elects the most
+    frequent member of {itself} ∪ its edit-distance-2 neighbours as its
+    canonical form (ties to the lexicographically smallest) — the
+    typo-normalization map a cleaning pass applies before anything
+    downstream counts on token identity.  Output is the variant report:
+    only tokens whose canonical differs (bounded by the pair count).
+    One-step election, never a transitive closure (see
+    `fuzzy_canonical_map`); the oracle re-runs the identical
+    deterministic election relationally."""
+    from ..pipeline.dedup import edit_distance_pairs, fuzzy_canonical_map
+    from ..pipeline.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+    cmap = fuzzy_canonical_map(vocab, pairs)
+    return (
+        cmap.join(vocab, "tok")
+        .where(F.col("canonical") != F.col("tok"))
+        .select("tok", "n", "canonical", "canonical_n")
+    )
+
+
+SQL_VOCAB_CANONICAL = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY tok
+), p AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM v a JOIN v b ON a.tok < b.tok
+  WHERE levenshtein(a.tok, b.tok) <= 2
+), nb AS (
+  SELECT t1 AS tok, t2 AS cand FROM p
+  UNION ALL SELECT t2, t1 FROM p
+  UNION ALL SELECT tok, tok FROM v
+), sc AS (
+  SELECT nb.tok, nb.cand, w.n AS cand_n,
+         row_number() OVER (PARTITION BY nb.tok
+                            ORDER BY w.n DESC, nb.cand ASC) AS rn
+  FROM nb JOIN v w ON nb.cand = w.tok
+)
+SELECT s.tok, v.n, s.cand AS canonical, s.cand_n AS canonical_n
+FROM sc s JOIN v ON s.tok = v.tok
+WHERE s.rn = 1 AND s.cand <> s.tok
+"""
+
+
+def q_doc_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-normalization chain APPLIED to the corpus: detect
+    edit-distance-2 variant pairs over the vocabulary, elect each
+    token's canonical form by frequency, rewrite every document with
+    the changed entries only — order/spacing-exact reassembly with a
+    per-doc change count.  The three fuzzy queries compose:
+    vocab_fuzzy (pairs) -> vocab_canonical (election) -> this (apply)."""
+    from ..pipeline.dedup import edit_distance_pairs, fuzzy_canonical_map
+    from ..pipeline.text import apply_token_map, tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+    cmap = (
+        fuzzy_canonical_map(vocab, pairs)
+        .where(F.col("canonical") != F.col("tok"))
+        .select("tok", "canonical")
+    )
+    return apply_token_map(docs, cmap).select(
+        "doc_id", "text_norm", "n_changed"
+    )
+
+
+# DuckDB zips equal-length unnests in one SELECT list, which carries the
+# token position for the ordered string_agg reassembly.
+SQL_DOC_NORMALIZE_TOKENS = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY tok
+), p AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM v a JOIN v b ON a.tok < b.tok
+  WHERE levenshtein(a.tok, b.tok) <= 2
+), nb AS (
+  SELECT t1 AS tok, t2 AS cand FROM p
+  UNION ALL SELECT t2, t1 FROM p
+  UNION ALL SELECT tok, tok FROM v
+), cmap AS (
+  SELECT tok, cand AS canonical FROM (
+    SELECT nb.tok, nb.cand,
+           row_number() OVER (PARTITION BY nb.tok
+                              ORDER BY w.n DESC, nb.cand ASC) AS rn
+    FROM nb JOIN v w ON nb.cand = w.tok
+  ) WHERE rn = 1 AND cand <> tok
+), post AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+)
+SELECT post.doc_id,
+       string_agg(coalesce(cmap.canonical, post.tok), ' '
+                  ORDER BY post.pos) AS text_norm,
+       CAST(count(cmap.canonical) AS BIGINT) AS n_changed
+FROM post LEFT JOIN cmap ON post.tok = cmap.tok
+GROUP BY post.doc_id
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -2891,6 +3015,12 @@ TAIL_PIPELINE_REGISTRY = {
     "phrase_hits": (q_phrase_hits, SQL_PHRASE_HITS),
     "phrase_hits_many": (q_phrase_hits_many, SQL_PHRASE_HITS_MANY),
     # round-11: fuzzy (edit-distance) matching — q-gram blocked
-    # Levenshtein join over the corpus vocabulary
+    # Levenshtein join over the corpus vocabulary, and the one-step
+    # frequency election that turns the pairs into a typo-normalization map
     "vocab_fuzzy": (q_vocab_fuzzy, SQL_VOCAB_FUZZY),
+    "vocab_canonical": (q_vocab_canonical, SQL_VOCAB_CANONICAL),
+    "doc_normalize_tokens": (
+        q_doc_normalize_tokens,
+        SQL_DOC_NORMALIZE_TOKENS,
+    ),
 }

@@ -2975,3 +2975,111 @@ def test_edit_distance_pairs_max_df_is_recall_only(spark):
     assert set(capped) <= set(exact)
     assert all(exact[p] == d for p, d in capped.items())
     assert ("walrus", "walruz") in capped
+
+
+def test_fuzzy_canonical_map_elects_frequency_then_lex(spark):
+    """Every token maps to the most frequent of {self} ∪ neighbours;
+    frequency ties break to the lexicographically smallest candidate;
+    a token with no better neighbour maps to itself; and the election
+    is ONE STEP — a chain a-b-c never maps a to c."""
+    from nntsc_spark.pipeline.dedup import (
+        edit_distance_pairs,
+        fuzzy_canonical_map,
+    )
+
+    # 'tha' (typo, rare) ~ 'the' (common) at distance 1 (NB plain
+    # Levenshtein scores the transposition 'teh'~'the' as 2, not 1);
+    # 'cat' ~ 'bat' tie at 5 -> lex smallest 'bat' wins for both;
+    # chain 'aaaa' ~ 'aaab' ~ 'aabb' with ascending counts: the ends
+    # are distance 2 apart, so at k=1 only the chain edges pair and
+    # 'aaaa' must elect 'aaab', never 'aabb'
+    rows = [
+        ("tha", 2), ("the", 100),
+        ("cat", 5), ("bat", 5),
+        ("aaaa", 1), ("aaab", 3), ("aabb", 9),
+        ("zzzzzz", 7),
+    ]
+    vocab = spark.createDataFrame(rows, "tok string, n long")
+    pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=1, q=2)
+    got = {
+        r.tok: (r.canonical, r.canonical_n)
+        for r in fuzzy_canonical_map(vocab, pairs).collect()
+    }
+    assert got["tha"] == ("the", 100)
+    assert got["the"] == ("the", 100)
+    assert got["cat"] == ("bat", 5)  # tie -> lex smallest
+    assert got["bat"] == ("bat", 5)
+    assert got["aaaa"] == ("aaab", 3)  # one step only
+    assert got["aaab"] == ("aabb", 9)
+    assert got["aabb"] == ("aabb", 9)
+    assert got["zzzzzz"] == ("zzzzzz", 7)  # isolated -> identity
+    assert len(got) == len(rows)  # every vocab token gets a row
+
+
+def test_apply_token_map_preserves_order_spacing_and_counts(spark):
+    """Rewrite is position-exact: token order survives, repeated
+    separators (empty split tokens) survive, unmapped tokens pass
+    through, and n_changed counts only genuine substitutions."""
+    from nntsc_spark.pipeline.text import apply_token_map
+
+    docs = spark.createDataFrame(
+        [
+            (1, "teh cat sat on  teh mat"),   # double space -> empty token
+            (2, "clean text only"),
+            (3, "teh teh teh"),
+        ],
+        "doc_id long, text string",
+    )
+    cmap = spark.createDataFrame(
+        [("teh", "the"), ("mat", "rug")], "tok string, canonical string"
+    )
+    out = {r.doc_id: r for r in apply_token_map(docs, cmap).collect()}
+    assert out[1].text_norm == "the cat sat on  the rug"
+    assert out[1].n_changed == 3
+    assert out[2].text_norm == "clean text only"
+    assert out[2].n_changed == 0
+    assert out[3].text_norm == "the the the"
+    assert out[3].n_changed == 3
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    """Two-table linkage is complete and exact, including distance-0
+    (same key in both tables) and cross-table short keys — seeded random
+    universes vs an all-pairs Levenshtein reference across (k, q)."""
+    import random
+
+    from nntsc_spark.pipeline.dedup import edit_distance_join
+
+    rng = random.Random(23)
+    for trial in range(2):
+        mk = lambda: sorted(
+            {
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 11)))
+                for _ in range(rng.randint(8, 25))
+            }
+        )
+        L, R = mk(), mk()
+        dl = spark.createDataFrame([(w,) for w in L], "s string")
+        dr = spark.createDataFrame([(w,) for w in R], "t string")
+        for k, q in [(0, 2), (1, 2), (2, 3)]:
+            got = {
+                (r.s, r.t, r.dist)
+                for r in edit_distance_join(
+                    dl, dr, "s", "t", max_dist=k, q=q
+                ).collect()
+            }
+            want = {
+                (a, b, _lev(a, b)) for a in L for b in R if _lev(a, b) <= k
+            }
+            assert got == want, (trial, k, q, want - got, got - want)
+
+
+def test_edit_distance_join_same_column_name_suffixes_right(spark):
+    from nntsc_spark.pipeline.dedup import edit_distance_join
+
+    dl = spark.createDataFrame([("abcd",)], "s string")
+    dr = spark.createDataFrame([("abcx",)], "s string")
+    out = edit_distance_join(dl, dr, "s", "s", max_dist=1, q=2)
+    assert out.columns == ["s", "s_r", "dist"]
+    rows = out.collect()
+    assert [(r.s, r.s_r, r.dist) for r in rows] == [("abcd", "abcx", 1)]

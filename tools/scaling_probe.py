@@ -142,7 +142,12 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # DISTINCT tokens, not corpus rows; replicas reuse
                     # the same vocabulary, so the curve isolates the
                     # explode+distinct front)
-                    "vocab_fuzzy"]
+                    "vocab_fuzzy",
+                    # r11: the apply step (posexplode + map join +
+                    # ordered reassembly) is corpus-sized — the row that
+                    # shows the rewrite scales with tokens, not with the
+                    # vocabulary the map came from
+                    "doc_normalize_tokens"]
 # semantic_dedup shares embedding_clusters' exclusion (below): vector
 # replicas are either mutual near-dups (quadratic by construction) or
 # carry a synthetic cosine tail — both measure the instrument, not the
