@@ -2915,6 +2915,76 @@ GROUP BY post.doc_id
 """
 
 
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage: the vocabulary of source 'src0' (a
+    stand-in reference lexicon — a blocklist, a gazetteer, an eval
+    answer key) linked to the vocabulary of every OTHER source within
+    Levenshtein distance 2, exact hits included — the A-vs-B form of
+    the blocked fuzzy join (`edit_distance_join`), with per-side
+    frequencies for downstream thresholding.  The oracle brute-forces
+    the same cross, pinning the blocked linkage complete."""
+    from ..pipeline.dedup import edit_distance_join
+    from ..pipeline.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def vocab(side):
+        return (
+            side.select(F.explode(tokens_expr("text")).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    lex = vocab(docs.where(F.col("source") == "src0"))
+    rest = vocab(docs.where(F.col("source") != "src0"))
+    links = edit_distance_join(
+        lex, rest, "tok", "tok", max_dist=2, q=2
+    )
+    return (
+        links.join(
+            lex.select(F.col("tok").alias("tok"), F.col("n").alias("n_lex")),
+            "tok",
+        )
+        .join(
+            rest.select(
+                F.col("tok").alias("tok_r"), F.col("n").alias("n_corpus")
+            ),
+            "tok_r",
+        )
+        .select(
+            F.col("tok").alias("lex_tok"),
+            F.col("tok_r").alias("corpus_tok"),
+            "dist",
+            "n_lex",
+            "n_corpus",
+        )
+    )
+
+
+SQL_FUZZY_LINKAGE = """
+WITH lex AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT t.tok
+    FROM (SELECT string_split(text, ' ') AS l FROM documents
+          WHERE source = 'src0'),
+         LATERAL (SELECT unnest(l) AS tok) t
+  ) WHERE tok <> '' GROUP BY tok
+), corp AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT t.tok
+    FROM (SELECT string_split(text, ' ') AS l FROM documents
+          WHERE source <> 'src0'),
+         LATERAL (SELECT unnest(l) AS tok) t
+  ) WHERE tok <> '' GROUP BY tok
+)
+SELECT a.tok AS lex_tok, b.tok AS corpus_tok,
+       CAST(levenshtein(a.tok, b.tok) AS INT) AS dist,
+       a.n AS n_lex, b.n AS n_corpus
+FROM lex a JOIN corp b ON levenshtein(a.tok, b.tok) <= 2
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -3023,4 +3093,5 @@ TAIL_PIPELINE_REGISTRY = {
         q_doc_normalize_tokens,
         SQL_DOC_NORMALIZE_TOKENS,
     ),
+    "fuzzy_linkage": (q_fuzzy_linkage, SQL_FUZZY_LINKAGE),
 }
