@@ -1219,6 +1219,12 @@ def edit_distance_pairs(
     :func:`ngram_jaccard_pairs` with the same recall-only loss contract,
     for corpora whose gram distribution is adversarial.
 
+    Unicode contract: distances count CODEPOINT edits (Spark's
+    ``levenshtein`` semantics — 'é' vs 'e' is one edit).  NB DuckDB's
+    ``levenshtein`` counts BYTE edits, so the paired oracles are
+    equivalent on ASCII keys only; a non-ASCII corpus needs a
+    byte-faithful oracle rewrite, not an operator change.
+
     100 TB shape: every stage is an equi-join or map-side-combinable
     aggregate on uniform hash keys; the only non-equi join is the tiny
     cross whose BOTH sides are <= |alphabet|^(2k) distinct keys.  The

@@ -2747,7 +2747,9 @@ def q_vocab_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete, so blocked == brute.  q=2 with max_dist=2 puts the length-6
     tokens through the q-gram stratum, shorter ones through the 1-gram
     stratum, and single-char tokens through the cross — all three paths
-    oracle-pinned."""
+    oracle-pinned.  (Oracle parity holds on ASCII tokens: Spark's
+    levenshtein counts codepoint edits, DuckDB's counts byte edits —
+    see the edit_distance_pairs unicode-contract note.)"""
     from ..pipeline.dedup import edit_distance_pairs
     from ..pipeline.text import tokens_expr
 

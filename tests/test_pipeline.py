@@ -3083,3 +3083,27 @@ def test_edit_distance_join_same_column_name_suffixes_right(spark):
     assert out.columns == ["s", "s_r", "dist"]
     rows = out.collect()
     assert [(r.s, r.s_r, r.dist) for r in rows] == [("abcd", "abcx", 1)]
+
+
+def test_edit_distance_pairs_counts_codepoint_edits(spark):
+    """Unicode contract pin: distances are CODEPOINT edits ('\u00e9' vs
+    'e' is ONE edit), matching Spark's levenshtein — NOT byte edits
+    (DuckDB's convention, where the same pair scores 2).  The paired
+    oracles are therefore ASCII-equivalent only; this test fails if a
+    Spark upgrade ever flips the engine-side semantics."""
+    from nntsc_spark.pipeline.dedup import edit_distance_pairs
+
+    pre = "caf\u00e9s"    # precomposed e-acute: 5 codepoints, 6 utf-8 bytes
+    comb = "cafe\u0301s"  # e + combining acute: 6 codepoints
+    plain = "cafes"
+    df = spark.createDataFrame([(pre,), (comb,), (plain,)], "s string")
+    got = {
+        tuple(sorted((r.s1, r.s2))): r.dist
+        for r in edit_distance_pairs(df, "s", max_dist=2, q=2).collect()
+    }
+    # precomposed vs plain: ONE substitution (byte semantics would say 2)
+    assert got[tuple(sorted((pre, plain)))] == 1
+    # combining form vs plain: ONE insertion (the combining mark)
+    assert got[tuple(sorted((comb, plain)))] == 1
+    # precomposed vs combining: sub + insert = 2 codepoint edits
+    assert got[tuple(sorted((pre, comb)))] == 2
