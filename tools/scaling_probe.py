@@ -137,11 +137,13 @@ PIPELINE_QUERIES = ["dedup_minhash", "dedup_clusters", "contamination",
                     # projection + one shard-keyed shuffle + per-shard
                     # sort bounded at corpus/shards rows)
                     "corpus_shuffle",
-                    # r11: fuzzy edit-distance matching — vocabulary-
-                    # bounded (the gram index and pair join scale with
-                    # DISTINCT tokens, not corpus rows; replicas reuse
-                    # the same vocabulary, so the curve isolates the
-                    # explode+distinct front)
+                    # r11: fuzzy edit-distance matching.  NB the replica
+                    # curve measures a GROWING-OUTPUT workload: one base
+                    # word's per-replica tags (word#z17 vs word#z18) are
+                    # mutual near-matches, so pair counts grow
+                    # ~quadratically with the factor by construction
+                    # (7 -> 4.8M pairs at x1000) — see SCALING.md's
+                    # caveat before reading the cells as a scan curve
                     "vocab_fuzzy",
                     # r11: the apply step (posexplode + map join +
                     # ordered reassembly) is corpus-sized — the row that
