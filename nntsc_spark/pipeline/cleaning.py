@@ -151,6 +151,7 @@ def clean_lines(
     require_terminal_punct: bool = True,
     banned_words: Sequence[str] = DEFAULT_BANNED_WORDS,
     max_count: int | None = None,
+    defer_gate: bool = False,
 ) -> DataFrame:
     """Apply the C4 line rules and (optionally) corpus-frequency
     boilerplate removal, then reassemble documents.
@@ -163,7 +164,16 @@ def clean_lines(
 
     ``lines`` overrides the default ``delim`` split with a caller-built
     segmentation (e.g. :func:`segment_token_lines`).
-    """
+
+    With ``max_count`` set, the default runs ONE Spark job at plan-build
+    time (counting the common-line set to decide broadcast safety — the
+    measured-size gate below).  Callers that only want the plan — or
+    that compose this into a pipeline where an eager job is unacceptable
+    — pass ``defer_gate=True`` to skip the count and leave the join
+    strategy to AQE: fully lazy, at the measured cost of the anti-join
+    falling to a spilling SMJ on corpora where the common set WOULD have
+    broadcast (3-17x slower on the x100 probe — r10 advice trade-off,
+    made explicit instead of chosen silently)."""
     if lines is None:
         lines = doc_lines(docs, text_col=text_col, delim=delim)
     totals = lines.groupBy("doc_id").agg(
@@ -189,14 +199,16 @@ def clean_lines(
         # driver-safe; past the gate it degrades to the shuffle join.
         from .dedup import scratch_persist
 
-        common = scratch_persist(
-            common_line_keys(lines, max_count).select("line_key")
-        )
-        side = (
-            F.broadcast(common)
-            if common.count() <= BROADCAST_KEYS_MAX
-            else common
-        )
+        common = common_line_keys(lines, max_count).select("line_key")
+        if defer_gate:
+            side = common  # lazy: AQE picks the strategy at run time
+        else:
+            common = scratch_persist(common)
+            side = (
+                F.broadcast(common)
+                if common.count() <= BROADCAST_KEYS_MAX
+                else common
+            )
         kept = kept.withColumn(
             "line_key", md5_long(F.col("line"))
         ).join(side, "line_key", "left_anti")

@@ -3107,3 +3107,28 @@ def test_edit_distance_pairs_counts_codepoint_edits(spark):
     assert got[tuple(sorted((comb, plain)))] == 1
     # precomposed vs combining: sub + insert = 2 codepoint edits
     assert got[tuple(sorted((pre, comb)))] == 2
+
+
+def test_clean_lines_defer_gate_is_lazy_and_equal(spark):
+    """defer_gate=True builds the plan without running ANY Spark job
+    (the broadcast-safety count is skipped; AQE picks the join strategy
+    at run time) and produces the identical cleaned corpus."""
+    from nntsc_spark.pipeline.cleaning import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps today.\ncommon boilerplate line."),
+            (2, "a different real sentence here.\ncommon boilerplate line."),
+            (3, "common boilerplate line.\nanother genuine sentence stands."),
+        ],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    lazy = clean_lines(docs, max_count=2, defer_gate=True)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction ran a Spark job"
+    eager = clean_lines(docs, max_count=2)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
