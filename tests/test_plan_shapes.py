@@ -322,3 +322,6 @@ def test_vocab_fuzzy_blocks_equi_except_bounded_tiny_cross(spark, sf_dir):
     plan = plan_text(spark, sf_dir, "vocab_fuzzy")
     assert "CartesianProduct" not in plan, plan[:1500]
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1500]
+    # column pruning reaches the scan: the 5-column documents table is
+    # read as text only (the vocabulary front needs nothing else)
+    assert all(w == 1 for w in read_widths(plan)), read_widths(plan)
