@@ -325,3 +325,27 @@ def test_vocab_fuzzy_blocks_equi_except_bounded_tiny_cross(spark, sf_dir):
     # column pruning reaches the scan: the 5-column documents table is
     # read as text only (the vocabulary front needs nothing else)
     assert all(w == 1 for w in read_widths(plan)), read_widths(plan)
+
+
+def test_fuzzy_linkage_pushes_source_split_and_prunes(spark, sf_dir):
+    """The lexicon/corpus split reaches the parquet scan as pushed
+    source predicates (each side scans its slice, not the table twice
+    unfiltered), reads only (text, source) of the 5-column table, and
+    the linkage stays blocked: no CartesianProduct, at most the one
+    bounded tiny-cross nested loop per side pair."""
+    plan = plan_text(spark, sf_dir, "fuzzy_linkage")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(source,src0)" in pushed, pushed
+    assert "Not(EqualTo(source,src0))" in pushed, pushed
+    assert "CartesianProduct" not in plan
+    assert all(w <= 2 for w in read_widths(plan)), read_widths(plan)
+
+
+def test_doc_normalize_tokens_prunes_and_stays_equi(spark, sf_dir):
+    """The corpus rewrite reads only (doc_id, text); the map application
+    is an equi-join on the token (plus the fuzzy front's one bounded
+    tiny cross) — a CartesianProduct would mean the rewrite degenerated
+    to comparing every token against every map entry."""
+    plan = plan_text(spark, sf_dir, "doc_normalize_tokens")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert all(w <= 2 for w in read_widths(plan)), read_widths(plan)
