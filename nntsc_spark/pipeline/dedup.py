@@ -1355,7 +1355,12 @@ def edit_distance_join(
     100 TB shape: identical to the self form — equi-joins on uniform
     hash keys, output-proportional verify, opt-in ``max_df`` hot-gram
     cap (recall-only loss) — with the candidate fan-out bounded by
-    sum over grams of df_left * df_right."""
+    sum over grams of df_left * df_right.  The cap's document frequency
+    is computed over the UNION of both sides' indexes (the two-table
+    analogue of the self form's single key universe), so a gram hot on
+    one side and cold on the other is pruned from both — the recall
+    contract of a given ``max_df`` is the same whichever side a key
+    lands on."""
     k = int(max_dist)
     if k < 0:
         raise ValueError("max_dist must be >= 0")
@@ -1383,19 +1388,21 @@ def edit_distance_join(
         il = _qgram_index(lf, ql)
         ir = _qgram_index(rf, ql)
         if max_df is not None:
-            for side in ("il", "ir"):
-                idx = il if side == "il" else ir
-                hot = (
-                    idx.groupBy("gh")
-                    .agg(F.count(F.lit(1)).alias("_df"))
-                    .where(F.col("_df") > int(max_df))
-                    .select("gh")
-                )
-                pruned = idx.join(F.broadcast(hot), "gh", "left_anti")
-                if side == "il":
-                    il = pruned
-                else:
-                    ir = pruned
+            # df over the UNION of both indexes, so the cap's meaning
+            # matches the self form (one key universe): a gram hot on
+            # either side is pruned from BOTH, never from just one —
+            # asymmetric pruning would give the two sides different
+            # recall-loss contracts for the same cap value.
+            hot = (
+                il.select("gh")
+                .unionAll(ir.select("gh"))
+                .groupBy("gh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > int(max_df))
+                .select("gh")
+            )
+            il = il.join(F.broadcast(hot), "gh", "left_anti")
+            ir = ir.join(F.broadcast(hot), "gh", "left_anti")
         dl = il.groupBy("s").agg(F.count(F.lit(1)).alias("_dgl"))
         dr = ir.groupBy("s").agg(F.count(F.lit(1)).alias("_dgr"))
         shared = (

@@ -1022,9 +1022,18 @@ def apply_token_map(
     adversarially large map degrades to a shuffle join instead of a
     driver OOM — the ``clean_lines`` r9 lesson as a default), then one
     map-side-combinable groupBy(doc).  Output:
-    (id, text_norm, n_changed)."""
+    (id, text_norm, n_changed).
+
+    Null contract: a NULL ``text`` normalizes to ``text_norm = ''`` with
+    ``n_changed = 0`` — the document SURVIVES the rewrite.  (Without the
+    coalesce, ``posexplode`` of a null token array emits no rows and the
+    doc would silently vanish from the output, breaking the
+    rewrite-every-document contract.)"""
     toks = docs.select(
-        id_col, F.posexplode(tokens_expr(text_col)).alias("pos", "tok")
+        id_col,
+        F.posexplode(
+            tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "tok"),
     )
     mapped = toks.join(token_map, "tok", "left").select(
         id_col,

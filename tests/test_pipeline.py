@@ -3042,6 +3042,26 @@ def test_apply_token_map_preserves_order_spacing_and_counts(spark):
     assert out[3].n_changed == 3
 
 
+def test_apply_token_map_null_text_survives(spark):
+    """The null contract: a NULL text rewrites to '' with n_changed=0
+    instead of vanishing from the output (posexplode of a null token
+    array emits no rows — the coalesce guards the per-document row)."""
+    from nntsc_spark.pipeline.text import apply_token_map
+
+    docs = spark.createDataFrame(
+        [(1, "teh cat"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    cmap = spark.createDataFrame(
+        [("teh", "the")], "tok string, canonical string"
+    )
+    out = {r.doc_id: r for r in apply_token_map(docs, cmap).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].text_norm == "the cat" and out[1].n_changed == 1
+    assert out[2].text_norm == "" and out[2].n_changed == 0
+    assert out[3].text_norm == "" and out[3].n_changed == 0
+
+
 def test_edit_distance_join_matches_bruteforce(spark):
     """Two-table linkage is complete and exact, including distance-0
     (same key in both tables) and cross-table short keys — seeded random
@@ -3072,6 +3092,39 @@ def test_edit_distance_join_matches_bruteforce(spark):
                 (a, b, _lev(a, b)) for a in L for b in R if _lev(a, b) <= k
             }
             assert got == want, (trial, k, q, want - got, got - want)
+
+
+def test_edit_distance_join_max_df_is_union_of_sides(spark):
+    """The hot-gram cap's df is computed over the UNION of both sides'
+    indexes, so a gram hot on the left and cold on the right is pruned
+    from BOTH indexes.  Per-side pruning would leave the gram in the
+    right index, inflating the right key's distinct-gram count and
+    tightening the count-prune threshold past a true pair.
+
+    Construction (k=1, q=2, max_df=5): 'ab' appears in 10 left keys and
+    1 right key.  The true pair ('abcdxf', 'abcdef') shares 3 grams
+    {ab, bc, cd}; with 'ab' pruned from the left only, shared drops to 2
+    while the right side keeps all 5 distinct grams, so the threshold
+    max(4, 5) - k*q = 3 > 2 drops the pair.  Union pruning removes 'ab'
+    from both (threshold max(4, 4) - 2 = 2) and the pair survives."""
+    from nntsc_spark.pipeline.dedup import edit_distance_join
+
+    left_keys = ["abcdxf"] + [f"abq{i}" for i in range(9)]
+    dl = spark.createDataFrame([(s,) for s in left_keys], "s string")
+    dr = spark.createDataFrame([("abcdef",)], "t string")
+    capped = {
+        (r.s, r.t, r.dist)
+        for r in edit_distance_join(
+            dl, dr, "s", "t", max_dist=1, q=2, max_df=5
+        ).collect()
+    }
+    assert ("abcdxf", "abcdef", 1) in capped
+    # and the cap stays recall-only: capped output is a subset of exact
+    exact = {
+        (r.s, r.t, r.dist)
+        for r in edit_distance_join(dl, dr, "s", "t", max_dist=1, q=2).collect()
+    }
+    assert capped <= exact
 
 
 def test_edit_distance_join_same_column_name_suffixes_right(spark):
