@@ -1125,6 +1125,47 @@ def _qgram_index(keys: DataFrame, q: int) -> DataFrame:
     ).select("s", md5_long(F.col("_g")).alias("gh"))
 
 
+def _deletion_variants(col, k: int):
+    """Array of every DISTINCT non-empty string reachable from ``col``
+    by deleting up to ``k`` codepoints — the FastSS / symmetric-delete
+    neighborhood (Bocek et al. 2007; the SymSpell index), built by k
+    rounds of map-side array HOFs (no shuffle, no Python).  Size is
+    bounded by sum_{j<=k} C(len, j); callers apply it only to the
+    short-key stratum (len < (k+1)*q), so <= ~37 variants per key at
+    len 8, k 2.  The EMPTY variant is dropped: a pair whose only common
+    deletion subsequence is '' has its shorter side len <= k, which is
+    exactly the tiny-cross stratum's slice."""
+
+    def one_dels(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+            lambda i: F.concat(
+                t.substr(F.lit(1), i - F.lit(1)),
+                t.substr(i + F.lit(1), F.length(t)),
+            ),
+        )
+
+    arr = F.array(col)
+    for _ in range(int(k)):
+        arr = F.array_distinct(
+            F.array_union(arr, F.flatten(F.transform(arr, one_dels)))
+        )
+    return F.filter(arr, lambda v: F.length(v) > 0)
+
+
+def _deletion_index(keys: DataFrame, k: int) -> DataFrame:
+    """(s, gh) — 60-bit hashes of s's <=k-deletion neighborhood.  The
+    short-stratum counterpart of :func:`_qgram_index`: blocking keys are
+    whole subsequences (near-unique), not single characters, so the
+    candidate self-join's fan-out is sum over variants of C(df, 2) with
+    variant df orders of magnitude below any character df — this is what
+    removes the sum-over-chars df^2 blow-up a 1-gram index has on a
+    natural short vocabulary."""
+    return keys.select(
+        "s", F.explode(_deletion_variants(F.col("s"), k)).alias("_v")
+    ).select("s", md5_long(F.col("_v")).alias("gh"))
+
+
 def _qgram_candidates(
     keys: DataFrame, q: int, k: int, max_df: int | None
 ) -> DataFrame:
@@ -1198,11 +1239,23 @@ def edit_distance_pairs(
       (each edit destroys <= q gram occurrences).  Inverted-index
       self-join on 60-bit gram hashes + the exact distinct-type count
       prune (see :func:`_qgram_candidates`).
-    - **1-grams** (0 < len < (k+1)*q): for the short-key regime the
-      same theorem at q=1 — a pair with ``max(len) > k`` shares a
-      character.  Blocking keys are weak (single chars) but this
-      stratum's universe is distinct keys shorter than ``(k+1)*q``,
-      bounded by the alphabet — vocabulary-scale, not corpus-scale.
+    - **deletion neighborhoods** (0 < len < (k+1)*q): the short-key
+      regime, where gram blocking keys degenerate.  Each key emits the
+      60-bit hashes of every distinct string reachable by deleting
+      <= k codepoints (FastSS / symmetric delete); candidates are the
+      equi-join on those hashes.  Complete: an optimal <=k-edit
+      alignment of (s, t) with i insertions, d deletions, c
+      substitutions has its MATCHED characters form a common
+      subsequence u reachable from s by d+c <= k deletions and from t
+      by i+c <= k deletions, so u is in both neighborhoods — unless u
+      is empty, which forces the shorter side to len <= k, exactly the
+      tiny-cross slice below.  Blocking keys are whole subsequences, so
+      per-bucket fan-out is sum over variants of C(df, 2) with variant
+      df near 1 on natural vocabularies — a 1-gram index here would
+      instead shuffle sum over characters of df^2 pairs (near-all-pairs
+      over the short slice, since most natural-language tokens are
+      shorter than (k+1)*q), which is why this stratum does NOT block
+      on single characters.
     - **tiny cross** (len <= k vs len <= 2*k): a key of length <= k is
       within ``k`` edits of anything of length <= 2*k (and of NOTHING
       longer, by the length bound) and may share no character with it;
@@ -1215,9 +1268,12 @@ def edit_distance_pairs(
     matched unordered pair, ``(s1, s2, dist)`` with ``s1 < s2``.
 
     ``max_df`` (opt-in, default None = exact) drops grams whose document
-    frequency exceeds it from the index — the hot-shingle cap of
+    frequency exceeds it from the q-gram index — the hot-shingle cap of
     :func:`ngram_jaccard_pairs` with the same recall-only loss contract,
-    for corpora whose gram distribution is adversarial.
+    for corpora whose gram distribution is adversarial.  The cap applies
+    to the q-gram stratum ONLY: deletion-variant keys are already
+    selective and the tiny cross is alphabet-bounded, so capping them
+    would trade recall for nothing.
 
     Unicode contract: distances count CODEPOINT edits (Spark's
     ``levenshtein`` semantics — 'é' vs 'e' is one edit).  NB DuckDB's
@@ -1236,7 +1292,7 @@ def edit_distance_pairs(
     if k < 0:
         raise ValueError("max_dist must be >= 0")
     if q < 2:
-        raise ValueError("q must be >= 2 (q=1 is the built-in short stratum)")
+        raise ValueError("q must be >= 2 (the short stratum uses deletion neighborhoods)")
     keys = (
         strings.select(F.col(key_col).cast("string").alias("s"))
         .where(F.col("s").isNotNull() & (F.length("s") > 0))
@@ -1245,8 +1301,13 @@ def edit_distance_pairs(
     keys = scratch_persist(keys)
     kq = (k + 1) * q
     cand_a = _qgram_candidates(keys.where(F.length("s") >= q), q, k, max_df)
-    cand_b = _qgram_candidates(
-        keys.where(F.length("s") < kq), 1, k, max_df
+    short_idx = _deletion_index(keys.where(F.length("s") < kq), k)
+    cand_b = (
+        short_idx.select(F.col("s").alias("s1"), "gh")
+        .join(short_idx.select(F.col("s").alias("s2"), "gh"), "gh")
+        .where(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
     )
     tiny = keys.where(F.length("s") <= k)
     near = keys.where(F.length("s") <= 2 * k)
@@ -1345,9 +1406,11 @@ def edit_distance_join(
 
     Strata mirror the self form, crossed between sides: q-gram inverted
     indexes joined left-vs-right on 60-bit gram hashes with the exact
-    distinct-type count prune; 1-gram indexes for the short-key regime;
-    and a broadcast tiny-cross of the two ``len <= 2k`` slivers keeping
-    pairs whose SHORTER member is ``len <= k``.  Keys deduplicate per
+    distinct-type count prune; <=k-deletion-neighborhood indexes for the
+    short-key regime (see :func:`_deletion_index` — complete by the
+    FastSS common-subsequence argument, selective where 1-gram keys are
+    near-all-pairs); and a broadcast tiny-cross of the two ``len <= 2k``
+    slivers keeping pairs whose SHORTER member is ``len <= k``.  Keys deduplicate per
     side first, so linkage is between key universes — callers join the
     result back to rows.  Output: (left_col, right_col, dist); when both
     sides pass the same column name the right one gains a ``_r`` suffix.
@@ -1365,7 +1428,7 @@ def edit_distance_join(
     if k < 0:
         raise ValueError("max_dist must be >= 0")
     if q < 2:
-        raise ValueError("q must be >= 2 (q=1 is the built-in short stratum)")
+        raise ValueError("q must be >= 2 (the short stratum uses deletion neighborhoods)")
     out_l = left_col
     out_r = right_col if right_col != left_col else f"{right_col}_r"
 
@@ -1380,13 +1443,9 @@ def edit_distance_join(
     kr = scratch_persist(keyed(right, right_col))
     kq = (k + 1) * q
 
-    def cross_candidates(ql: int) -> DataFrame:
-        lf = kl if ql > 1 else kl.where(F.length("s") < kq)
-        rf = kr if ql > 1 else kr.where(F.length("s") < kq)
-        if ql > 1:
-            lf, rf = lf.where(F.length("s") >= ql), rf.where(F.length("s") >= ql)
-        il = _qgram_index(lf, ql)
-        ir = _qgram_index(rf, ql)
+    def cross_candidates() -> DataFrame:
+        il = _qgram_index(kl.where(F.length("s") >= q), q)
+        ir = _qgram_index(kr.where(F.length("s") >= q), q)
         if max_df is not None:
             # df over the UNION of both indexes, so the cap's meaning
             # matches the self form (one key universe): a gram hot on
@@ -1416,7 +1475,7 @@ def edit_distance_join(
             .join(dr.select(F.col("s").alias("_r"), "_dgr"), "_r")
             .where(
                 F.col("_shared")
-                >= F.greatest(F.col("_dgl"), F.col("_dgr")) - F.lit(k * ql)
+                >= F.greatest(F.col("_dgl"), F.col("_dgr")) - F.lit(k * q)
             )
             .select("_l", "_r")
         )
@@ -1430,9 +1489,20 @@ def edit_distance_join(
         )
         .where(F.least(F.length("_l"), F.length("_r")) <= k)
     )
+    cand_b = (
+        _deletion_index(kl.where(F.length("s") < kq), k)
+        .select(F.col("s").alias("_l"), "gh")
+        .join(
+            _deletion_index(kr.where(F.length("s") < kq), k)
+            .select(F.col("s").alias("_r"), "gh"),
+            "gh",
+        )
+        .select("_l", "_r")
+        .distinct()
+    )
     cand = (
-        cross_candidates(q)
-        .unionByName(cross_candidates(1))
+        cross_candidates()
+        .unionByName(cand_b)
         .unionByName(cand_c)
         .distinct()
     )

@@ -2952,6 +2952,37 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
             assert got == want, (trial, k, q, want - got, got - want)
 
 
+def test_deletion_neighborhood_matches_python_reference(spark):
+    """The short-stratum blocking index is the exact <=k-deletion
+    neighborhood (FastSS / symmetric delete): distinct, non-empty, and
+    codepoint-based — 'héllo' deletes the single codepoint 'é', not a
+    UTF-8 byte.  Pinned against an itertools reference."""
+    from itertools import combinations
+
+    from nntsc_spark.pipeline.dedup import _deletion_variants
+
+    def ref(s: str, k: int) -> set[str]:
+        out = set()
+        for j in range(k + 1):
+            for idxs in combinations(range(len(s)), j):
+                v = "".join(c for i, c in enumerate(s) if i not in idxs)
+                if v:
+                    out.add(v)
+        return out
+
+    words = ["cat", "héllo", "ab", "a", "crane", "日本語"]
+    for k in (0, 1, 2):
+        df = spark.createDataFrame([(w,) for w in words], "s string")
+        got = {
+            r.s: set(r.v)
+            for r in df.select(
+                "s", _deletion_variants(F.col("s"), k).alias("v")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == ref(w, k), (w, k)
+
+
 def test_edit_distance_pairs_max_df_is_recall_only(spark):
     """The hot-gram cap loses pairs only (never fabricates or mis-scores):
     capped output is a subset of exact output with identical distances,
