@@ -120,6 +120,11 @@ HEADLINE = [
     "ivfpq_index_topk",
     # round-11 operators
     "gap_report_summary_bounded",
+    "vocab_fuzzy",
+    "vocab_canonical",
+    "fuzzy_linkage",
+    "doc_normalize_tokens",
+    "corpus_shuffle",
 ]
 
 
