@@ -38,7 +38,7 @@ def training_corpus(
     embeddings: DataFrame | None = None,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
-    emb_nlist: int = 8,
+    emb_nlist: int | None = None,
     emb_threshold: float = 0.95,
     emb_per_cell: int = 15,
     emb_centroids: list[tuple[int, list[float]]] | None = None,
@@ -76,6 +76,13 @@ def training_corpus(
     Output: (doc_id, text [scrubbed], n_tokens, quality_score) — plus
     (cell, centroid_sim) when the embedding stage ran (its output is
     bounded at ``emb_nlist x emb_per_cell`` rows).
+
+    ``emb_nlist=None`` (the default) auto-sizes the quantizer as
+    ``max(8, N // 250)`` over the FULL embedding table
+    (:func:`~.similarity.resolve_nlist` — the SemDeDup
+    N/target_cell_size rule the scaled probes validated), so a caller
+    at corpus scale never inherits a fixed tiny nlist whose per-cell
+    pair work would grow quadratically with N.
     """
     qf = quality_features(docs, text_col).select(
         "doc_id", "n_tokens", "quality_score"
@@ -118,7 +125,7 @@ def training_corpus(
     if embeddings is None:
         return out
     from .dedup import scratch_persist
-    from .similarity import centroid_rows, curate_embeddings
+    from .similarity import centroid_rows, curate_embeddings, resolve_nlist
 
     # the text pipeline output feeds TWO consumers (the embedding-side
     # semi-join build and the final join's left); unpersisted, the whole
@@ -136,7 +143,15 @@ def training_corpus(
     cents = (
         emb_centroids
         if emb_centroids is not None
-        else centroid_rows(embeddings, emb_nlist, emb_id_col, emb_vec_col)
+        else centroid_rows(
+            embeddings,
+            # emb_nlist=None -> the SemDeDup N/target_cell_size sizing
+            # rule (resolve_nlist), measured over the FULL table the
+            # quantizer is derived from
+            resolve_nlist(embeddings, emb_nlist),
+            emb_id_col,
+            emb_vec_col,
+        )
     )
     emb_kept = embeddings.join(
         out.select(F.col("doc_id").alias(emb_id_col)),

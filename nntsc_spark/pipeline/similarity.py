@@ -258,6 +258,36 @@ def multi_table_signatures(
     )
 
 
+#: SemDeDup / IVF auto-sizing target: vectors per cell when ``nlist`` is
+#: left unset.  250 reproduces the scaled-probe discipline exactly
+#: (SCALING.md: the x-factor probes ran nlist = 8 x factor over
+#: 2000 x factor vectors — cells held at 250 while N grew 1000x), which
+#: is the paper's own rule (nlist = N / target_cell_size; Abbas et al.
+#: 2023 sized LAION runs the same way) applied with a cell small enough
+#: that the within-cell pair verify stays ~250^2 comparisons.
+DEFAULT_TARGET_CELL_SIZE = 250
+
+
+def resolve_nlist(
+    emb: DataFrame,
+    nlist: int | None,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+) -> int:
+    """Resolve ``nlist=None`` to ``max(8, N // target_cell_size)`` — the
+    SemDeDup sizing rule in code rather than in docs.  A fixed small
+    nlist over a growing corpus makes every within-cell pair stage
+    quadratic in N (the failure mode the scaled probes had to override
+    by hand with ``nlist = 8 x factor``); auto-sizing keeps cells at
+    ``target_cell_size`` so pair work grows linearly.  Costs one
+    ``count()`` job — an index-BUILD-time step, like the quantizer
+    collect itself, never query-time.  Explicit ``nlist`` passes
+    through untouched (the oracle-pinned queries stay exactly
+    reproducible)."""
+    if nlist is not None:
+        return int(nlist)
+    return max(8, emb.count() // int(target_cell_size))
+
+
 def centroid_rows(
     emb: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
@@ -1466,13 +1496,14 @@ def _semantic_pairs_arrow(
 
 def semantic_dedup(
     emb: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
     assign_two_level: bool = False,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then drop within-cluster *semantic* duplicates —
@@ -1495,7 +1526,14 @@ def semantic_dedup(
     quantizer literals, zero corpus shuffle); the candidate join is a
     cell-local self-equi-join — never all-pairs — whose per-cell cost is
     the paper's own cost model: ``nlist`` scales as N / target_cell_size
-    (LAION-scale runs used ~1e5 clusters), keeping cells bounded.  The
+    (LAION-scale runs used ~1e5 clusters), keeping cells bounded.  That
+    sizing rule is the DEFAULT: ``nlist=None`` resolves to
+    ``max(8, N // target_cell_size)`` via :func:`resolve_nlist` — the
+    discipline the scaled probes applied by hand (SCALING.md:
+    ``nlist = 8 x factor`` held cells at 250 while N grew 1000x); a
+    fixed small ``nlist`` over a growing corpus makes the pair stage
+    quadratic in N.  Pass ``nlist`` explicitly only when the quantizer
+    must be exactly reproducible (the oracle-pinned queries do).  The
     join key is (cell, block-pair), not cell alone: ``block_factor`` B
     splits every cell into deterministic id-blocks so the pair stage
     runs at ``nlist x B(B+1)/2`` parallelism for ~(B+1)/2x replication —
@@ -1508,7 +1546,7 @@ def semantic_dedup(
     Output: one row per vector — (vec_id, cell, centroid_sim, kept).
     """
     cents = centroids if centroids is not None else centroid_rows(
-        emb, nlist, id_col, vec_col
+        emb, resolve_nlist(emb, nlist, target_cell_size), id_col, vec_col
     )
     if assign_two_level:
         # the >=1e4-cell production front: coarse->fine routing cuts
@@ -1722,7 +1760,7 @@ def cluster_balanced_sample(
 
 def curate_embeddings(
     emb: DataFrame,
-    nlist: int = 8,
+    nlist: int | None = None,
     threshold: float = 0.95,
     per_cell: int = 15,
     id_col: str = "vec_id",
@@ -1730,6 +1768,7 @@ def curate_embeddings(
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
     assign_two_level: bool = False,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """The embedding-side curation capstone (the vector sibling of
     pipeline/corpus.py's ``training_corpus``): SemDeDup semantic
@@ -1744,6 +1783,10 @@ def curate_embeddings(
     one WindowGroupLimit window on top.  Output bounded at
     ``nlist x per_cell`` rows.
 
+    ``nlist=None`` (the default) auto-sizes via :func:`resolve_nlist`
+    — ``max(8, N // target_cell_size)``, the SemDeDup sizing rule the
+    scaled probes validated (see :func:`semantic_dedup`).
+
     Output: (id_col, cell, centroid_sim).
     """
     from pyspark.sql import Window
@@ -1757,6 +1800,7 @@ def curate_embeddings(
         centroids=centroids,
         block_factor=block_factor,
         assign_two_level=assign_two_level,
+        target_cell_size=target_cell_size,
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("centroid_sim").asc(), F.col(id_col).asc()

@@ -2073,6 +2073,41 @@ def test_calibrate_scores_per_stratum_quantiles_and_ties(spark):
     assert {r.source: r["count"] for r in kept} == {"a": 20, "b": 20}
 
 
+def test_semantic_dedup_auto_nlist_matches_manual_rule(spark, sf_dir):
+    """nlist=None resolves to max(8, N // target_cell_size) — the
+    SemDeDup sizing rule in code: the auto-sized run is row-identical to
+    the run with the rule applied by hand (the discipline the scaled
+    probes used via nlist = 8 x factor), and the floor holds when the
+    corpus is smaller than 8 cells' worth."""
+    from nntsc_spark.pipeline.similarity import (
+        DEFAULT_TARGET_CELL_SIZE,
+        resolve_nlist,
+        semantic_dedup,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # the rule itself
+    assert resolve_nlist(emb, None, 50) == max(8, n // 50)
+    assert resolve_nlist(emb, None) == max(8, n // DEFAULT_TARGET_CELL_SIZE)
+    assert resolve_nlist(emb, 16, 50) == 16  # explicit passes through
+    # auto-sized output is row-identical to the manually-sized run
+    manual = max(8, n // 50)
+    assert manual > 8  # the target actually engages the rule here
+    auto = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, threshold=0.45, target_cell_size=50
+        ).collect()
+    }
+    byhand = {
+        tuple(r)
+        for r in semantic_dedup(emb, nlist=manual, threshold=0.45).collect()
+    }
+    assert auto == byhand
+
+
 def test_curate_embeddings_composes_dedup_then_cap(spark, sf_dir):
     import pyspark.sql.functions as F
     from nntsc_spark.pipeline.similarity import (
