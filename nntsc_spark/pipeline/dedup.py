@@ -1277,9 +1277,10 @@ def edit_distance_pairs(
 
     Unicode contract: distances count CODEPOINT edits (Spark's
     ``levenshtein`` semantics — 'é' vs 'e' is one edit).  NB DuckDB's
-    ``levenshtein`` counts BYTE edits, so the paired oracles are
-    equivalent on ASCII keys only; a non-ASCII corpus needs a
-    byte-faithful oracle rewrite, not an operator change.
+    ``levenshtein`` counts BYTE edits, so a direct oracle is equivalent
+    on ASCII keys only; the registered ``vocab_fuzzy_unicode`` query
+    pins the non-ASCII case with a byte-faithful oracle (codepoint ->
+    single-byte placeholder bijection before the oracle's levenshtein).
 
     100 TB shape: every stage is an equi-join or map-side-combinable
     aggregate on uniform hash keys; the only non-equi join is the tiny

@@ -2741,15 +2741,16 @@ def q_vocab_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerant version).
 
     The Spark side runs the BLOCKED join (q-gram inverted index + the
-    1-gram short stratum + the tiny cross — never all-pairs; see
-    `edit_distance_pairs`); the oracle brute-forces the same answer over
-    the vocabulary, which is exactly the point: candidate generation is
-    complete, so blocked == brute.  q=2 with max_dist=2 puts the length-6
-    tokens through the q-gram stratum, shorter ones through the 1-gram
-    stratum, and single-char tokens through the cross — all three paths
-    oracle-pinned.  (Oracle parity holds on ASCII tokens: Spark's
-    levenshtein counts codepoint edits, DuckDB's counts byte edits —
-    see the edit_distance_pairs unicode-contract note.)"""
+    deletion-neighborhood short stratum + the tiny cross — never
+    all-pairs; see `edit_distance_pairs`); the oracle brute-forces the
+    same answer over the vocabulary, which is exactly the point:
+    candidate generation is complete, so blocked == brute.  q=2 with
+    max_dist=2 puts the length-6 tokens through the q-gram stratum,
+    shorter ones through the deletion-neighborhood stratum, and
+    single-char tokens through the cross — all three paths
+    oracle-pinned.  (This query's parity holds on ASCII tokens by
+    construction of the corpus; `vocab_fuzzy_unicode` closes the
+    non-ASCII case with a byte-faithful oracle.)"""
     from ..pipeline.dedup import edit_distance_pairs
     from ..pipeline.text import tokens_expr
 
@@ -2987,6 +2988,71 @@ FROM lex a JOIN corp b ON levenshtein(a.tok, b.tok) <= 2
 """
 
 
+def q_vocab_fuzzy_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`vocab_fuzzy` over a NON-ASCII vocabulary — the registered proof
+    that the fuzzy family's codepoint-edit contract holds off ASCII,
+    closing the unicode caveat as a green oracle row instead of a
+    docstring note.
+
+    The vocabulary is the corpus token set with accents injected
+    deterministically (``translate('ae' -> 'äé')`` — codepoint-wise in
+    both engines), so most tokens carry multi-byte codepoints and every
+    blocking stratum (q-grams, deletion neighborhoods, tiny cross) runs
+    over them.  Spark's ``levenshtein`` counts CODEPOINT edits; DuckDB's
+    counts BYTE edits ('é' vs 'e' = 1 vs 2), so the oracle cannot
+    compare the accented strings directly.  Instead it maps each
+    accented codepoint to an unused single-byte placeholder
+    (``translate('äé' -> '{}')`` — a codepoint bijection, collision-free
+    because the corpus token alphabet is a-y) before its levenshtein:
+    byte edits over the placeholder strings == codepoint edits over the
+    accented ones.  Output tokens stay accented on both sides."""
+    from ..pipeline.dedup import edit_distance_pairs
+    from ..pipeline.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("_t"))
+        .where(F.col("_t") != "")
+        .select(F.translate("_t", "ae", "äé").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+    n1 = vocab.select(F.col("tok").alias("s1"), F.col("n").alias("n1"))
+    n2 = vocab.select(F.col("tok").alias("s2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            F.col("s1").alias("tok1"),
+            F.col("s2").alias("tok2"),
+            "dist",
+            "n1",
+            "n2",
+        )
+    )
+
+
+SQL_VOCAB_FUZZY_UNICODE = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(l) AS tok) t
+), v AS (
+  SELECT translate(tok, 'ae', 'äé') AS tok,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE tok <> '' GROUP BY 1
+)
+SELECT a.tok AS tok1, b.tok AS tok2,
+       CAST(levenshtein(translate(a.tok, 'äé', '{}'),
+                        translate(b.tok, 'äé', '{}')) AS INT) AS dist,
+       a.n AS n1, b.n AS n2
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(translate(a.tok, 'äé', '{}'),
+                  translate(b.tok, 'äé', '{}')) <= 2
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -3096,4 +3162,8 @@ TAIL_PIPELINE_REGISTRY = {
         SQL_DOC_NORMALIZE_TOKENS,
     ),
     "fuzzy_linkage": (q_fuzzy_linkage, SQL_FUZZY_LINKAGE),
+    # round-12: the codepoint-edit contract proven off ASCII — accented
+    # vocabulary on the Spark side, byte-faithful placeholder-translate
+    # oracle on the DuckDB side
+    "vocab_fuzzy_unicode": (q_vocab_fuzzy_unicode, SQL_VOCAB_FUZZY_UNICODE),
 }
