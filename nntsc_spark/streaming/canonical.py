@@ -1,0 +1,206 @@
+"""Incremental typo-canonicalization-map maintenance over a token stream.
+
+The batch chain (``vocab_fuzzy`` -> ``vocab_canonical``) elects every
+token's canonical form from the full corpus vocabulary; a live cleaning
+pipeline needs that map maintained as new text arrives, without re-running
+the fuzzy join over the whole vocabulary per micro-batch.  The key fact
+that makes this incremental is that the PAIR RELATION decomposes exactly
+by arrival order: an unordered fuzzy pair (a, b) is discovered exactly
+once — in the epoch where its LATER-arriving member first appears —
+
+- as a **novel x novel** pair when both tokens debut in the same batch
+  (:func:`~..pipeline.dedup.edit_distance_pairs` over the batch's novel
+  tokens), or
+- as a **novel x prior** pair otherwise
+  (:func:`~..pipeline.dedup.edit_distance_join` of the novel tokens
+  against the accumulated vocabulary).
+
+So per-epoch fuzzy work is proportional to the NOVEL tokens' blocked
+neighborhoods — the "affected neighbourhoods" — never to the vocabulary;
+a mature stream (few novel tokens per batch) pays almost nothing.  Counts
+fold algebraically (groupBy sum over per-batch count partitions, the
+count-min discipline from :mod:`.sketches`).
+
+Write discipline is the shared streaming-state contract
+(:mod:`.dedup`): every epoch OVERWRITES exactly its own ``batch=N``
+partition of both tables, prior reads filter ``batch < N`` (the
+compaction sentinel -1 always qualifies), and both per-epoch outputs are
+deterministic functions of (batch rows, immutable prior partitions) — a
+foreachBatch retry or a double-run rewrites identical files, so a crash
+cannot double-count an epoch or duplicate a pair.
+
+Serving (:meth:`CanonicalMapMaintainer.canonical_map`) re-runs only the
+ELECTION — :func:`~..pipeline.dedup.fuzzy_canonical_map` over the merged
+counts and accumulated pairs: one vocabulary-bounded WindowGroupLimit
+window, cheap at any corpus size because its input is vocabulary-scale
+state, not the corpus.  Re-electing everything at read time (rather than
+tracking which tokens' elections a count change could flip) keeps the
+serve path stateless and order-independent: the result is a pure function
+of (merged counts, accumulated pairs), so stream-then-serve equals the
+batch recompute by construction — pinned by
+``test_canonical_stream_equals_batch``.
+
+The reference has no fuzzy matching, let alone its maintenance
+(stream identity is exact column equality, database.py:731-787); this is
+the streaming sibling the cleaning pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+COUNTS_SCHEMA = "tok string, n long"
+PAIRS_SCHEMA = "s1 string, s2 string, dist int"
+
+
+class CanonicalMapMaintainer:
+    """Maintains (counts, fuzzy pairs) state for one token stream and
+    serves the canonical map derived from them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        tok_col: str = "tok",
+        max_dist: int = 2,
+        q: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.tok_col = tok_col
+        self.max_dist = int(max_dist)
+        self.q = int(q)
+
+    # -- state reads --------------------------------------------------
+
+    def _prior(self, sub: str, schema: str, batch_id: int) -> DataFrame:
+        """Committed state before this epoch: explicit schema so a
+        crash-left empty partition reads as zero rows; ONLY
+        path-not-found maps to 'no state yet' (first epoch) — any other
+        failure must raise so foreachBatch retries (the streaming-dedup
+        lesson)."""
+        from pyspark.errors import AnalysisException
+
+        cols = [c.split()[0] for c in schema.split(", ")]
+        try:
+            df = self.spark.read.schema(schema + ", batch int").parquet(
+                f"{self.path}/{sub}"
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return self.spark.createDataFrame([], schema).select(*cols)
+        return df.where(F.col("batch") < int(batch_id)).select(*cols)
+
+    # -- epoch write --------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One epoch: overwrite this batch's counts partition, then
+        discover exactly the pairs this batch's NOVEL tokens introduce.
+
+        Both writes are deterministic in (batch rows, prior partitions):
+        the counts are a pure aggregate of the batch, and the novel set
+        is computed against ``batch < N`` state only — immutable by the
+        overwrite discipline — so retries and double-runs land
+        byte-identical state.
+        """
+        from ..pipeline.dedup import edit_distance_join, edit_distance_pairs
+
+        bid = int(batch_id)
+        counts = (
+            batch.select(F.col(self.tok_col).cast("string").alias("tok"))
+            .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{self.path}/counts/batch={bid}"
+        )
+
+        prior_vocab = (
+            self._prior("counts", COUNTS_SCHEMA, bid)
+            .select("tok")
+            .distinct()
+        )
+        novel = (
+            self.spark.read.schema(COUNTS_SCHEMA)
+            .parquet(f"{self.path}/counts/batch={bid}")
+            .select("tok")
+            .join(prior_vocab, "tok", "left_anti")
+        )
+        self_pairs = edit_distance_pairs(
+            novel, key_col="tok", max_dist=self.max_dist, q=self.q
+        )
+        cross = edit_distance_join(
+            novel,
+            prior_vocab,
+            "tok",
+            "tok",
+            max_dist=self.max_dist,
+            q=self.q,
+        )
+        cross_pairs = cross.select(
+            F.least("tok", "tok_r").alias("s1"),
+            F.greatest("tok", "tok_r").alias("s2"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        self_pairs.unionByName(cross_pairs).write.mode("overwrite").parquet(
+            f"{self.path}/pairs/batch={bid}"
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str, **trigger):
+        """Wire onto a streaming DataFrame carrying ``self.tok_col``."""
+        return (
+            stream.writeStream.foreachBatch(
+                lambda b, i: self.process_batch(b, i)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
+    # -- serve --------------------------------------------------------
+
+    def vocab(self) -> DataFrame:
+        """Stream-lifetime (tok, n): the algebraic fold of all epochs'
+        count partitions."""
+        return (
+            self.spark.read.schema(COUNTS_SCHEMA + ", batch int")
+            .parquet(f"{self.path}/counts")
+            .groupBy("tok")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    def pairs(self) -> DataFrame:
+        """Stream-lifetime fuzzy pairs.  ``distinct()`` is belt-and-
+        braces: the arrival-order decomposition emits each unordered
+        pair in exactly one epoch."""
+        return (
+            self.spark.read.schema(PAIRS_SCHEMA + ", batch int")
+            .parquet(f"{self.path}/pairs")
+            .select("s1", "s2", "dist")
+            .distinct()
+        )
+
+    def canonical_map(self) -> DataFrame:
+        """(tok, canonical, canonical_n) for every token seen — the same
+        election as the batch ``vocab_canonical`` chain, over the
+        incrementally-maintained state."""
+        from ..pipeline.dedup import fuzzy_canonical_map
+
+        return fuzzy_canonical_map(self.vocab(), self.pairs())
+
+    def compact(self, target_bytes: int = 128 << 20) -> bool:
+        """Fold both tables' per-batch partitions into the batch=-1
+        sentinel (stream STOPPED; compact_batched_table's contract —
+        row-preserving, so the sum/distinct folds above are unchanged)."""
+        from .dedup import compact_batched_table
+
+        a = compact_batched_table(
+            self.spark, self.path, "counts", COUNTS_SCHEMA, target_bytes
+        )
+        b = compact_batched_table(
+            self.spark, self.path, "pairs", PAIRS_SCHEMA, target_bytes
+        )
+        return a or b

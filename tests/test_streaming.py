@@ -1469,3 +1469,131 @@ def test_ivfpq_index_maintainer_streams_code_appends_exactly_once(
     n_stats = spark.read.parquet(f"{path}/stats").count()
     maint.process_batch(batch.limit(0), 5)
     assert spark.read.parquet(f"{path}/stats").count() == n_stats
+
+
+def test_canonical_stream_equals_batch(spark, tmp_path):
+    """N streamed epochs of token batches yield EXACTLY the batch
+    recompute's canonical map over the concatenated corpus (counts fold,
+    pairs decompose by arrival order: novel x novel + novel x prior),
+    and re-running an epoch (a foreachBatch retry / double-run) changes
+    nothing — both state tables are deterministic overwrites of the
+    epoch's own partition."""
+    from nntsc_spark.pipeline.dedup import (
+        edit_distance_pairs,
+        fuzzy_canonical_map,
+    )
+    from nntsc_spark.streaming.canonical import CanonicalMapMaintainer
+
+    # three epochs: repeats within and across epochs, typo variants that
+    # pair within an epoch (cat/cap), across epochs (crane/crate,
+    # spark/spork), short tokens for the deletion stratum, and a
+    # singleton ('zebra') with no neighbours at all
+    epochs = [
+        ["cat", "cat", "cap", "crane", "spark", "spark", "a"],
+        ["crate", "cat", "spork", "ab", "a"],
+        ["zebra", "crate", "crate", "cap", "b"],
+    ]
+
+    def frame(toks):
+        return spark.createDataFrame([(t,) for t in toks], "tok string")
+
+    cm = CanonicalMapMaintainer(spark, str(tmp_path / "canon"))
+    for i, toks in enumerate(epochs):
+        cm.process_batch(frame(toks), i)
+
+    all_toks = frame([t for e in epochs for t in e])
+    vocab = all_toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    batch_pairs = edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+    want_pairs = {
+        (r.s1, r.s2, r.dist) for r in batch_pairs.collect()
+    }
+    want_map = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in fuzzy_canonical_map(vocab, batch_pairs).collect()
+    }
+
+    got_pairs = {(r.s1, r.s2, r.dist) for r in cm.pairs().collect()}
+    assert got_pairs == want_pairs
+    got_map = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map().collect()
+    }
+    assert got_map == want_map
+
+    # each unordered pair is discovered in exactly ONE epoch (the
+    # arrival-order decomposition) — no distinct() needed to hold
+    raw = spark.read.schema(
+        "s1 string, s2 string, dist int, batch int"
+    ).parquet(str(tmp_path / "canon" / "pairs"))
+    assert raw.count() == len(want_pairs)
+
+    # double-run idempotence: replay the middle epoch (fresh reads —
+    # the overwrite invalidates the earlier frame's file listing)
+    cm.process_batch(frame(epochs[1]), 1)
+    assert {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map().collect()
+    } == want_map
+    assert (
+        spark.read.schema("s1 string, s2 string, dist int, batch int")
+        .parquet(str(tmp_path / "canon" / "pairs"))
+        .count()
+        == len(want_pairs)
+    )
+
+
+def test_canonical_compaction_and_file_stream(spark, tmp_path):
+    """End-to-end through a real file-source stream (availableNow), then
+    compaction: the served map equals the batch recompute before and
+    after folding both state tables into the batch=-1 sentinel."""
+    from nntsc_spark.pipeline.dedup import (
+        edit_distance_pairs,
+        fuzzy_canonical_map,
+    )
+    from nntsc_spark.streaming.canonical import CanonicalMapMaintainer
+
+    toks = ["hash", "hush", "mash", "join", "jobn", "scan", "scan", "x"]
+    src = tmp_path / "src"
+    spark.createDataFrame([(t,) for t in toks], "tok string").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("tok string").parquet(str(src))
+
+    cm = CanonicalMapMaintainer(spark, str(tmp_path / "canon"))
+    q = cm.attach(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    vocab = (
+        spark.createDataFrame([(t,) for t in toks], "tok string")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    want = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in fuzzy_canonical_map(
+            vocab, edit_distance_pairs(vocab, key_col="tok", max_dist=2, q=2)
+        ).collect()
+    }
+    assert {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map().collect()
+    } == want
+
+    import glob
+
+    # feed a couple more epochs directly so there is something to fold
+    cm.process_batch(
+        spark.createDataFrame([("hash",), ("josh",)], "tok string"), 7
+    )
+    before = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map().collect()
+    }
+    assert cm.compact()
+    assert glob.glob(str(tmp_path / "canon" / "counts" / "batch=-1"))
+    assert not glob.glob(str(tmp_path / "canon" / "counts" / "batch=[0-9]*"))
+    after = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map().collect()
+    }
+    assert after == before
