@@ -42,7 +42,7 @@ def training_corpus(
     emb_threshold: float = 0.95,
     emb_per_cell: int = 15,
     emb_centroids: list[tuple[int, list[float]]] | None = None,
-    emb_assign_two_level: bool = False,
+    emb_assign_two_level: bool | None = None,
 ) -> DataFrame:
     """One-call corpus prep: eval holdout -> quality + language filter ->
     near-dup survivor election -> n-gram decontamination -> PII scrub

@@ -1170,6 +1170,29 @@ def embedding_dedup_clusters(
 #: blocked GEMM does the same flops at memory bandwidth.
 ARROW_ASSIGN_MIN_NLIST = 64
 
+#: switch SemDeDup-family assignment to the two-level coarse-quantizer
+#: front when ``assign_two_level=None`` (auto) and the quantizer has at
+#: least this many cells.  The scaled probes validated the handoff
+#: bracket: flat BLAS is honest O(nlist * dims)/row and measured fine to
+#: nlist=800 (x100 cells), while nlist=8000 (x1000) ran the two-level
+#: front (SCALING.md) — the same ~1e3-1e4-cell handoff production
+#: systems make (faiss fronts an HNSW/IMI quantizer the same way).  The
+#: front is APPROXIMATE (pytest pins >=95% agreement on clustered data),
+#: so auto engages it only past this size; pass False to force exact
+#: assignment at any nlist, True to force the front below it.
+TWO_LEVEL_ASSIGN_MIN_NLIST = 1000
+
+
+def _resolve_two_level(n_cents: int, flag: bool | None) -> bool:
+    """Resolve ``assign_two_level=None`` to the probe-validated handoff:
+    the approximate coarse->fine front at >= TWO_LEVEL_ASSIGN_MIN_NLIST
+    cells, exact assignment below.  Explicit True/False pass through
+    (the oracle-pinned queries' small quantizers resolve to False, so
+    auto never changes an oracle-pinned answer)."""
+    if flag is not None:
+        return bool(flag)
+    return int(n_cents) >= TWO_LEVEL_ASSIGN_MIN_NLIST
+
 
 def _assign_cells_arrow(
     emb: DataFrame,
@@ -1502,7 +1525,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
-    assign_two_level: bool = False,
+    assign_two_level: bool | None = None,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
@@ -1548,11 +1571,14 @@ def semantic_dedup(
     cents = centroids if centroids is not None else centroid_rows(
         emb, resolve_nlist(emb, nlist, target_cell_size), id_col, vec_col
     )
-    if assign_two_level:
-        # the >=1e4-cell production front: coarse->fine routing cuts
+    if _resolve_two_level(len(cents), assign_two_level):
+        # the >=1e3-1e4-cell production front: coarse->fine routing cuts
         # assignment to O(N * (sqrt(nlist) + 2*sqrt(nlist)) * dims);
-        # APPROXIMATE (pytest-pinned agreement on clustered data), so
-        # strictly opt-in — the oracle-pinned defaults never take it
+        # APPROXIMATE (pytest-pinned agreement on clustered data).
+        # assign_two_level=None (the default) takes it automatically at
+        # >= TWO_LEVEL_ASSIGN_MIN_NLIST cells — the probe-validated
+        # handoff — and never below, so the oracle-pinned small-nlist
+        # defaults stay on exact assignment
         assigned = _assign_cells_two_level(emb, cents, id_col, vec_col)
     elif len(cents) >= ARROW_ASSIGN_MIN_NLIST:
         assigned = _assign_cells_arrow(emb, cents, id_col, vec_col)
@@ -1767,7 +1793,7 @@ def curate_embeddings(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     block_factor: int = 4,
-    assign_two_level: bool = False,
+    assign_two_level: bool | None = None,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """The embedding-side curation capstone (the vector sibling of

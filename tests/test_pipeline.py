@@ -2108,6 +2108,40 @@ def test_semantic_dedup_auto_nlist_matches_manual_rule(spark, sf_dir):
     assert auto == byhand
 
 
+def test_semantic_dedup_two_level_auto_handoff(spark, sf_dir):
+    """assign_two_level=None resolves to the probe-validated handoff:
+    exact assignment below TWO_LEVEL_ASSIGN_MIN_NLIST cells (so every
+    oracle-pinned small-nlist query is untouched by the auto default),
+    the approximate coarse->fine front at or above it; explicit flags
+    pass through at any size."""
+    from nntsc_spark.pipeline.similarity import (
+        TWO_LEVEL_ASSIGN_MIN_NLIST,
+        _resolve_two_level,
+        semantic_dedup,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    assert _resolve_two_level(8, None) is False
+    assert _resolve_two_level(TWO_LEVEL_ASSIGN_MIN_NLIST - 1, None) is False
+    assert _resolve_two_level(TWO_LEVEL_ASSIGN_MIN_NLIST, None) is True
+    assert _resolve_two_level(8, True) is True
+    assert _resolve_two_level(10**6, False) is False
+
+    # below the threshold, auto == exact: row-identical outputs
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = {
+        tuple(r)
+        for r in semantic_dedup(emb, nlist=8, threshold=0.45).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, nlist=8, threshold=0.45, assign_two_level=False
+        ).collect()
+    }
+    assert auto == exact
+
+
 def test_curate_embeddings_composes_dedup_then_cap(spark, sf_dir):
     import pyspark.sql.functions as F
     from nntsc_spark.pipeline.similarity import (
