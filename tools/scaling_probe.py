@@ -569,6 +569,173 @@ def build_pipeline_replica(spark, factor: int) -> str:
     return out
 
 
+#: planted-cluster replica geometry (see build_planted_clusters)
+PLANTED_CLUSTERS_PER_REP = 400
+PLANTED_MEMBERS = 5
+PLANTED_DIMS = 256
+
+
+def build_planted_clusters(spark, factor: int) -> str:
+    """Synthetic embeddings with PLANTED, factor-linear cluster structure
+    — the instrument that can probe ``embedding_clusters`` where the
+    sign-flip replica cannot (its cross-replica cosines inject a random
+    tail; verbatim duplication grows pairs quadratically — both measure
+    the generator).
+
+    Geometry, all deterministic in (cluster, member, dim) hashes:
+
+    - **centroids**: one +/-1 sign vector per cluster in 256 dims.  Two
+      independent sign vectors' cosine is a scaled binomial ~N(0, 1/256)
+      (sigma = 0.0625), so the 0.4 verify threshold sits at 6.4 sigma —
+      cross-cluster edges are ~1e-10 probable per pair (~zero through
+      x100, single digits at x1000), i.e. the planted partition IS the
+      answer structure.
+    - **members**: 5 per cluster; member 0 is the centroid, members m>0
+      flip ONE hash-chosen coordinate, so within-cluster pairwise cosine
+      is >= 1 - 4/256 = 0.984 — far above threshold, and high/stable
+      SimHash recall (~0.98 at bits=8, tables=4), identical per replica
+      because the geometry is identical per replica.
+
+    Net: vectors, true pairs (10 per cluster), and components all grow
+    LINEARLY with the factor; what the probe measures is LSH banding +
+    verify + Pregel CC on a fixed-answer-density workload.  Planted
+    truth: cluster(vec_id) = vec_id div 5.  Probe calls pass dims=256.
+    """
+    out = f"{SCRATCH}/planted_x{factor}"
+    if os.path.exists(f"{out}/embeddings.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_clusters = PLANTED_CLUSTERS_PER_REP * factor
+    m, d = PLANTED_MEMBERS, PLANTED_DIMS
+    emb = (
+        spark.range(n_clusters)
+        .select(F.col("id").alias("c"))
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .select(
+            (F.col("c") * m + F.col("m")).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {d - 1}), j -> float("
+                f"(pmod(hash(c, j), 2) * 2 - 1) * (CASE WHEN m > 0 AND "
+                f"j = pmod(hash(c, m, 42), {d}) THEN -1 ELSE 1 END)))"
+            ).alias("embedding"),
+            F.lit("planted").alias("label"),
+        )
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    print(f"built planted x{factor}: {n_clusters * m} vectors", file=sys.stderr)
+    return out
+
+
+#: fuzzy linear replica: tokens shorter than this are dropped.  Two
+#: zero-common-character strings sit at Levenshtein distance
+#: max(len1, len2) exactly, so cross-replica matches under the disjoint
+#: alphabets need BOTH sides <= k; dropping len <= k (k=2 registered)
+#: tokens closes that channel — pure length arithmetic no length-
+#: preserving encoding could avoid.
+FUZZY_MIN_TOK_LEN = 3
+
+
+def build_fuzzy_linear_replica(spark, factor: int) -> str:
+    """Documents replica with FIXED-ANSWER-DENSITY fuzzy structure — the
+    linear instrument for ``vocab_fuzzy`` (the token-tag replica's tags
+    are mutual near-matches across replicas, so its match count grows
+    ~quadratically by construction; SCALING.md's r11 caveat).
+
+    Each replica rewrites every token through its OWN character
+    alphabet: replica i maps ``ch -> chr(0x4E00 + 26*i + (ch - 'a'))``
+    — a per-replica bijection on characters, so WITHIN a replica every
+    pairwise edit distance (and hence the match set, the gram structure,
+    and the deletion neighborhoods) is EXACTLY the base vocabulary's,
+    while CROSS-replica tokens share zero characters, putting any two at
+    distance max(len1, len2) >= FUZZY_MIN_TOK_LEN > k.  Tokens of
+    len <= k are dropped from every replica including x1 (see
+    FUZZY_MIN_TOK_LEN's note) so that length bound holds.  Net: vocabulary Nx,
+    matched pairs EXACTLY Nx — the curve measures candidate generation
+    and verification at fixed answer density, not synthetic pair
+    delivery.  Codepoint range: 0x4E00 + 26*factor stays below the
+    surrogate block (0xD800) through x1000.
+
+    The translation itself runs as a token-level equi-join (per-replica
+    token map built from the char map — vocabulary x factor rows), never
+    a per-character pass over the corpus.
+    """
+    out = f"{SCRATCH}/fuzzlin_x{factor}"
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # per-(replica, char) map — tiny, Python-built (chr() for the unicode
+    # codepoints Spark SQL's chr() cannot produce: it wraps mod 256)
+    char_rows = [
+        (i, chr(97 + j), chr(0x4E00 + 26 * i + j))
+        for i in range(factor)
+        for j in range(26)
+    ]
+    char_map = F.broadcast(
+        spark.createDataFrame(char_rows, "i int, ch string, ch_t string")
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= FUZZY_MIN_TOK_LEN)
+        .distinct()
+    )
+    tok_map = (
+        vocab.crossJoin(
+            spark.range(factor).select(F.col("id").cast("int").alias("i"))
+        )
+        .select(
+            "i",
+            "tok",
+            F.posexplode(F.split("tok", "")).alias("p", "ch"),
+        )
+        .join(char_map, ["i", "ch"])
+        .groupBy("i", "tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "ch_t"))),
+                    lambda s: s["ch_t"],
+                ),
+                "",
+            ).alias("tok_t")
+        )
+    )
+    rep = (
+        docs.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn("i", F.col("i").cast("int"))
+        .select(
+            (F.col("doc_id") + F.col("i").cast("long") * F.lit(10_000_000)
+             ).alias("doc_id"),
+            "i",
+            "lang",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .join(tok_map, ["i", "tok"])  # inner: drops sub-minimum tokens
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_t"))),
+                    lambda s: s["tok_t"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .withColumn("n_chars", F.length("text"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    rep.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    print(f"built fuzzy-linear x{factor}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("scaling-probe")
