@@ -345,9 +345,12 @@ def _capped_queries():
 
         f = _pipe_factor(d)
         emb = load_table(spark, d, "embeddings")
+        # assign_two_level is left at the auto default (r12): the
+        # nlist=8*f sizing crosses TWO_LEVEL_ASSIGN_MIN_NLIST=1000
+        # exactly at the x1000 cell, so auto reproduces the validated
+        # handoff — the probe now exercises the production default
         out = semantic_dedup(
             emb, nlist=8 * f, threshold=0.95,
-            assign_two_level=(f >= 1000),
             centroids=_scaled_centroids(spark, emb, f),
         )
         # per-vector output x100 = 500k rows: roll up so the cell
@@ -363,9 +366,9 @@ def _capped_queries():
 
         f = _pipe_factor(d)
         emb = load_table(spark, d, "embeddings")
+        # auto two-level handoff, as in semantic_dedup_scaled
         return curate_embeddings(
             emb, nlist=8 * f, threshold=0.95, per_cell=15,
-            assign_two_level=(f >= 1000),
             centroids=_scaled_centroids(spark, emb, f),
         )
 
@@ -396,11 +399,11 @@ def _capped_queries():
             emb_nlist=8 * f,
             emb_threshold=0.95,
             emb_per_cell=15,
-            # same x1000 remedies as semantic_dedup_scaled: a quantizer
+            # same x1000 remedy as semantic_dedup_scaled: a quantizer
             # whose id domain spans the replicas (the lowest-id default
-            # saturates past nlist=2000) and the two-level front
+            # saturates past nlist=2000); the two-level front now
+            # engages via the auto default at the x1000 sizing
             emb_centroids=_scaled_centroids(spark, emb, f),
-            emb_assign_two_level=(f >= 1000),
         )
 
     return (
@@ -707,6 +710,7 @@ def build_fuzzy_linear_replica(spark, factor: int) -> str:
             "i", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
         )
         .withColumn("i", F.col("i").cast("int"))
+        .repartition(32, "doc_id", "i")  # spread the x1000 explode
         .select(
             (F.col("doc_id") + F.col("i").cast("long") * F.lit(10_000_000)
              ).alias("doc_id"),
@@ -715,7 +719,9 @@ def build_fuzzy_linear_replica(spark, factor: int) -> str:
             "source",
             F.posexplode(F.split("text", " ")).alias("pos", "tok"),
         )
-        .join(tok_map, ["i", "tok"])  # inner: drops sub-minimum tokens
+        # vocabulary x factor rows: pin the broadcast to the MAP side so
+        # AQE can never elect the exploded corpus side
+        .join(F.broadcast(tok_map), ["i", "tok"])
         .groupBy("doc_id", "lang", "source")
         .agg(
             F.array_join(
