@@ -395,6 +395,16 @@ def _capped_queries():
         )
         return training_corpus(
             load_table(spark, d, "documents"),
+            # replica-appropriate gates (r12): the token-tag transform
+            # zeroes the quality heuristic and classifies every doc
+            # 'und', so the REGISTERED gates keep zero docs — the r11
+            # composed cells ran the heavy dedup/decontamination stages
+            # but an EMPTY kept side and an empty embedding stage.
+            # Relaxing to the replica's own uniform values restores a
+            # realistic survivor volume (~81% of docs) through the
+            # kept-side join, PII scrub, and the whole embedding stage.
+            quality_min=0.0,
+            lang="und",
             embeddings=emb,
             emb_nlist=8 * f,
             emb_threshold=0.95,
@@ -429,8 +439,24 @@ def _capped_queries():
             # measured 327 s warm) — registered here so the capped loop
             # extends the PIPELINE_QUERIES row past its x100 cap; cells
             # <= x100 come from the cache either way
-            "training_corpus": q.queries()["training_corpus"],
+            "training_corpus": lambda spark, d: training_corpus_text(
+                spark, d
+            ),
         },
+    )
+
+
+def training_corpus_text(spark, d):
+    """The text capstone on the tag replica with replica-appropriate
+    gates (see training_corpus_curated_scaled's note — the registered
+    quality/lang gates keep zero tagged docs, emptying every stage after
+    the filters)."""
+    from nntsc_spark.pipeline.corpus import training_corpus
+
+    from nntsc_spark.sources.tables import load_table as _lt
+
+    return training_corpus(
+        _lt(spark, d, "documents"), quality_min=0.0, lang="und"
     )
 
 
