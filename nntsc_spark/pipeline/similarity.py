@@ -668,10 +668,45 @@ def ivf_topk(
     return _per_query_topk(scored, int(k), "cosine", ascending=False)
 
 
+#: SimHash-LSH auto-sizing target: expected vectors per bucket per table
+#: (N / 2^bits) when ``bits`` is left unset.  The r12 planted-cluster
+#: probe measured why bits must grow with the corpus: at FIXED bits the
+#: candidate volume carries an intrinsic ~tables * N^2 / 2^bits term on
+#: ANY data (two unrelated vectors collide per table with probability
+#: ~2^-bits), measured 3.4x slower at a 10x corpus and disk-dead at 100x
+#: (>78 GB of verify-stage spill from ~312M candidates); bits = log N
+#: held the curve near-linear (SCALING.md).  Occupancy 16 reproduces the
+#: oracle-pinned bits=8 exactly up to ~4k vectors.
+DEFAULT_LSH_BUCKET_OCCUPANCY = 16
+
+
+def resolve_bits(
+    emb: DataFrame,
+    bits: int | None,
+    target_occupancy: int = DEFAULT_LSH_BUCKET_OCCUPANCY,
+) -> int:
+    """Resolve ``bits=None`` to ``max(8, ceil(log2(N / target_occupancy)))``
+    — the banding analogue of :func:`resolve_nlist`: signature width
+    grows with log N so bucket occupancy (and with it the per-table
+    candidate volume ~N * occupancy / 2) stays constant.  Costs one
+    ``count()`` at index-build time.  Explicit ``bits`` passes through,
+    so the oracle-pinned queries stay exactly reproducible.  NB recall
+    at fixed ``tables`` declines as bits grow (per-table collision for a
+    true pair is (1 - theta/pi)^bits); high-recall regimes at large N
+    should raise ``tables`` alongside — the standard LSH trade, left to
+    the caller because it multiplies cost."""
+    if bits is not None:
+        return int(bits)
+    import math
+
+    n = emb.count()
+    return max(8, math.ceil(math.log2(max(1.0, n / float(target_occupancy)))))
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
@@ -686,7 +721,14 @@ def embedding_near_duplicates(
     defaults).  The join is an equi-join on (table, signature) — candidates
     are generated bucket-locally, never all-pairs, so the shuffle is keyed
     and bounded by bucket sizes at any corpus scale.
+
+    ``bits=None`` (the default) auto-sizes via :func:`resolve_bits` —
+    signature width grows with log N so the candidate volume stays
+    linear; a fixed width carries an intrinsic quadratic collision term
+    the planted-cluster probe measured disk-dead at a 100x corpus
+    (SCALING.md).
     """
+    bits = resolve_bits(emb, bits)
     tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
     a, b = tagged.alias("a"), tagged.alias("b")
     cands = (
@@ -1127,7 +1169,7 @@ def ivf_maintain(
 def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     tables: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",

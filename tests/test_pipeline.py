@@ -2108,6 +2108,39 @@ def test_semantic_dedup_auto_nlist_matches_manual_rule(spark, sf_dir):
     assert auto == byhand
 
 
+def test_lsh_bits_auto_sizing_matches_manual_rule(spark, sf_dir):
+    """bits=None resolves to max(8, ceil(log2(N / occupancy))) — the
+    banding analogue of the nlist rule: the floor reproduces the
+    oracle-pinned bits=8 exactly at test scales (auto output ==
+    explicit bits=8 output), and the width grows with log N past it."""
+    import math
+
+    from nntsc_spark.pipeline.similarity import (
+        embedding_near_duplicates,
+        resolve_bits,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert resolve_bits(emb, None) == max(8, math.ceil(math.log2(n / 16)))
+    assert resolve_bits(emb, None, target_occupancy=1) == max(
+        8, math.ceil(math.log2(n))
+    )
+    assert resolve_bits(emb, 12) == 12  # explicit passes through
+    auto = {
+        tuple(r)
+        for r in embedding_near_duplicates(emb, threshold=0.3).collect()
+    }
+    byhand = {
+        tuple(r)
+        for r in embedding_near_duplicates(
+            emb, threshold=0.3, bits=resolve_bits(emb, None)
+        ).collect()
+    }
+    assert auto == byhand
+
+
 def test_semantic_dedup_two_level_auto_handoff(spark, sf_dir):
     """assign_two_level=None resolves to the probe-validated handoff:
     exact assignment below TWO_LEVEL_ASSIGN_MIN_NLIST cells (so every
