@@ -901,7 +901,7 @@ def _write_assign_stats(
 def ivf_build_index(
     emb: DataFrame,
     path: str,
-    nlist: int = 16,
+    nlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
@@ -922,8 +922,11 @@ def ivf_build_index(
     anchor.
     """
     spark = emb.sparkSession
+    # nlist=None -> the N/target_cell_size sizing rule (resolve_nlist):
+    # an index built once at a fixed tiny nlist would overfill cells as
+    # the corpus grows, the same failure semantic_dedup's default fixes
     cents = centroids if centroids is not None else centroid_rows(
-        emb, nlist, id_col, vec_col
+        emb, resolve_nlist(emb, nlist), id_col, vec_col
     )
     # persist: the assignment projection feeds both the corpus write and
     # the stats aggregation — one evaluation, not two corpus scans
@@ -1884,7 +1887,7 @@ def curate_embeddings(
 def ivf_requantize(
     spark,
     path: str,
-    nlist: int = 16,
+    nlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_kmeans: bool = False,
@@ -1924,6 +1927,10 @@ def ivf_requantize(
     # rebuilding lazily over the directory being replaced would read
     # through the rename
     emb = spark.read.parquet(f"{path}/corpus").drop("cell", APPEND_BATCH_COL)
+    # nlist=None resolves over the CURRENT corpus (everything appended
+    # since the build) — requantization is exactly the moment the
+    # N/target_cell_size rule should re-evaluate N
+    nlist = resolve_nlist(emb, nlist)
     cents = (
         kmeans_parallel_centroids(emb, nlist, id_col=id_col, vec_col=vec_col)
         if use_kmeans
@@ -2843,7 +2850,7 @@ def _ivfpq_encode_batch(
 def ivfpq_build_index(
     emb: DataFrame,
     path: str,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 4,  # noqa: ARG001 — recorded for symmetry; query-time knob
     m: int = 8,
     ks: int = 16,
@@ -2878,8 +2885,11 @@ def ivfpq_build_index(
     for; opt-in, with served-results parity at full probe pytest-pinned.
     """
     spark = emb.sparkSession
+    # nlist=None -> resolve_nlist's N/target_cell_size rule (see
+    # ivf_build_index) — the persistent-index builds inherit the same
+    # sizing default as the in-memory family
     cents = centroids if centroids is not None else centroid_rows(
-        emb, nlist, id_col, vec_col
+        emb, resolve_nlist(emb, nlist), id_col, vec_col
     )
     if codebooks is None:
         codebooks = _sampled_residual_codebooks(

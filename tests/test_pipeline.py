@@ -2108,6 +2108,31 @@ def test_semantic_dedup_auto_nlist_matches_manual_rule(spark, sf_dir):
     assert auto == byhand
 
 
+def test_index_builds_auto_size_nlist(spark, sf_dir, tmp_path):
+    """ivf_build_index / ivfpq_build_index / ivf_requantize inherit the
+    resolve_nlist sizing default: nlist=None derives max(8, N // 250)
+    cells from the corpus being indexed — and requantization re-derives
+    it from the CURRENT corpus, which is exactly when N should be
+    re-evaluated."""
+    from nntsc_spark.pipeline.similarity import (
+        ivf_build_index,
+        ivf_requantize,
+        ivfpq_build_index,
+        resolve_nlist,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = resolve_nlist(emb, None)
+    ivf_build_index(emb, str(tmp_path / "ivf"))
+    assert spark.read.parquet(str(tmp_path / "ivf" / "centroids")).count() == want
+    ivfpq_build_index(emb, str(tmp_path / "pq"), m=8, ks=16)
+    assert spark.read.parquet(str(tmp_path / "pq" / "centroids")).count() == want
+    out = ivf_requantize(spark, str(tmp_path / "ivf"))
+    assert out["n"] == emb.count()
+    assert spark.read.parquet(str(tmp_path / "ivf" / "centroids")).count() == want
+
+
 def test_lsh_bits_auto_sizing_matches_manual_rule(spark, sf_dir):
     """bits=None resolves to max(8, ceil(log2(N / occupancy))) — the
     banding analogue of the nlist rule: the floor reproduces the
