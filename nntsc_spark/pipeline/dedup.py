@@ -1307,12 +1307,15 @@ def edit_distance_pairs(
     kq = (k + 1) * q
     cand_a = _qgram_candidates(keys.where(F.length("s") >= q), q, k, max_df)
     short_idx = _deletion_index(keys.where(F.length("s") < kq), k)
+    # NB no per-stratum distinct here: the union-level distinct below
+    # already dedups map-side (partial aggregation), so an inner distinct
+    # would buy its early reduction at the price of a whole extra shuffle
+    # of the short-stratum slice on every call
     cand_b = (
         short_idx.select(F.col("s").alias("s1"), "gh")
         .join(short_idx.select(F.col("s").alias("s2"), "gh"), "gh")
         .where(F.col("s1") < F.col("s2"))
         .select("s1", "s2")
-        .distinct()
     )
     tiny = keys.where(F.length("s") <= k)
     near = keys.where(F.length("s") <= 2 * k)
