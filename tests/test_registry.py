@@ -117,3 +117,30 @@ def test_oracle_sql_mentions_no_hostile_types():
     normalization (see round-2 fixes) — oracles must cast them away."""
     for name, sql in ORACLES.items():
         assert "HUGEINT" not in sql.upper(), name
+
+
+def test_bench_artifact_guard_and_headline_list():
+    """r12 verdict tasks #1/#7: the bench must (a) refuse to let an
+    sf!=0.1 run silently replace the committed sf0.1 artifacts unless
+    forced, and (b) keep every headline-tier query resolvable in the
+    registry — a rename would otherwise shrink the fixed comparison list
+    and break round-over-round attribution."""
+    import bench
+
+    assert bench._may_write_full("0.1", force=False)
+    assert not bench._may_write_full("0.01", force=False)
+    assert not bench._may_write_full("0.001", force=False)
+    assert bench._may_write_full("0.01", force=True)
+
+    missing = [n for n in bench.HEADLINE_QUERIES if n not in REGISTRY]
+    assert not missing, missing
+    assert len(bench.HEADLINE_QUERIES) == len(set(bench.HEADLINE_QUERIES))
+    assert len(bench.HEADLINE_QUERIES) >= 20
+
+    prov = bench._provenance("0.1", "headline",
+                             len(bench.HEADLINE_QUERIES), len(REGISTRY),
+                             reps=3, budget=540.0)
+    for key in ("tier", "sf", "n_queries", "registry_size", "reps",
+                "deadline_sec", "deadline_tiering", "driver_mem", "cpus"):
+        assert key in prov, key
+    assert prov["deadline_tiering"] is False  # headline never tiers
