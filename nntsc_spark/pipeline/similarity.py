@@ -20,11 +20,14 @@ BLAS by ~100x on dense linear algebra.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import md5_long
+
+log = logging.getLogger(__name__)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -282,10 +285,23 @@ def resolve_nlist(
     ``count()`` job — an index-BUILD-time step, like the quantizer
     collect itself, never query-time.  Explicit ``nlist`` passes
     through untouched (the oracle-pinned queries stay exactly
-    reproducible)."""
+    reproducible).  The input is scratch-persisted BEFORE the count so
+    the sizing scan is shared with the caller's own downstream scans
+    (Spark's CacheManager serves any semantically-equal plan) — without
+    it, every auto-sized caller evaluated a possibly-expensive lineage
+    twice."""
     if nlist is not None:
         return int(nlist)
-    return max(8, emb.count() // int(target_cell_size))
+    from .dedup import scratch_persist
+
+    emb = scratch_persist(emb)
+    n = emb.count()
+    resolved = max(8, n // int(target_cell_size))
+    log.info(
+        "resolve_nlist: auto-sized nlist=%d from N=%d "
+        "(target_cell_size=%d)", resolved, n, target_cell_size,
+    )
+    return resolved
 
 
 def centroid_rows(
@@ -692,25 +708,111 @@ def resolve_bits(
     ``count()`` at index-build time.  Explicit ``bits`` passes through,
     so the oracle-pinned queries stay exactly reproducible.  NB recall
     at fixed ``tables`` declines as bits grow (per-table collision for a
-    true pair is (1 - theta/pi)^bits); high-recall regimes at large N
-    should raise ``tables`` alongside — the standard LSH trade, left to
-    the caller because it multiplies cost."""
+    true pair is (1 - theta/pi)^bits); :func:`resolve_tables` encodes
+    that trade as the matching ``tables=None`` default on the near-dup
+    family, so full-auto callers keep a recall floor instead of quietly
+    losing duplicates as bits grow.  The input is scratch-persisted
+    BEFORE the count so the sizing scan is shared with the caller's own
+    downstream scans (see :func:`resolve_nlist`)."""
     if bits is not None:
         return int(bits)
     import math
 
+    from .dedup import scratch_persist
+
+    emb = scratch_persist(emb)
     n = emb.count()
-    return max(8, math.ceil(math.log2(max(1.0, n / float(target_occupancy)))))
+    resolved = max(
+        8, math.ceil(math.log2(max(1.0, n / float(target_occupancy))))
+    )
+    log.info(
+        "resolve_bits: auto-sized bits=%d from N=%d (target_occupancy=%d); "
+        "per-table true-pair collision falls as (1-theta/pi)^bits — pair "
+        "with resolve_tables (or raise tables) to hold union recall",
+        resolved, n, target_occupancy,
+    )
+    return resolved
+
+
+def lsh_union_recall(bits: int, tables: int, threshold: float) -> float:
+    """Closed-form candidate-generation recall of multi-table sign-LSH
+    for a true pair at cosine exactly ``threshold``: per-bit collision
+    ``p = 1 - theta/pi`` (the Goemans-Williamson hyperplane identity),
+    per-table ``p^bits``, union over L independent tables
+    ``1 - (1 - p^bits)^L``.  Pairs ABOVE the threshold collide with
+    higher probability, so this lower-bounds recall over the whole
+    accepted set."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, float(threshold)))) / math.pi
+    return 1.0 - (1.0 - p ** int(bits)) ** int(tables)
+
+
+#: resolve_tables refuses to multiply signature/join cost past this many
+#: tables: needing more means the requested (bits, threshold, recall)
+#: combination is uneconomical and bits should come down (or the recall
+#: target should).  64 tables x the auto bits floor of 8 = 512 planes,
+#: already ~7x the registered queries' 4x8.
+MAX_AUTO_TABLES = 64
+
+
+def resolve_tables(
+    bits: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.9,
+    tables: int | None = None,
+) -> int:
+    """Resolve ``tables=None`` to the smallest L whose closed-form union
+    recall (:func:`lsh_union_recall`) meets ``target_recall`` at the
+    verify threshold — the missing half of the LSH auto-sizing story:
+    :func:`resolve_bits` holds bucket occupancy (cost) constant as N
+    grows, and this holds recall constant as bits grow, so a full-auto
+    caller gets BOTH contracts instead of silently trading one for the
+    other (measured on the planted instrument: fixed tables=4 under auto
+    bits lost ~0.9% of true components at x1000).  Explicit ``tables``
+    passes through, so the oracle-pinned queries stay exactly
+    reproducible.  Driver-side arithmetic only — no data scan."""
+    if tables is not None:
+        return int(tables)
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(max(-1.0, min(1.0, float(threshold)))) / math.pi
+    per_table = p ** int(bits)
+    if per_table >= 1.0:
+        return 1
+    want = math.log(1.0 - float(target_recall))
+    have = math.log(1.0 - per_table)
+    resolved = max(1, math.ceil(want / have))
+    if resolved > MAX_AUTO_TABLES:
+        log.warning(
+            "resolve_tables: recall %.3f at threshold %.3f with bits=%d "
+            "needs %d tables; capping at %d (union recall %.3f) — lower "
+            "bits or the recall target",
+            target_recall, threshold, bits, resolved, MAX_AUTO_TABLES,
+            lsh_union_recall(bits, MAX_AUTO_TABLES, threshold),
+        )
+        resolved = MAX_AUTO_TABLES
+    else:
+        log.info(
+            "resolve_tables: auto-sized tables=%d for recall>=%.3f at "
+            "threshold %.3f with bits=%d (implied union recall %.3f)",
+            resolved, target_recall, threshold, bits,
+            lsh_union_recall(bits, resolved, threshold),
+        )
+    return resolved
 
 
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
     bits: int | None = None,
-    tables: int = 4,
+    tables: int | None = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Near-duplicate vector pairs: LSH-bucketed candidates, exact cosine
     verify >= threshold.  Output (v1, v2, cosine rounded 4).
@@ -726,9 +828,14 @@ def embedding_near_duplicates(
     signature width grows with log N so the candidate volume stays
     linear; a fixed width carries an intrinsic quadratic collision term
     the planted-cluster probe measured disk-dead at a 100x corpus
-    (SCALING.md).
+    (SCALING.md).  ``tables=None`` (the default) then auto-sizes via
+    :func:`resolve_tables` so union recall holds ``target_recall`` at
+    the verify threshold as bits grow — full-auto callers get constant
+    cost AND a recall floor; pass both explicitly for exactly
+    reproducible behavior (the oracle-pinned queries do).
     """
     bits = resolve_bits(emb, bits)
+    tables = resolve_tables(bits, threshold, target_recall, tables)
     tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
     a, b = tagged.alias("a"), tagged.alias("b")
     cands = (
@@ -1173,10 +1280,11 @@ def embedding_dedup_clusters(
     emb: DataFrame,
     threshold: float = 0.95,
     bits: int | None = None,
-    tables: int = 4,
+    tables: int | None = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Resolve embedding near-dup PAIRS into actionable dedup clusters —
     the vector-space counterpart of :func:`~.dedup.dedup_clusters`
@@ -1196,7 +1304,8 @@ def embedding_dedup_clusters(
     from .dedup import connected_components
 
     pairs = embedding_near_duplicates(
-        emb, threshold, bits, tables, dims, id_col, vec_col
+        emb, threshold, bits, tables, dims, id_col, vec_col,
+        target_recall=target_recall,
     ).select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
     cc = connected_components(pairs)
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1233,10 +1342,26 @@ def _resolve_two_level(n_cents: int, flag: bool | None) -> bool:
     the approximate coarse->fine front at >= TWO_LEVEL_ASSIGN_MIN_NLIST
     cells, exact assignment below.  Explicit True/False pass through
     (the oracle-pinned queries' small quantizers resolve to False, so
-    auto never changes an oracle-pinned answer)."""
+    auto never changes an oracle-pinned answer).
+
+    NB this auto default was NEW in r12 — before it the approximate
+    front was strictly opt-in, so a caller passing >=1000 explicit
+    centroids with ``assign_two_level`` unset changed from exact to
+    ~95%-agreement assignment.  The handoff logs itself (below) so that
+    flip is visible in driver logs, and ``assign_two_level=False``
+    restores exact assignment at any size."""
     if flag is not None:
         return bool(flag)
-    return int(n_cents) >= TWO_LEVEL_ASSIGN_MIN_NLIST
+    auto = int(n_cents) >= TWO_LEVEL_ASSIGN_MIN_NLIST
+    if auto:
+        log.info(
+            "assign_two_level auto-engaged at nlist=%d (>= %d): "
+            "APPROXIMATE coarse->fine assignment front (pytest-pinned "
+            ">=95%% agreement); pass assign_two_level=False to force "
+            "exact assignment",
+            int(n_cents), TWO_LEVEL_ASSIGN_MIN_NLIST,
+        )
+    return auto
 
 
 def _assign_cells_arrow(

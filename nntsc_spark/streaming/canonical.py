@@ -161,35 +161,63 @@ class CanonicalMapMaintainer:
         )
 
     # -- serve --------------------------------------------------------
+    #
+    # Torn-read contract: an epoch's parquet overwrite of its own
+    # ``batch=N`` partition is NOT atomic, so a serve read CONCURRENT
+    # with an in-flight epoch can observe a partially written batch=N
+    # (committed partitions ``batch < N`` are immutable and always
+    # consistent).  Readers that must be exact while the stream runs
+    # pass ``as_of_batch`` = the last COMMITTED epoch id (e.g.
+    # ``lastProgress["batchId"] - 1`` off the running query, or the
+    # highest id recorded by their own bookkeeping); the compaction
+    # sentinel -1 always qualifies.  ``as_of_batch=None`` (the default)
+    # reads everything — exact whenever no epoch is mid-write, which is
+    # the batch-recompute-equivalence contract the tests pin.
 
-    def vocab(self) -> DataFrame:
+    def _read_state(
+        self, sub: str, schema: str, as_of_batch: int | None
+    ) -> DataFrame:
+        df = self.spark.read.schema(schema + ", batch int").parquet(
+            f"{self.path}/{sub}"
+        )
+        if as_of_batch is not None:
+            # partition-column predicate: prunes the in-flight (and any
+            # future) batch directories at planning time
+            df = df.where(F.col("batch") <= int(as_of_batch))
+        return df
+
+    def vocab(self, as_of_batch: int | None = None) -> DataFrame:
         """Stream-lifetime (tok, n): the algebraic fold of all epochs'
-        count partitions."""
+        count partitions (through ``as_of_batch`` if given — see the
+        torn-read contract above)."""
         return (
-            self.spark.read.schema(COUNTS_SCHEMA + ", batch int")
-            .parquet(f"{self.path}/counts")
+            self._read_state("counts", COUNTS_SCHEMA, as_of_batch)
             .groupBy("tok")
             .agg(F.sum("n").alias("n"))
         )
 
-    def pairs(self) -> DataFrame:
+    def pairs(self, as_of_batch: int | None = None) -> DataFrame:
         """Stream-lifetime fuzzy pairs.  ``distinct()`` is belt-and-
         braces: the arrival-order decomposition emits each unordered
         pair in exactly one epoch."""
         return (
-            self.spark.read.schema(PAIRS_SCHEMA + ", batch int")
-            .parquet(f"{self.path}/pairs")
+            self._read_state("pairs", PAIRS_SCHEMA, as_of_batch)
             .select("s1", "s2", "dist")
             .distinct()
         )
 
-    def canonical_map(self) -> DataFrame:
+    def canonical_map(self, as_of_batch: int | None = None) -> DataFrame:
         """(tok, canonical, canonical_n) for every token seen — the same
         election as the batch ``vocab_canonical`` chain, over the
-        incrementally-maintained state."""
+        incrementally-maintained state.  With ``as_of_batch`` the
+        election runs over exactly the committed epochs <= it, so a
+        serve concurrent with an in-flight epoch cannot see torn
+        state."""
         from ..pipeline.dedup import fuzzy_canonical_map
 
-        return fuzzy_canonical_map(self.vocab(), self.pairs())
+        return fuzzy_canonical_map(
+            self.vocab(as_of_batch), self.pairs(as_of_batch)
+        )
 
     def compact(self, target_bytes: int = 128 << 20) -> bool:
         """Fold both tables' per-batch partitions into the batch=-1

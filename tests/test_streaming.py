@@ -1520,6 +1520,28 @@ def test_canonical_stream_equals_batch(spark, tmp_path):
     }
     assert got_map == want_map
 
+    # as_of_batch serves exactly the committed-epoch prefix: the torn-read
+    # escape hatch (a read concurrent with an in-flight epoch's non-atomic
+    # overwrite filters to batch <= the last committed id) must equal the
+    # batch recompute over those epochs only
+    prefix = frame([t for e in epochs[:2] for t in e])
+    pvocab = prefix.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ppairs = edit_distance_pairs(pvocab, key_col="tok", max_dist=2, q=2)
+    want_prefix = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in fuzzy_canonical_map(pvocab, ppairs).collect()
+    }
+    got_prefix = {
+        (r.tok, r.canonical, r.canonical_n)
+        for r in cm.canonical_map(as_of_batch=1).collect()
+    }
+    assert got_prefix == want_prefix
+    assert {(r.s1, r.s2, r.dist) for r in cm.pairs(as_of_batch=1).collect()} == {
+        (r.s1, r.s2, r.dist) for r in ppairs.collect()
+    }
+
     # each unordered pair is discovered in exactly ONE epoch (the
     # arrival-order decomposition) — no distinct() needed to hold
     raw = spark.read.schema(
