@@ -227,20 +227,29 @@ def lsh_topk(
     return _per_query_topk(scored, int(k), "cosine", ascending=False)
 
 
-def multi_table_signatures(
+#: switch signature computation from inlined-literal HOF folds to the
+#: Arrow/BLAS matmul path at this many total hyperplanes (tables * bits).
+#: The fold path evaluates tables * bits interpreted aggregate(zip_with)
+#: lambdas per vector — fine at the oracle-pinned 4x8=32 planes, but the
+#: r12 planted x1000 cell named it the dominant superlinear term (1224 s,
+#: SCALING.md): auto sizing grows bits with log N and tables with the
+#: recall target, so production plane counts reach hundreds.  One GEMM
+#: per Arrow batch against a (dims x planes) weight matrix does the same
+#: flops at memory bandwidth.  48 keeps every oracle-pinned query (32
+#: planes) on the expression path the DuckDB oracles replay.
+ARROW_SIG_MIN_PLANES = 48
+
+
+def _multi_table_signatures_expr(
     emb: DataFrame,
     bits: int,
     tables: int,
     dims: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Explode each vector into (table, signature) bucket tags.
-
-    Table ``t`` uses hyperplanes ``t*bits .. t*bits+bits-1``, so every
-    table's signature is independent.  Weights are inlined as literals
-    (see signature_sql), so tagging is a pure projection over the scan.
-    """
+    """The inlined-literal expression form of the signature tagging —
+    what the DuckDB oracles replay term for term (see signature_sql)."""
 
     def sig(t: int) -> Column:
         return F.expr(signature_sql(vec_col, t, bits, dims))
@@ -258,6 +267,92 @@ def multi_table_signatures(
         ).alias("_b"),
     ).select(
         id_col, vec_col, F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s")
+    )
+
+
+def _multi_table_signatures_arrow(
+    emb: DataFrame,
+    bits: int,
+    tables: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched signature tagging: one GEMM per batch against the
+    (dims x tables*bits) weight matrix, then a vectorized sign-pack into
+    per-table longs — the same planes, in the same order, as
+    :func:`signature_sql` (both derive weights from
+    :func:`plane_weights`), so outputs are bit-identical except where a
+    dot product sits within float accumulation error of exactly 0 (GEMM
+    blocking vs left-to-right fold — the `_assign_cells_arrow` caveat;
+    measure-zero on real embeddings, and the oracle-pinned queries stay
+    on the expression path regardless)."""
+    import numpy as np
+
+    W = np.asarray(
+        [plane_weights(p, dims) for p in range(tables * bits)],
+        dtype=np.float64,
+    ).T  # dims x planes, plane p = table p//bits, bit p%bits
+    pow2 = 1 << np.arange(bits, dtype=np.int64)
+    src = emb.select(id_col, vec_col)
+    id_t, vec_t = (f.dataType.simpleString() for f in src.schema.fields)
+    schema = f"`{id_col}` {id_t}, `{vec_col}` {vec_t}, _t int, _s long"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            signs = (V @ W) > 0  # n x planes
+            sigs = (
+                signs.reshape(n, tables, bits) * pow2[None, None, :]
+            ).sum(axis=2, dtype=np.int64)  # n x tables
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), tables),
+                    vec_col: [
+                        v for v in pdf[vec_col] for _ in range(tables)
+                    ],
+                    "_t": np.tile(
+                        np.arange(tables, dtype=np.int32), n
+                    ),
+                    "_s": sigs.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(fn, schema)
+
+
+def multi_table_signatures(
+    emb: DataFrame,
+    bits: int,
+    tables: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector into (table, signature) bucket tags.
+
+    Table ``t`` uses hyperplanes ``t*bits .. t*bits+bits-1``, so every
+    table's signature is independent.  Below ARROW_SIG_MIN_PLANES total
+    planes this is a pure inlined-literal projection over the scan (the
+    form the DuckDB oracles replay); at or above it the identical planes
+    run as one Arrow-batched GEMM + sign-pack per batch — the fold path's
+    per-row interpreted lambda cost was the dominant term of the planted
+    x1000 embedding_clusters cell (pytest pins the two paths
+    bit-identical on the test corpora).
+    """
+    if tables * bits >= ARROW_SIG_MIN_PLANES:
+        return _multi_table_signatures_arrow(
+            emb, bits, tables, dims, id_col, vec_col
+        )
+    return _multi_table_signatures_expr(
+        emb, bits, tables, dims, id_col, vec_col
     )
 
 

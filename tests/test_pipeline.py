@@ -2279,6 +2279,52 @@ def test_full_auto_lsh_sizing_holds_recall_on_planted_clusters(spark):
     assert len(auto & truth) / len(truth) >= 0.9
 
 
+def test_signature_arrow_path_bit_identical_and_gated(spark, sf_dir):
+    """The Arrow/BLAS signature path (one GEMM + sign-pack per batch)
+    must produce BIT-IDENTICAL (id, table, signature) tags to the
+    inlined-literal expression path the oracles replay — same
+    md5-derived planes, same packing — across widths spanning the
+    dispatch gate; and multi_table_signatures must route the
+    oracle-pinned 32-plane shape through expressions while >=48-plane
+    production shapes take the GEMM."""
+    from nntsc_spark.pipeline.similarity import (
+        ARROW_SIG_MIN_PLANES,
+        _multi_table_signatures_arrow,
+        _multi_table_signatures_expr,
+        multi_table_signatures,
+    )
+    from nntsc_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for bits, tables in ((8, 4), (9, 6), (14, 10)):
+        expr = {
+            (r[0], r["_t"], r["_s"])
+            for r in _multi_table_signatures_expr(
+                emb, bits, tables, 64, "vec_id", "embedding"
+            ).collect()
+        }
+        arrow = {
+            (r[0], r["_t"], r["_s"])
+            for r in _multi_table_signatures_arrow(
+                emb, bits, tables, 64, "vec_id", "embedding"
+            ).collect()
+        }
+        assert expr == arrow, (bits, tables)
+    # the vector column passes through the Arrow path unchanged
+    orig = {r[0]: list(r[1]) for r in emb.select("vec_id", "embedding").collect()}
+    got = _multi_table_signatures_arrow(
+        emb, 8, 1, 64, "vec_id", "embedding"
+    ).collect()
+    assert all(list(r["embedding"]) == orig[r[0]] for r in got)
+    # dispatch: 4x8=32 planes (every oracle-pinned query) -> expression;
+    # at or above the gate -> MapInPandas
+    assert 4 * 8 < ARROW_SIG_MIN_PLANES <= 12 * 4
+    below = multi_table_signatures(emb, 8, 4, 64)
+    above = multi_table_signatures(emb, 12, 4, 64)
+    assert "MapInPandas" not in below._jdf.queryExecution().analyzed().toString()
+    assert "MapInPandas" in above._jdf.queryExecution().analyzed().toString()
+
+
 def test_curate_embeddings_composes_dedup_then_cap(spark, sf_dir):
     import pyspark.sql.functions as F
     from nntsc_spark.pipeline.similarity import (
