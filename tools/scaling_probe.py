@@ -768,8 +768,57 @@ def build_fuzzy_linear_replica(spark, factor: int) -> str:
     return out
 
 
+#: driver heap the probe needs by replica factor, measured (SCALING.md):
+#: x1000 cells OOM at the default 8g (4M-doc persisted text + the GEMM
+#: verify share one JVM); x100 is comfortable at 16g.  Running a cell
+#: with too small a heap doesn't fail cleanly — Spark retries around the
+#: OOM and the probe silently measures a crash-retry as if it were the
+#: query, so the requirement is enforced UP FRONT.
+def required_driver_mem_gb(max_factor: int) -> int:
+    if max_factor >= 1000:
+        return 48
+    if max_factor >= 100:
+        return 16
+    return 8
+
+
+def _parse_mem_gb(raw: str) -> float:
+    """'48g' / '8192m' -> GiB; unparseable -> 0 (treated as too small)."""
+    s = raw.strip().lower()
+    try:
+        if s.endswith("g"):
+            return float(s[:-1])
+        if s.endswith("m"):
+            return float(s[:-1]) / 1024.0
+        return float(s) / (1 << 30)
+    except ValueError:
+        return 0.0
+
+
+def _ensure_driver_mem(factors: list[int]) -> None:
+    """Auto-size SPARK_DRIVER_MEM from the largest requested factor (the
+    env var must be set BEFORE the JVM exists), or fail fast naming the
+    required value when the caller pinned a smaller one."""
+    need = required_driver_mem_gb(max(factors))
+    cur = os.environ.get("SPARK_DRIVER_MEM")
+    if cur is None:
+        os.environ["SPARK_DRIVER_MEM"] = f"{need}g"
+        print(
+            f"probe: sized driver heap to {need}g for x{max(factors)}",
+            file=sys.stderr,
+        )
+        return
+    if _parse_mem_gb(cur) < need:
+        raise SystemExit(
+            f"probe: SPARK_DRIVER_MEM={cur} is below the {need}g the "
+            f"x{max(factors)} cells need (SCALING.md) — raise it or "
+            "unset it to let the probe size itself"
+        )
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    _ensure_driver_mem(factors)
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     reg = q.queries()
