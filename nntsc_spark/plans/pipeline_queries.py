@@ -3053,6 +3053,86 @@ WHERE levenshtein(translate(a.tok, 'äé', '{}'),
 """
 
 
+def q_fuzzy_linkage_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`fuzzy_linkage` over NON-ASCII vocabularies on BOTH sides — the
+    two-table extension of `vocab_fuzzy_unicode`'s contract: the r12
+    placeholder-bijection oracle covered the self-join
+    (edit_distance_pairs) only, leaving the lexicon-vs-corpus form
+    (`edit_distance_join`) ASCII-pinned.  Accents are injected
+    deterministically into both the lexicon and the corpus vocabulary
+    (``translate('ae' -> 'äé')``), so the A-side index, the B-side
+    probe, and every blocking stratum run over multi-byte codepoints;
+    the oracle maps each accented codepoint to an unused single-byte
+    placeholder before its byte-counting levenshtein (byte edits over
+    placeholders == codepoint edits over the accented strings — see
+    q_vocab_fuzzy_unicode).  Output tokens stay accented on both
+    sides."""
+    from ..pipeline.dedup import edit_distance_join
+    from ..pipeline.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def vocab(side):
+        return (
+            side.select(F.explode(tokens_expr("text")).alias("_t"))
+            .where(F.col("_t") != "")
+            .select(F.translate("_t", "ae", "äé").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    lex = vocab(docs.where(F.col("source") == "src0"))
+    rest = vocab(docs.where(F.col("source") != "src0"))
+    links = edit_distance_join(lex, rest, "tok", "tok", max_dist=2, q=2)
+    return (
+        links.join(
+            lex.select(F.col("tok").alias("tok"), F.col("n").alias("n_lex")),
+            "tok",
+        )
+        .join(
+            rest.select(
+                F.col("tok").alias("tok_r"), F.col("n").alias("n_corpus")
+            ),
+            "tok_r",
+        )
+        .select(
+            F.col("tok").alias("lex_tok"),
+            F.col("tok_r").alias("corpus_tok"),
+            "dist",
+            "n_lex",
+            "n_corpus",
+        )
+    )
+
+
+SQL_FUZZY_LINKAGE_UNICODE = """
+WITH lex AS (
+  SELECT translate(tok, 'ae', 'äé') AS tok,
+         CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT t.tok
+    FROM (SELECT string_split(text, ' ') AS l FROM documents
+          WHERE source = 'src0'),
+         LATERAL (SELECT unnest(l) AS tok) t
+  ) WHERE tok <> '' GROUP BY 1
+), corp AS (
+  SELECT translate(tok, 'ae', 'äé') AS tok,
+         CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT t.tok
+    FROM (SELECT string_split(text, ' ') AS l FROM documents
+          WHERE source <> 'src0'),
+         LATERAL (SELECT unnest(l) AS tok) t
+  ) WHERE tok <> '' GROUP BY 1
+)
+SELECT a.tok AS lex_tok, b.tok AS corpus_tok,
+       CAST(levenshtein(translate(a.tok, 'äé', '{}'),
+                        translate(b.tok, 'äé', '{}')) AS INT) AS dist,
+       a.n AS n_lex, b.n AS n_corpus
+FROM lex a JOIN corp b
+  ON levenshtein(translate(a.tok, 'äé', '{}'),
+                 translate(b.tok, 'äé', '{}')) <= 2
+"""
+
+
 TAIL_PIPELINE_REGISTRY = {
     "doc_sample": (q_doc_sample, SQL_DOC_SAMPLE),
     "doc_sample_by": (q_doc_sample_by, SQL_DOC_SAMPLE_BY),
@@ -3166,4 +3246,11 @@ TAIL_PIPELINE_REGISTRY = {
     # vocabulary on the Spark side, byte-faithful placeholder-translate
     # oracle on the DuckDB side
     "vocab_fuzzy_unicode": (q_vocab_fuzzy_unicode, SQL_VOCAB_FUZZY_UNICODE),
+    # round-13: the same contract over the TWO-TABLE form — accented
+    # lexicon linked against an accented corpus vocabulary, byte-faithful
+    # placeholder oracle on both sides of the join
+    "fuzzy_linkage_unicode": (
+        q_fuzzy_linkage_unicode,
+        SQL_FUZZY_LINKAGE_UNICODE,
+    ),
 }
