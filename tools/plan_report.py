@@ -125,6 +125,10 @@ HEADLINE = [
     "fuzzy_linkage",
     "doc_normalize_tokens",
     "corpus_shuffle",
+    # round-12 operators
+    "vocab_fuzzy_unicode",
+    # round-13 operators
+    "fuzzy_linkage_unicode",
 ]
 
 
