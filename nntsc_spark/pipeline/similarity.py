@@ -208,21 +208,20 @@ def lsh_topk(
         "_t",
         "_s",
     )
+    # cosine inside the join projection, dedup on the scalar triple: the
+    # multi-table dedup shuffle moves (query, neighbor, score) rows, not
+    # vector pairs (see embedding_near_duplicates for the measured why)
     scored = (
         tagged.join(F.broadcast(queries), ["_t", "_s"])
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("nvec"),
-            F.col("qvec"),
+            F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 4).alias(
+                "cosine"
+            ),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 4).alias("cosine"),
-        )
     )
     return _per_query_topk(scored, int(k), "cosine", ascending=False)
 
@@ -950,6 +949,17 @@ def embedding_near_duplicates(
     tables = resolve_tables(bits, threshold, target_recall, tables)
     tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
     a, b = tagged.alias("a"), tagged.alias("b")
+    # Verify BEFORE the pair dedup: cosine is a deterministic function of
+    # the pair, so filtering first and distinct-ing the (v1, v2, cosine)
+    # SCALARS afterwards returns exactly the same rows as dedup-then-
+    # verify — but the dropDuplicates shuffle carries ~24 bytes per
+    # surviving pair instead of TWO dims-sized vectors per CANDIDATE
+    # (at the planted x1000 shape that is ~4M scalar rows vs ~60M
+    # 4 KB rows — the r13 re-measure found the old order filling 77 GB
+    # of spill and dying before the verify even ran).  The price is one
+    # cosine evaluation per candidate OCCURRENCE instead of per distinct
+    # pair — bounded by the table count, typically ~1.2x — done map-side
+    # inside the join projection, no extra exchange.
     cands = (
         a.join(
             b,
@@ -960,19 +970,15 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("v1"),
             F.col(f"b.{id_col}").alias("v2"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
+            F.round(
+                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                4,
+            ).alias("cosine"),
         )
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["v1", "v2"])
-        .select(
-            "v1",
-            "v2",
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 4).alias(
-                "cosine"
-            ),
-        )
     )
-    return cands.where(F.col("cosine") >= threshold)
+    return cands
 
 
 def brute_force_near_duplicates(
