@@ -947,7 +947,17 @@ def embedding_near_duplicates(
     """
     bits = resolve_bits(emb, bits)
     tables = resolve_tables(bits, threshold, target_recall, tables)
-    tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
+    # Norms ride the tag rows: cosine_expr evaluates THREE dims-wide
+    # interpreted folds per pair (dot + both norms), and at the planted
+    # x1000 shape the join emits ~60M candidate occurrences — carrying
+    # each vector's norm once per tag (a per-TAG fold, occupancy-times
+    # rarer than candidates) leaves ONE fold per candidate.
+    # ``dot/(na*nb)`` is the identical IEEE expression tree cosine_expr
+    # builds, evaluated on the same doubles, so the scores (and the
+    # oracle hashes) are unchanged bit for bit.
+    tagged = multi_table_signatures(
+        emb, bits, tables, dims, id_col, vec_col
+    ).withColumn("_n", norm_expr(F.col(vec_col)))
     a, b = tagged.alias("a"), tagged.alias("b")
     # Verify BEFORE the pair dedup: cosine is a deterministic function of
     # the pair, so filtering first and distinct-ing the (v1, v2, cosine)
@@ -971,7 +981,8 @@ def embedding_near_duplicates(
             F.col(f"a.{id_col}").alias("v1"),
             F.col(f"b.{id_col}").alias("v2"),
             F.round(
-                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
                 4,
             ).alias("cosine"),
         )
