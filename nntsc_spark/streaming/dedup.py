@@ -309,23 +309,29 @@ class IncrementalDeduper:
                 done.append(name)
         return done
 
-    def corpus(self) -> DataFrame:
+    def corpus(self, as_of_batch: int | None = None) -> DataFrame:
         """All accepted documents across batches.
 
         Raises FileNotFoundError (with a clear message) before the first
         batch commits — the accepted-docs schema equals the INPUT schema,
         which the index doesn't know, so an empty frame can't be built.
+        ``as_of_batch`` filters to committed epochs <= it (sentinel -1
+        qualifies) — the torn-read escape hatch for reads concurrent
+        with an in-flight epoch's non-atomic batch=N overwrite.
         """
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.out_path).drop("batch")
+            df = self.spark.read.parquet(self.out_path)
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc):
                 raise
             raise FileNotFoundError(
                 f"no batches committed yet under {self.out_path}"
             ) from exc
+        if as_of_batch is not None:
+            df = df.where(F.col("batch") <= int(as_of_batch))
+        return df.drop("batch")
 
     def start_stream(
         self, doc_stream: DataFrame, checkpoint: str, text_col: str = "text"
@@ -474,18 +480,23 @@ class IncrementalSpanIndex:
                 done.append(name)
         return done
 
-    def spans(self) -> DataFrame:
+    def spans(self, as_of_batch: int | None = None) -> DataFrame:
         """All detected spans across batches (empty frame with the right
         schema before any batch has committed, matching the class's
-        missing-subdirectory-reads-as-zero-rows contract)."""
+        missing-subdirectory-reads-as-zero-rows contract).
+        ``as_of_batch`` filters to committed epochs <= it — the
+        torn-read contract shared by every maintainer serve path."""
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.out_path).drop("batch")
+            df = self.spark.read.parquet(self.out_path)
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc):
                 raise
             return self.spark.createDataFrame([], self._SPANS_SCHEMA)
+        if as_of_batch is not None:
+            df = df.where(F.col("batch") <= int(as_of_batch))
+        return df.drop("batch")
 
     def start_stream(
         self, doc_stream: DataFrame, checkpoint: str, text_col: str = "text"

@@ -70,24 +70,32 @@ class SketchMaintainer:
             .start()
         )
 
-    def merged(self) -> DataFrame:
+    def merged(self, as_of_batch: int | None = None) -> DataFrame:
         """The stream-lifetime sketch: all batches summed cell-wise.
 
         Explicit schema (not inference) so a crash-left empty partition
-        reads as zero rows, the streaming-dedup lesson.
+        reads as zero rows, the streaming-dedup lesson.  ``as_of_batch``
+        filters to committed epochs <= it (the compaction sentinel -1
+        always qualifies) — the torn-read escape hatch for reads
+        concurrent with an in-flight epoch's non-atomic batch=N
+        overwrite, same contract as the canonical maintainer's serve
+        path.
         """
-        return (
-            self.spark.read.schema(SKETCH_SCHEMA + ", batch int")
-            .parquet(self.path)
-            .groupBy("row", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
+        df = self.spark.read.schema(SKETCH_SCHEMA + ", batch int").parquet(
+            self.path
         )
+        if as_of_batch is not None:
+            df = df.where(F.col("batch") <= int(as_of_batch))
+        return df.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
-    def estimate(self, probes: DataFrame) -> DataFrame:
+    def estimate(
+        self, probes: DataFrame, as_of_batch: int | None = None
+    ) -> DataFrame:
         """Point estimates against the merged sketch — same one-sided
         error contract as the batch reader (pipeline/sketches.py)."""
         return cms_estimate(
-            self.merged(), probes, self.col, self.depth, self.width
+            self.merged(as_of_batch), probes, self.col, self.depth,
+            self.width,
         )
 
     def compact(self, target_bytes: int = 128 << 20) -> bool:
@@ -157,21 +165,25 @@ class HllMaintainer:
             .start()
         )
 
-    def merged(self) -> DataFrame:
-        """Stream-lifetime registers: element-wise max over all epochs."""
-        return (
-            self.spark.read.schema(HLL_SCHEMA + ", batch int")
-            .parquet(self.path)
-            .groupBy("register")
-            .agg(F.max("max_rho").alias("max_rho"))
+    def merged(self, as_of_batch: int | None = None) -> DataFrame:
+        """Stream-lifetime registers: element-wise max over all epochs
+        (through ``as_of_batch`` if given — the committed-prefix
+        torn-read contract, see SketchMaintainer.merged)."""
+        df = self.spark.read.schema(HLL_SCHEMA + ", batch int").parquet(
+            self.path
         )
+        if as_of_batch is not None:
+            df = df.where(F.col("batch") <= int(as_of_batch))
+        return df.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
 
-    def estimate(self) -> float:
+    def estimate(self, as_of_batch: int | None = None) -> float:
         """Current distinct-count estimate (one bounded-row collect)."""
         from ..pipeline.sketches import hll_estimate
 
         return float(
-            hll_estimate(self.merged(), p=self.p).collect()[0]["hll_ndv"]
+            hll_estimate(self.merged(as_of_batch), p=self.p).collect()[0][
+                "hll_ndv"
+            ]
         )
 
     def compact(self, target_bytes: int = 128 << 20) -> bool:

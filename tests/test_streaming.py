@@ -579,6 +579,8 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     )
     corpus = {r.doc_id for r in ded.corpus().collect()}
     assert corpus == {1, 2, 5}
+    # as_of_batch serves the committed-epoch prefix only (torn-read hatch)
+    assert {r.doc_id for r in ded.corpus(as_of_batch=0).collect()} == {1, 2}
     # index holds bands+sigs only for accepted docs
     for sub in ("bands", "sigs"):
         idx = spark.read.parquet(str(tmp_path / "band_index" / sub))
@@ -803,6 +805,14 @@ def test_incremental_spans_across_batches(spark, tmp_path):
                 for r in idx.process_batch(b1, 1).collect()}
     assert s1_retry == s1
     assert spark.read.parquet(str(tmp_path / "span_index/wins")).count() == n_index
+
+    # as_of_batch serves the committed-epoch prefix only (torn-read hatch):
+    # batch 0 flagged nothing, batch 1 flagged s1
+    assert idx.spans(as_of_batch=0).count() == 0
+    assert {
+        (r.doc_id, r.span_start, r.span_end): r.n_windows
+        for r in idx.spans(as_of_batch=1).collect()
+    } == s1
 
 
 def test_live_export_oversized_batch_guard(spark, tmp_path):
@@ -1107,6 +1117,18 @@ def test_streaming_cms_batches_merge_to_whole_and_retry_idempotent(
     again = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
     assert again == whole
 
+    # as_of_batch serves exactly the committed-epoch prefix (the
+    # torn-read escape hatch shared by every maintainer serve path)
+    from nntsc_spark.pipeline.sketches import cms_build as _cb
+
+    prefix = {
+        (r.row, r.bucket): r.cnt for r in _cb(b1, "tok", 3, 32).collect()
+    }
+    assert {
+        (r.row, r.bucket): r.cnt
+        for r in sm.merged(as_of_batch=0).collect()
+    } == prefix
+
     est = {
         r.tok: r.cms_cnt
         for r in sm.estimate(all_toks.select("tok").distinct()).collect()
@@ -1192,6 +1214,15 @@ def test_streaming_hll_batches_merge_to_whole_and_retry_idempotent(
     assert {
         (r.register, r.max_rho) for r in hm.merged().collect()
     } == whole
+
+    # as_of_batch serves the committed-epoch prefix only (torn-read hatch)
+    prefix = {
+        (r.register, r.max_rho) for r in hll_build(b1, "k", p=10).collect()
+    }
+    assert {
+        (r.register, r.max_rho)
+        for r in hm.merged(as_of_batch=0).collect()
+    } == prefix
 
     est = hm.estimate()
     assert abs(est - 400) / 400 < 0.10
