@@ -7,8 +7,9 @@ transmit_client; header format nntsc_hdr_fmt).  Same scheme here: a
 
 Message inventory mirrors README:311-360 and exporter.py's dispatch:
 client->server REQUEST (COLLECTIONS/SCHEMAS/STREAMS), AGGREGATE, SUBSCRIBE,
-MATRIX; server->client COLLECTIONS, SCHEMAS, STREAMS, HISTORY,
-HISTORY_DONE, LIVE, PUSH, ERROR.
+UNSUBSCRIBE, MATRIX, PERCENTILE (rejected); server->client VERSION_CHECK
+(first frame on every connection, exporter.py:1152-1156), COLLECTIONS,
+SCHEMAS, STREAMS, HISTORY, HISTORY_DONE, LIVE, PUSH, ERROR.
 """
 
 from __future__ import annotations
@@ -38,12 +39,28 @@ class FrameTooLarge(ValueError):
     """A frame exceeded MAX_FRAME_BYTES / MAX_BODY_BYTES."""
 
 
+#: Client-API version sent as the body of the connect-time VERSION_CHECK
+#: frame.  The reference transmits its client library's version constant
+#: as the FIRST frame of every connection and clients refuse to proceed on
+#: a mismatch (exporter.py:1150-1156: "Tell the client what version of the
+#: client API they need").  The constant itself lives in the out-of-tree
+#: libnntscclient package, so this engine defines its own version string;
+#: the contract (first frame, exact-match gate) is what matters.
+CLIENTAPI_VERSION = "nntsc-spark/1.0"
+
+
 class Msg(IntEnum):
     # client -> server
     REQUEST = 1
     AGGREGATE = 2
     SUBSCRIBE = 3
     MATRIX = 4
+    # NNTSC_UNSUBSCRIBE (exporter.py:894-905, dispatched inline at :982):
+    # drop streams from a live subscription without disconnecting
+    UNSUBSCRIBE = 5
+    # NNTSC_PERCENTILE: a legacy request the reference politely rejects
+    # with DBWORKER_BADJOB + a log line (exporter.py:144-148)
+    PERCENTILE = 6
     # server -> client
     COLLECTIONS = 10
     SCHEMAS = 11
@@ -56,6 +73,9 @@ class Msg(IntEnum):
     # reference NNTSC_QUERY_CANCELLED (exporter.py:514-521): tells the
     # client the missing range is a query timeout, not an absence of data
     QUERY_CANCELLED = 18
+    # NNTSC_VERSION_CHECK (exporter.py:1152-1156): first frame on every
+    # connection, body = CLIENTAPI_VERSION
+    VERSION_CHECK = 19
 
 
 class Req(IntEnum):

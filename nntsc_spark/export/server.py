@@ -43,7 +43,14 @@ from ..operators.matrix import (
 )
 from ..operators.select import select_data
 from .frequency import estimate_frequency_rows
-from .protocol import FrameTooLarge, Msg, Req, pack, read_message
+from .protocol import (
+    CLIENTAPI_VERSION,
+    FrameTooLarge,
+    Msg,
+    Req,
+    pack,
+    read_message,
+)
 
 HISTORY_FLUSH_ROWS = 10_000  # exporter.py:434-445
 STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
@@ -175,6 +182,17 @@ class ExportServer:
         #: per-client bounded send queues (reference exporter.py:1510-1522)
         self._tx: dict[socket.socket, _ClientTx] = {}
         self._subs: list[Subscription] = []
+        #: collection-interest registry (reference self.collections,
+        #: exporter.py:1294-1302): sockets that issued a STREAMS request
+        #: for a collection get live new-stream announcements for it
+        #: (registration path: worker returns NNTSC_REGISTER_COLLECTION
+        #: after serving STREAMS, exporter.py:1118-1119)
+        self._interest: dict[str, set[socket.socket]] = {}
+        #: freshly announced streams whose FIRST live batch is forwarded
+        #: to the announced sockets even though no subscription names the
+        #: stream yet (reference self.newstreams, exporter.py:1371-1406,
+        #: consumed at :1466-1484 with tosend=1 then deleted)
+        self._new_streams: dict[int, dict] = {}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -220,6 +238,11 @@ class ExportServer:
         tx = _ClientTx(sock)
         with self._lock:
             self._tx[sock] = tx
+        # version handshake: the FIRST frame on every connection tells the
+        # client what client-API version it needs (exporter.py:1150-1156);
+        # enqueued before the reader loop starts, so it precedes any
+        # response frame
+        self._send(sock, Msg.VERSION_CHECK, CLIENTAPI_VERSION)
         try:
             while True:
                 try:
@@ -236,6 +259,14 @@ class ExportServer:
                 if msg is None:
                     return
                 mtype, body = msg
+                if mtype == Msg.UNSUBSCRIBE:
+                    # handled inline in the reader, NOT queued behind the
+                    # worker pool (reference client_message dispatches
+                    # UNSUBSCRIBE before the job queue, exporter.py:982):
+                    # the drop takes effect immediately even while a long
+                    # history query occupies both workers
+                    self._handle_unsubscribe(sock, body)
+                    continue
                 pool.submit(self._run_request, sock, mtype, body)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
@@ -243,6 +274,11 @@ class ExportServer:
             with self._lock:
                 self._tx.pop(sock, None)
                 self._subs = [s for s in self._subs if s.sock is not sock]
+                for socks in self._interest.values():
+                    socks.discard(sock)
+                for ns in self._new_streams.values():
+                    if sock in ns["socks"]:
+                        ns["socks"].remove(sock)
             sock.close()
 
     def _run_request(self, sock: socket.socket, mtype: Msg, body) -> None:
@@ -280,6 +316,17 @@ class ExportServer:
             self._handle_subscribe(sock, body)
         elif mtype == Msg.MATRIX:
             self._handle_matrix(sock, body)
+        elif mtype == Msg.PERCENTILE:
+            # the reference logs "we don't support that anymore" and
+            # returns DBWORKER_BADJOB without informing the client
+            # (exporter.py:144-148 — the XXX asks whether it could); here
+            # the client is told explicitly, as a distinct, polite reply
+            # rather than the generic bad-msgtype fallthrough
+            self._send(
+                sock,
+                Msg.ERROR,
+                {"error": "percentile requests are no longer supported"},
+            )
         else:
             self._send(sock, Msg.ERROR, {"error": f"bad msgtype {mtype}"})
 
@@ -306,6 +353,13 @@ class ExportServer:
         elif req == Req.STREAMS:
             streams = self.collections[body["collection"]]["streams"]
             minid = body.get("minid", 0)
+            # a STREAMS request registers this client's interest in the
+            # collection: streams created AFTER this reply are announced
+            # live instead of waiting for the client's next minid poll
+            # (reference NNTSC_REGISTER_COLLECTION, exporter.py:1118-1119,
+            # register_collection at :1294-1302)
+            with self._lock:
+                self._interest.setdefault(body["collection"], set()).add(sock)
             # toLocalIterator + block framing: the streams dimension is
             # usually small, but a collection with hundreds of thousands
             # of streams must not materialize driver-side (reference
@@ -676,7 +730,73 @@ class ExportServer:
         # ordering-safe vs concurrent publish_live calls
         self._release_live(sub)
 
+    def _handle_unsubscribe(self, sock: socket.socket, body) -> None:
+        """Drop streams from this client's live subscriptions without
+        disconnecting (reference unsubscribe_streams, exporter.py:894-905).
+
+        Body: ``{"collection": name, "streams": [ids]}``.  Effects, all
+        under the lock so they are atomic against a concurrent
+        publish_live: the streams leave every matching subscription's
+        membership set, their buffered-but-unreleased seam rows are
+        discarded (the reference analogue: deleting from ``waitstreams``),
+        and their seam bounds are forgotten.  Other streams in the same
+        subscription keep flowing — including ones sharing a label, the
+        reference's explicitly tolerated partial-label case (the XXX at
+        exporter.py:896-899).
+        """
+        colname = body["collection"]
+        drop = {int(s) for s in body.get("streams", [])}
+        with self._lock:
+            for sub in self._subs:
+                if sub.sock is not sock or sub.colname != colname:
+                    continue
+                sub.stream_ids -= drop
+                sub.buffered = [
+                    b for b in sub.buffered if b[1] not in drop
+                ]
+                for sid in drop:
+                    sub.last_by_stream.pop(sid, None)
+
     # -- live path (called by ingest) ---------------------------------------
+
+    def announce_streams(self, colname: str, rows: list[dict]) -> None:
+        """Announce freshly created streams to collection-interested
+        clients (reference export_new_stream, exporter.py:1351-1406).
+
+        Each interested socket — registered by a prior STREAMS request —
+        receives the new stream rows as ordinary STREAMS frames (the
+        reference reuses NNTSC_STREAMS for announcements, body
+        ``(coll_id, False, [properties])``), batched at
+        STREAMS_BATCH_ROWS like the request path (exporter.py:641-657).
+        Each announced stream is also recorded so its FIRST live batch is
+        forwarded to the announced sockets (reference ``newstreams`` with
+        tosend=1, exporter.py:1466-1484) — the client sees initial data
+        without resubscribing.
+        """
+        if not rows:
+            return
+        with self._lock:
+            socks = list(self._interest.get(colname, ()))
+            for row in rows:
+                sid = row.get("stream_id")
+                if sid is not None and socks:
+                    self._new_streams[int(sid)] = {
+                        "collection": colname,
+                        "socks": list(socks),
+                        "tosend": 1,
+                    }
+        for sock in socks:
+            for i in range(0, len(rows), STREAMS_BATCH_ROWS):
+                block = rows[i : i + STREAMS_BATCH_ROWS]
+                self._send(
+                    sock,
+                    Msg.STREAMS,
+                    {
+                        "collection": colname,
+                        "streams": block,
+                        "more": i + STREAMS_BATCH_ROWS < len(rows),
+                    },
+                )
 
     def publish_live(self, colname: str, stream_id: int, rows: list[dict]) -> None:
         """Fan out freshly ingested rows to matching subscriptions (S9).
@@ -691,6 +811,24 @@ class ExportServer:
         """
         with self._lock:
             subs = list(self._subs)
+            # first live batch of a just-announced stream: forward to the
+            # sockets that received the announcement even though no
+            # subscription names the stream yet (reference
+            # exporter.py:1466-1484, tosend=1 then delete)
+            ns = self._new_streams.get(int(stream_id))
+            if ns is not None and ns["collection"] == colname:
+                ns_socks = list(ns["socks"])
+                del self._new_streams[int(stream_id)]
+            else:
+                ns_socks = []
+        for nsock in ns_socks:
+            for row in rows:
+                self._send(
+                    nsock,
+                    Msg.LIVE,
+                    {"collection": colname, "stream_id": stream_id,
+                     "result": row},
+                )
         for sub in subs:
             if sub.colname != colname or stream_id not in sub.stream_ids:
                 continue

@@ -89,8 +89,24 @@ class CollectionIngestor:
         write is a plain append.
         """
         data = self.parser(raw)
+        existing = self._load_streams()
+        # live new-stream announcements need the pre-upsert id horizon:
+        # upsert ids are assigned as max_existing + rank, so everything
+        # above prev_max is this batch's creations.  The extra agg only
+        # runs when an exporter is wired, and only over the (tiny,
+        # broadcast-sized) dimension table.
+        announce = (
+            self.exporter is not None
+            and self.collection
+            and hasattr(self.exporter, "announce_streams")
+        )
+        prev_max = 0
+        if announce and existing is not None:
+            prev_max = (
+                existing.agg(F.max("stream_id")).collect()[0][0] or 0
+            )
         streams = upsert_streams(
-            self._load_streams(), data.select(*self.unique_cols), self.unique_cols
+            existing, data.select(*self.unique_cols), self.unique_cols
         )
         # cache the (tiny) dimension before two downstream uses
         streams = streams.cache()
@@ -108,6 +124,20 @@ class CollectionIngestor:
             fact.drop(*self.unique_cols), self.fact_path, batch_id=batch_id
         )
         write_dimension(streams, self.streams_path)
+        if announce:
+            # push this batch's created streams to collection-interested
+            # clients (reference parsers/common.py:203-215 publishStream ->
+            # exporter export_new_stream, exporter.py:1351-1406) — BEFORE
+            # the live rows, so a client never sees data for a stream it
+            # was not told about.  New streams are dimension-sized by the
+            # upsert guard, so iterating them driver-side is bounded.
+            new_rows = [
+                r.asDict()
+                for r in streams.where(
+                    F.col("stream_id") > prev_max
+                ).toLocalIterator()
+            ]
+            self.exporter.announce_streams(self.collection, new_rows)
         if self.stats_path:
             self._update_stats(fact)
         if self.exporter is not None and self.collection:

@@ -2,9 +2,11 @@
 
 Per-message-type pytests pin each frame shape in isolation; this module
 pins the whole conversation END TO END the way the oracle pins queries —
-a scripted client session (REQUEST COLLECTIONS -> SCHEMAS -> STREAMS ->
-SUBSCRIBE -> HISTORY -> HISTORY_DONE -> LIVE -> PUSH -> MATRIX, the
-reference's exporter flow, exporter.py:973-1200) is replayed over a real
+a scripted client session (VERSION_CHECK handshake -> REQUEST
+COLLECTIONS -> SCHEMAS -> STREAMS -> SUBSCRIBE -> HISTORY ->
+HISTORY_DONE -> LIVE -> PUSH -> MATRIX -> AGGREGATE -> UNSUBSCRIBE ->
+PERCENTILE rejection -> new-stream announcement, the reference's
+exporter flow, exporter.py:973-1200) is replayed over a real
 socket against a server on a fixed fact table, and every decoded
 response must equal the committed fixture byte-for-byte at the message
 level (type + body).  A framing change now fails the replay until the
@@ -27,9 +29,10 @@ from nntsc_spark.export.protocol import Msg, Req, pack, read_message
 FIXTURE = Path(__file__).parent / "golden" / "protocol_session.json"
 
 #: The scripted session.  Each step is (kind, payload, read_strategy):
-#:   kind "send"    -> payload is (Msg, body) sent on the socket
-#:   kind "publish" -> payload is (stream_id, rows) via server.publish_live
-#:   kind "push"    -> payload is a timestamp via server.push_marker
+#:   kind "send"     -> payload is (Msg, body) sent on the socket
+#:   kind "publish"  -> payload is (stream_id, rows) via server.publish_live
+#:   kind "push"     -> payload is a timestamp via server.push_marker
+#:   kind "announce" -> payload is new-stream rows via server.announce_streams
 #: read_strategy: ("n", k) read exactly k messages; ("more", k) read until
 #: a frame carries more=False (at most k frames, a hang guard).
 SCRIPT = [
@@ -78,6 +81,53 @@ SCRIPT = [
           "start": 1, "stop": 10_000, "binsize": 100}),
         ("n", 2),  # HISTORY (single block) + HISTORY_DONE
     ),
+    # second live subscription so UNSUBSCRIBE can drop one stream while
+    # the other keeps flowing (exporter.py:894-905)
+    (
+        "send",
+        (Msg.SUBSCRIBE,
+         {"collection": "amp-icmp", "labels": {"L2": [2]},
+          "columns": ["value"], "start": 1, "stop": 10_000}),
+        ("n", 2),  # HISTORY (single block) + HISTORY_DONE
+    ),
+    ("send", (Msg.UNSUBSCRIBE,
+              {"collection": "amp-icmp", "streams": [1]}), ("n", 0)),
+    # sync barrier: UNSUBSCRIBE is handled inline by the reader thread
+    # before the next message is read, so once this reply arrives the
+    # drop has taken effect
+    ("send", (Msg.REQUEST, {"request": int(Req.COLLECTIONS)}), ("n", 1)),
+    # stream 1 was dropped: this publish must produce NO frame — a stray
+    # LIVE here would desync every later read against the fixture
+    (
+        "publish",
+        (1, [{"timestamp": 21_000, "value": 1.0, "stream_id": 1,
+              "nntsclabel": "L1"}]),
+        ("n", 0),
+    ),
+    (
+        "publish",
+        (2, [{"timestamp": 21_000, "value": 2.0, "stream_id": 2,
+              "nntsclabel": "L2"}]),
+        ("n", 1),  # LIVE for the still-subscribed stream
+    ),
+    # legacy percentile request: distinct polite rejection
+    ("send", (Msg.PERCENTILE, {"collection": "amp-icmp"}), ("n", 1)),
+    # live new-stream announcement: the STREAMS request above registered
+    # this socket's collection interest (exporter.py:1118-1119), so an
+    # announced stream arrives as a STREAMS frame without re-requesting
+    (
+        "announce",
+        [{"stream_id": 3, "source": "src", "destination": "dst3"}],
+        ("n", 1),
+    ),
+    # ...and its FIRST live batch is forwarded even though no
+    # subscription names stream 3 (exporter.py:1466-1484)
+    (
+        "publish",
+        (3, [{"timestamp": 22_000, "value": 3.0, "stream_id": 3,
+              "nntsclabel": "3"}]),
+        ("n", 1),  # LIVE via the newstreams path
+    ),
 ]
 
 
@@ -120,6 +170,9 @@ def run_session(server) -> list[dict]:
     sock = socket.create_connection(("127.0.0.1", server.port), timeout=60)
     got: list[dict] = []
     try:
+        # frame 0 of every connection: the version handshake, sent by the
+        # server before any request is read (exporter.py:1150-1156)
+        got.extend(_read_per_strategy(sock, ("n", 1)))
         for kind, payload, strategy in SCRIPT:
             if kind == "send":
                 mt, body = payload
@@ -127,6 +180,8 @@ def run_session(server) -> list[dict]:
             elif kind == "publish":
                 sid, rows = payload
                 server.publish_live("amp-icmp", sid, rows)
+            elif kind == "announce":
+                server.announce_streams("amp-icmp", payload)
             elif kind == "push":
                 # push_marker skips subs whose seam drain hasn't settled;
                 # wait for waiting=False so the PUSH frame is deterministic

@@ -9,7 +9,13 @@ import time
 import pytest
 
 from nntsc_spark.export.frequency import estimate_frequency_rows
-from nntsc_spark.export.protocol import Msg, Req, pack, read_message
+from nntsc_spark.export.protocol import (
+    CLIENTAPI_VERSION,
+    Msg,
+    Req,
+    pack,
+    read_message,
+)
 from nntsc_spark.export.server import ExportServer
 
 
@@ -32,6 +38,10 @@ def server(spark):
 
 def _connect(server) -> socket.socket:
     s = socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    # every connection opens with the version handshake (exporter.py:1152);
+    # consume it here so each test reads only its own responses
+    mtype, body = read_message(s)
+    assert mtype == Msg.VERSION_CHECK and body == CLIENTAPI_VERSION
     return s
 
 
@@ -278,7 +288,7 @@ def test_live_export_via_ingest_hook(spark, tmp_path, server):
     from nntsc_spark.ingest.amp_icmp import UNIQUE_COLS, process_icmp
     from nntsc_spark.streaming.ingest import CollectionIngestor
 
-    s = _socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    s = _connect(server)
     s.sendall(
         pack(
             Msg.SUBSCRIBE,
@@ -1157,6 +1167,135 @@ def test_subscribe_timeout_single_history_done_per_label(spark):
         srv.publish_live("amp-icmp", 1, [{"timestamp": 5000, "value": 1.0}])
         mtype, body = read_message(s)
         assert mtype == Msg.LIVE and body["result"]["timestamp"] == 5000
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_version_handshake_precedes_any_response(server):
+    """exporter.py:1150-1156: the FIRST frame on every connection is
+    VERSION_CHECK carrying the client-API version — before any reply."""
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=60)
+    # send a request immediately; the handshake must still arrive first
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, body = read_message(s)
+    assert mtype == Msg.VERSION_CHECK
+    assert body == CLIENTAPI_VERSION
+    mtype, _ = read_message(s)
+    assert mtype == Msg.COLLECTIONS
+    s.close()
+
+
+def test_unsubscribe_drops_stream_keeps_rest(server):
+    """exporter.py:894-905: UNSUBSCRIBE drops streams from a live
+    subscription; the remaining streams keep flowing on the same
+    connection."""
+    s = _connect(server)
+    s.sendall(
+        pack(
+            Msg.SUBSCRIBE,
+            {"collection": "amp-icmp", "labels": {"A": [1], "B": [2]},
+             "columns": ["value"], "start": 1, "stop": 10_000},
+        )
+    )
+    # both labels complete their history replay
+    msgs = _drain_until(s, Msg.HISTORY_DONE, limit=100)
+    if len([b for t, b in msgs if t == Msg.HISTORY_DONE]) < 2:
+        _drain_until(s, Msg.HISTORY_DONE, limit=100)
+
+    s.sendall(pack(Msg.UNSUBSCRIBE,
+                   {"collection": "amp-icmp", "streams": [1]}))
+    # sync barrier: UNSUBSCRIBE is handled inline by the reader thread
+    # BEFORE the next message is read, so this reply proves the drop
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, _ = read_message(s)
+    assert mtype == Msg.COLLECTIONS
+
+    server.publish_live(
+        "amp-icmp", 1,
+        [{"timestamp": 50_000, "value": 1.0, "stream_id": 1,
+          "nntsclabel": "A"}],
+    )
+    server.publish_live(
+        "amp-icmp", 2,
+        [{"timestamp": 50_000, "value": 2.0, "stream_id": 2,
+          "nntsclabel": "B"}],
+    )
+    # only stream 2's row arrives; a LIVE for stream 1 here would be read
+    # as the first frame and fail the stream-id assertion
+    mtype, body = read_message(s)
+    assert mtype == Msg.LIVE
+    assert body["stream_id"] == 2 and body["result"]["value"] == 2.0
+    s.close()
+
+
+def test_percentile_politely_rejected(server):
+    """exporter.py:144-148: legacy NNTSC_PERCENTILE gets an explicit
+    'no longer supported' reply, not the generic bad-msgtype error."""
+    s = _connect(server)
+    s.sendall(pack(Msg.PERCENTILE, {"collection": "amp-icmp"}))
+    mtype, body = read_message(s)
+    assert mtype == Msg.ERROR
+    assert "percentile" in body["error"].lower()
+    # connection still usable afterwards
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, _ = read_message(s)
+    assert mtype == Msg.COLLECTIONS
+    s.close()
+
+
+def test_new_stream_announced_live_via_ingest(spark, tmp_path):
+    """exporter.py:1351-1406 + parsers/common.py:203-215: a client that
+    issued a STREAMS request is told about streams created by a later
+    ingest batch — without re-requesting — and receives the new stream's
+    first live rows (the newstreams forwarding, exporter.py:1466-1484)."""
+    from nntsc_spark.ingest.amp_icmp import UNIQUE_COLS, process_icmp
+    from nntsc_spark.streaming.ingest import CollectionIngestor
+
+    streams = spark.createDataFrame(
+        [], "stream_id long, source string, destination string"
+    )
+    fact = spark.createDataFrame(
+        [], "stream_id long, timestamp long, value double"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        s = _connect(srv)
+        # registers collection interest (exporter.py:1118-1119)
+        s.sendall(pack(Msg.REQUEST, {"request": int(Req.STREAMS),
+                                     "collection": "amp-icmp", "minid": 0}))
+        mtype, body = read_message(s)
+        assert mtype == Msg.STREAMS and body["streams"] == []
+
+        ing = CollectionIngestor(
+            spark,
+            process_icmp,
+            UNIQUE_COLS,
+            fact_path=str(tmp_path / "fact"),
+            streams_path=str(tmp_path / "streams"),
+            collection="amp-icmp",
+            exporter=srv,
+        )
+        raw = spark.createDataFrame(
+            [("src", 5_000_000, 1234, 0, False, "dstX", "1.2.3.4", 84)],
+            "source string, timestamp long, rtt long, loss long, "
+            "random boolean, target string, address string, packet_size long",
+        )
+        ing.process_batch(raw)
+
+        # announcement arrives as a STREAMS frame
+        mtype, body = read_message(s)
+        assert mtype == Msg.STREAMS
+        assert body["collection"] == "amp-icmp" and body["more"] is False
+        props = body["streams"]
+        assert len(props) == 1 and props[0]["destination"] == "dstX"
+        sid = props[0]["stream_id"]
+        # ...followed by the new stream's first live batch as LIVE
+        mtype, body = read_message(s)
+        assert mtype == Msg.LIVE
+        assert body["stream_id"] == sid
+        assert body["result"]["timestamp"] == 5_000_000
         s.close()
     finally:
         srv.stop()
