@@ -37,10 +37,14 @@ from ..catalog import collection_schema, list_collections
 from ..operators.aggregate import select_aggregated_data
 from ..operators.labels import build_label_map
 from ..operators.matrix import (
+    HOUR,
+    MINUTE,
     choose_rollup_binsize,
     select_matrix_data,
     select_matrix_from_stored,
 )
+from ..operators.rollup import build_rollup
+from ..schemas import COLLECTIONS as SCHEMA_REGISTRY
 from ..operators.select import select_data
 from .frequency import estimate_frequency_rows
 from .protocol import (
@@ -177,6 +181,26 @@ class ExportServer:
         self.query_timeout = query_timeout
         self.spark = spark
         self.collections = collections
+        # default each collection's stored-rollup config from the schema
+        # registry's matrix_cq declarations (the reference ships these in
+        # its parsers and builds Influx CQs from them, amp_icmp.py:72-79,
+        # cqs.py:96-107 build_cqs) — standing up the matrix service needs
+        # no per-deployment wiring.  The rollup DataFrames are declared
+        # lazily here; production replaces them with maintained tables
+        # (streaming.rollup) by passing an explicit "rollups" entry, which
+        # always wins.
+        for name, coll in self.collections.items():
+            cs = SCHEMA_REGISTRY.get(name)
+            if "rollups" in coll or "fact" not in coll or cs is None:
+                continue
+            cols = [
+                c for c in cs.rollup_value_cols if c in coll["fact"].columns
+            ]
+            if cols:
+                coll["rollups"] = {
+                    b: build_rollup(coll["fact"], b, cols)
+                    for b in (MINUTE, HOUR)
+                }
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         #: per-client bounded send queues (reference exporter.py:1510-1522)
@@ -568,6 +592,13 @@ class ExportServer:
             return
         binsize = choose_rollup_binsize(start, stop)
         stored = coll.get("rollups", {}).get(binsize)
+        if stored is not None and any(
+            f"mean_{c}" not in stored.columns for c in body["value_cols"]
+        ):
+            # the stored rollup does not cover every requested column
+            # (request outside the collection's declared matrix_cq set):
+            # fall back to the inline build rather than failing the merge
+            stored = None
         if stored is not None:
             # production path: stored rollup (Influx CQ table analogue,
             # influx.py:384-394) — never touches the raw fact

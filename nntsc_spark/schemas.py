@@ -73,10 +73,30 @@ class CollectionSchema:
     #: collections that share another collection's streams table
     #: (traceroute family, amp_traceroute.py:44-46)
     shared_stream_of: str | None = None
+    #: matrix rollup declarations: (column, agg, output_name) triples,
+    #: verbatim from the reference parsers' ``matrix_cq`` lists (e.g.
+    #: amp_icmp.py:72-79; registry plumbing cqs.py:74-76 getMatrixCQ).
+    #: The reference uses these to create per-collection Influx continuous
+    #: queries precomputing exactly these (column, agg) pairs; here they
+    #: declare which value columns a collection's stored rollups cover, so
+    #: the export server can default its matrix service from the registry
+    #: instead of per-deployment config (operators.rollup.build_rollup
+    #: emits ALL mergeable stats per declared column, a superset of the
+    #: declared agg — the reference adds stats per CQ, influx.py:158-195).
+    matrix_cq: list[tuple[str, str, str]] = field(default_factory=list)
 
     @property
     def name(self) -> str:
         return f"{self.module}-{self.modsubtype}"
+
+    @property
+    def rollup_value_cols(self) -> list[str]:
+        """Distinct data columns named by matrix_cq, declaration order."""
+        seen: list[str] = []
+        for col, _agg, _out in self.matrix_cq:
+            if col not in seen:
+                seen.append(col)
+        return seen
 
     @property
     def stream_table(self) -> str:
@@ -125,6 +145,15 @@ AMP_ICMP = _register(
         _ICMP_STREAM,
         _ICMP_DATA,
         unique_columns=["source", "destination", "packet_size", "family"],
+        # amp_icmp.py:72-79
+        matrix_cq=[
+            ("median", "mean", "median_avg"),
+            ("median", "stddev", "median_stddev"),
+            ("median", "count", "median_count"),
+            ("loss", "sum", "loss_sum"),
+            ("results", "sum", "results_sum"),
+            ("lossrate", "stddev", "lossrate_stddev"),
+        ],
     )
 )
 
@@ -136,6 +165,16 @@ AMP_TCPPING = _register(
         [*_ICMP_STREAM, _f("port", StringType())],
         [*_ICMP_DATA, _f("icmperrors", LongType())],
         unique_columns=["source", "destination", "port", "packet_size", "family"],
+        # inherited unchanged from AmpIcmpParser (amp_tcpping.py:35 extends
+        # it without overriding matrix_cq)
+        matrix_cq=[
+            ("median", "mean", "median_avg"),
+            ("median", "stddev", "median_stddev"),
+            ("median", "count", "median_count"),
+            ("loss", "sum", "loss_sum"),
+            ("results", "sum", "results_sum"),
+            ("lossrate", "stddev", "lossrate_stddev"),
+        ],
     )
 )
 
@@ -194,6 +233,14 @@ AMP_DNS = _register(
             "nsid",
             "instance",
         ],
+        # amp_dns.py matrix_cq
+        matrix_cq=[
+            ("rtt", "mean", "rtt_avg"),
+            ("rtt", "stddev", "rtt_stddev"),
+            ("rtt", "count", "rtt_count"),
+            ("requests", "sum", "requests_sum"),
+            ("lossrate", "stddev", "lossrate_stddev"),
+        ],
     )
 )
 
@@ -222,6 +269,13 @@ AMP_THROUGHPUT = _register(
             "writesize",
             "tcpreused",
             "protocol",
+        ],
+        # amp_throughput.py matrix_cq
+        matrix_cq=[
+            ("bytes", "sum", "bytes"),
+            ("packets", "sum", "packets"),
+            ("runtime", "sum", "runtime"),
+            ("rate", "stddev", "rate"),
         ],
     )
 )
@@ -252,6 +306,15 @@ AMP_HTTP = _register(
             "persist",
             "pipelining",
             "caching",
+        ],
+        # amp_http.py matrix_cq (reference quotes the Influx identifiers;
+        # the quoting is Influx escaping, not part of the column name)
+        matrix_cq=[
+            ("duration", "mean", "duration_avg"),
+            ("duration", "stddev", "duration_stddev"),
+            ("bytes", "max", "bytes_max"),
+            ("bytes", "mean", "bytes_avg"),
+            ("bytes", "stddev", "bytes_stddev"),
         ],
     )
 )
@@ -290,6 +353,15 @@ AMP_UDPSTREAM = _register(
             "packet_count",
             "dscp",
         ],
+        # amp_udpstream.py matrix_cq
+        matrix_cq=[
+            ("packets_sent", "sum", "packets_sent"),
+            ("packets_recvd", "sum", "packets_recvd"),
+            ("lossrate", "stddev", "lossrate_stddev"),
+            ("mean_rtt", "mean", "mean_rtt_avg"),
+            ("mean_rtt", "stddev", "mean_rtt"),
+            ("mean_rtt", "count", "count_mean_rtt"),
+        ],
     )
 )
 
@@ -308,6 +380,19 @@ AMP_YOUTUBE = _register(
             "stall_count",
         ),
         unique_columns=["source", "destination", "quality"],
+        # amp_youtube.py matrix_cq (Influx-quoted in the reference)
+        matrix_cq=[
+            ("total_time", "mean", "total_time_avg"),
+            ("total_time", "stddev", "total_time_stddev"),
+            ("pre_time", "mean", "pre_time_avg"),
+            ("pre_time", "stddev", "pre_time_stddev"),
+            ("initial_buffering", "mean", "initial_buffering_avg"),
+            ("initial_buffering", "stddev", "initial_buffering_stddev"),
+            ("stall_time", "mean", "stall_time_avg"),
+            ("stall_time", "stddev", "stall_time_stddev"),
+            ("stall_count", "mean", "stall_count_avg"),
+            ("stall_count", "stddev", "stall_count_stddev"),
+        ],
     )
 )
 
@@ -335,6 +420,13 @@ AMP_FASTPING = _register(
             "packet_count",
             "preprobe",
         ],
+        # amp_fastping.py matrix_cq
+        matrix_cq=[
+            ("median", "mean", "median_avg"),
+            ("median", "stddev", "median_stddev"),
+            ("lossrate", "mean", "lossrate_avg"),
+            ("lossrate", "stddev", "lossrate_stddev"),
+        ],
     )
 )
 
@@ -346,6 +438,11 @@ AMP_EXTERNAL = _register(
         _string("source", "destination", "command"),
         _long("value"),
         unique_columns=["source", "destination", "command"],
+        # amp_external.py matrix_cq
+        matrix_cq=[
+            ("value", "mean", "value_avg"),
+            ("value", "stddev", "value_stddev"),
+        ],
     )
 )
 
@@ -393,6 +490,17 @@ AMP_SIP = _register(
             "repeat",
             "max_duration",
             "dscp",
+        ],
+        # amp_sip.py matrix_cq
+        matrix_cq=[
+            ("response_time", "mean", "response_time_avg"),
+            ("response_time", "stddev", "response_time_stddev"),
+            ("connect_time", "mean", "connect_time_avg"),
+            ("connect_time", "stddev", "connect_time_stddev"),
+            ("mos", "mean", "mos_avg"),
+            ("mos", "stddev", "mos_stddev"),
+            ("rtt_mean", "mean", "rtt_mean_avg"),
+            ("rtt_mean", "stddev", "rtt_mean_stddev"),
         ],
     )
 )
@@ -443,6 +551,10 @@ AMP_TRACEROUTE_PATHLEN = _register(
         ],
         unique_columns=["source", "destination", "packet_size", "family"],
         shared_stream_of="amp_traceroute",
+        # amp_traceroute_pathlen.py matrix_cq: the one mode rollup; mode is
+        # served via the count-weighted rollup merge, the generic stats
+        # still cover the declared column
+        matrix_cq=[("path_length", "mode", "path_length")],
     )
 )
 
@@ -462,6 +574,13 @@ RRD_SMOKEPING = _register(
             _f("lossrate", DoubleType(), nullable=False),
         ],
         unique_columns=["filename"],
+        # rrd_smokeping.py matrix_cq
+        matrix_cq=[
+            ("median", "mean", "median_avg"),
+            ("median", "stddev", "median_stddev"),
+            ("median", "count", "median_count"),
+            ("loss", "sum", "loss_sum"),
+        ],
     )
 )
 

@@ -1299,3 +1299,115 @@ def test_new_stream_announced_live_via_ingest(spark, tmp_path):
         s.close()
     finally:
         srv.stop()
+
+
+def test_matrix_rollups_default_from_schema_registry(spark, monkeypatch):
+    """Per-collection matrix CQ declarations (amp_icmp.py:72-79, registry
+    plumbing cqs.py:74-76): a server built WITHOUT hand-supplied rollup
+    config serves MATRIX from stored rollups for every collection whose
+    schema declares matrix_cq.  The inline fact-scan path is poisoned, so
+    a fall-through would fail loudly."""
+    import nntsc_spark.export.server as srv_mod
+    from nntsc_spark.schemas import COLLECTIONS as REG
+
+    cases = {
+        "amp-icmp": ("median", 7.0),
+        "amp-tcpping": ("median", 7.0),
+        "amp-dns": ("rtt", 7.0),
+    }
+    colls = {}
+    for name, (col, _mean) in cases.items():
+        cols = REG[name].rollup_value_cols
+        rows = [
+            tuple([1, 1000 + 60 * i] + [float(i % 3) + (6.0 if c == col else 0.0)
+                                        for c in cols])
+            for i in range(9)
+        ]
+        schema = "stream_id long, timestamp long, " + ", ".join(
+            f"{c} double" for c in cols
+        )
+        fact = spark.createDataFrame(rows, schema)
+        streams = spark.createDataFrame(
+            [(1, "src", "d1")],
+            "stream_id long, source string, destination string",
+        )
+        colls[name] = {"fact": fact, "streams": streams}
+
+    srv = ExportServer(spark, colls)
+    # registry defaults materialized for both rollup binsizes
+    for name in cases:
+        assert set(colls[name]["rollups"]) == {60, 3600}
+
+    def poisoned(*a, **k):
+        raise AssertionError("matrix fell through to the raw-fact path")
+
+    monkeypatch.setattr(srv_mod, "select_matrix_data", poisoned)
+    srv.start()
+    try:
+        s = _connect(srv)
+        for name, (col, mean) in cases.items():
+            s.sendall(
+                pack(
+                    Msg.MATRIX,
+                    {"collection": name, "labels": {"L": [1]},
+                     "value_cols": [col], "start": 0, "stop": 7200},
+                )
+            )
+            matrix = []
+            while True:
+                mtype, body = read_message(s)
+                assert mtype == Msg.HISTORY, body
+                matrix.extend(body["matrix"])
+                if body["more"] is False:
+                    break
+            assert len(matrix) == 1
+            row = matrix[0]
+            assert row[f"avg_{col}"] == pytest.approx(mean)
+            assert row[f"count_{col}"] == 9
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_matrix_stored_rollup_falls_back_on_undeclared_column(spark):
+    """A MATRIX request for a column outside the declared matrix_cq set
+    must fall back to the inline fact build, not fail the stored merge."""
+    from nntsc_spark.schemas import COLLECTIONS as REG
+
+    cols = REG["amp-icmp"].rollup_value_cols
+    schema = (
+        "stream_id long, timestamp long, undeclared double, "
+        + ", ".join(f"{c} double" for c in cols)
+    )
+    fact = spark.createDataFrame(
+        [tuple([1, 1000 + 60 * i, 5.0] + [1.0] * len(cols)) for i in range(4)],
+        schema,
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    srv = ExportServer(
+        spark, {"amp-icmp": {"fact": fact, "streams": streams}}
+    )
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.MATRIX,
+                {"collection": "amp-icmp", "labels": {"L": [1]},
+                 "value_cols": ["undeclared"], "start": 0, "stop": 7200},
+            )
+        )
+        matrix = []
+        while True:
+            mtype, body = read_message(s)
+            assert mtype == Msg.HISTORY, body
+            matrix.extend(body["matrix"])
+            if body["more"] is False:
+                break
+        assert len(matrix) == 1
+        assert matrix[0]["avg_undeclared"] == pytest.approx(5.0)
+        s.close()
+    finally:
+        srv.stop()
