@@ -196,18 +196,31 @@ def run_tier(headline: bool, force: bool) -> dict:
 
     total = round(sum(timings.values()), 3)
     tier = "headline" if headline else "full"
+    prov = _provenance(sf, tier, len(names), len(registry), reps, budget)
+    # Key ORDER is load-bearing (r13 verdict task 8): the driver's
+    # captured stdout clips the middle of this (long) line, keeping its
+    # head and tail — so the summary fields sit BEFORE the per-query
+    # table, and a compact duplicate ("head") sits AFTER it, making the
+    # full-registry total and provenance recoverable from either
+    # surviving end of a clipped artifact.
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "provenance": _provenance(
-            sf, tier, len(names), len(registry), reps, budget
-        ),
+        "provenance": prov,
+        "queries": timings,
     }
     if errors:
         out["errors"] = errors
+    out["head"] = {
+        "value": total,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "git_rev": prov.get("git_rev"),
+        "sf": out["sf"],
+        "tier": tier,
+    }
 
     if headline:
         if _may_write_full(sf, force):

@@ -246,16 +246,31 @@ def _multi_table_signatures_expr(
     dims: int,
     id_col: str,
     vec_col: str,
+    include_vec: bool = True,
+    include_norm: bool = False,
 ) -> DataFrame:
     """The inlined-literal expression form of the signature tagging —
-    what the DuckDB oracles replay term for term (see signature_sql)."""
+    what the DuckDB oracles replay term for term (see signature_sql).
+
+    ``include_vec=False`` drops the vector from the tag rows (the r14
+    near-dup path joins on id-and-norm-only tags and re-attaches vectors
+    candidate-bounded); ``include_norm=True`` adds ``_n`` =
+    :func:`norm_expr`, evaluated ONCE per vector before the explode —
+    the same expression tree the r13 per-tag fold evaluated, so the
+    values are bit-identical, at 1/tables the fold count."""
 
     def sig(t: int) -> Column:
         return F.expr(signature_sql(vec_col, t, bits, dims))
 
+    pre = [F.col(id_col), F.col(vec_col)]
+    post = [F.col(id_col)]
+    if include_vec:
+        post.append(F.col(vec_col))
+    if include_norm:
+        pre.append(norm_expr(F.col(vec_col)).alias("_n"))
+        post.append(F.col("_n"))
     return emb.select(
-        id_col,
-        vec_col,
+        *pre,
         F.explode(
             F.array(
                 *[
@@ -265,7 +280,7 @@ def _multi_table_signatures_expr(
             )
         ).alias("_b"),
     ).select(
-        id_col, vec_col, F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s")
+        *post, F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s")
     )
 
 
@@ -276,6 +291,8 @@ def _multi_table_signatures_arrow(
     dims: int,
     id_col: str,
     vec_col: str,
+    include_vec: bool = True,
+    include_norm: bool = False,
 ) -> DataFrame:
     """Arrow-batched signature tagging: vectorized dot products against
     the (dims x tables*bits) weight matrix, then a vectorized sign-pack
@@ -295,7 +312,22 @@ def _multi_table_signatures_arrow(
     rational weights) hit that set constantly — measured ~38k-signature
     divergence on the planted x100 table.  The ordered loop keeps ~5x
     of the fold path's 6x GEMM speedup (memory-bound either way) and
-    buys exact bucket parity with the expression path on ANY input."""
+    buys exact bucket parity with the expression path on ANY input.
+
+    MALFORMED rows (vector NULL, wrong length, NULL element, or a
+    non-finite coordinate) take a per-row scalar replay of the SQL fold
+    instead of the GEMM (r13 advice; the vectorized vstack would crash
+    on ragged input): NULL-poisoned folds give the expression path's
+    all-zero signature and NULL norm exactly.  One documented,
+    deliberate divergence: a dot that folds to NaN takes bit 0 here
+    (all-zero garbage bucket) where the expression path's Spark
+    NaN-above-everything ordering answers ``NaN > 0`` TRUE (all-ones) —
+    pandas erases the NULL-element/NaN distinction on arrival, so only
+    one of the two can be replayed, and masking to zero is the contract
+    (signatures only steer bucketing; such pairs die at the NULL-norm
+    cosine)."""
+    import math
+
     import numpy as np
 
     W = np.asarray(
@@ -305,7 +337,64 @@ def _multi_table_signatures_arrow(
     pow2 = 1 << np.arange(bits, dtype=np.int64)
     src = emb.select(id_col, vec_col)
     id_t, vec_t = (f.dataType.simpleString() for f in src.schema.fields)
-    schema = f"`{id_col}` {id_t}, `{vec_col}` {vec_t}, _t int, _s long"
+    out_cols = [f"`{id_col}` {id_t}"]
+    if include_vec:
+        out_cols.append(f"`{vec_col}` {vec_t}")
+    if include_norm:
+        out_cols.append("_n double")
+    schema = ", ".join(out_cols + ["_t int", "_s long"])
+
+    def _sql_dot(v, w) -> float | None:
+        # scalar replay of aggregate(zip_with(v, w, (x,y) -> x*y), 0D, +):
+        # zip_with pads the shorter side with NULL and NULL poisons the
+        # fold; otherwise a left-to-right float fold (IEEE order matches
+        # the SQL fold term for term)
+        if v is None or len(v) != len(w):
+            return None
+        acc = 0.0
+        for x, y in zip(v, w):
+            if x is None:
+                return None
+            acc += float(x) * y
+        return acc
+
+    def _sql_sigs_row(v) -> list[int]:
+        sigs = []
+        for t in range(tables):
+            s = 0
+            for p in range(bits):
+                dot = _sql_dot(v, W[:, t * bits + p].tolist())
+                # NULL or NaN dot -> bit 0.  For NULL the expression
+                # path agrees (CASE ELSE).  For NaN it does NOT (Spark
+                # sorts NaN above all doubles, so its `NaN > 0` is
+                # TRUE -> all-ones signature) — but Spark's
+                # array<double> -> pandas conversion erases the
+                # NULL-element/NaN distinction (both arrive as NaN), so
+                # the Arrow path CANNOT replay both.  It folds every
+                # NaN dot to bit 0: exact parity for NULL elements (by
+                # far the common malformation), and the all-zero
+                # garbage bucket for true-NaN coordinates — the
+                # advisor-specified masking contract; signatures only
+                # steer candidate bucketing and such pairs die at the
+                # NULL-norm cosine anyway.
+                if dot is not None and not math.isnan(dot) and dot > 0:
+                    s += 1 << p
+            sigs.append(s)
+        return sigs
+
+    def _sql_norm_row(v) -> float:
+        # norm_expr zips the vector with ITSELF, so a wrong-length
+        # vector still folds a real norm over its own elements; only a
+        # NULL vector / NULL element folds to NULL (NaN here — the
+        # pandas->Arrow conversion surfaces both as NULL)
+        if v is None:
+            return math.nan
+        acc = 0.0
+        for x in v:
+            if x is None:
+                return math.nan
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
 
     def fn(batches):
         import pandas as pd
@@ -314,32 +403,71 @@ def _multi_table_signatures_arrow(
             n = len(pdf)
             if not n:
                 continue
-            V = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            vecs = list(pdf[vec_col])
+            good = np.fromiter(
+                (
+                    v is not None
+                    and len(v) == dims
+                    and not any(x is None for x in v)
+                    and np.isfinite(
+                        np.asarray(v, dtype=np.float64)
+                    ).all()
+                    for v in vecs
+                ),
+                dtype=bool,
+                count=n,
             )
-            acc = np.zeros((n, W.shape[1]), dtype=np.float64)
-            for d in range(min(V.shape[1], W.shape[0])):
-                # fold-ordered: multiply rounds once, add rounds once,
-                # dimensions accumulate left to right — the zip_with +
-                # aggregate sequence exactly (numpy runs multiply and
-                # add as separate ufuncs, so no FMA contraction)
-                acc += V[:, d, None] * W[None, d, :]
-            signs = acc > 0  # n x planes
-            sigs = (
-                signs.reshape(n, tables, bits) * pow2[None, None, :]
-            ).sum(axis=2, dtype=np.int64)  # n x tables
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), tables),
-                    vec_col: [
-                        v for v in pdf[vec_col] for _ in range(tables)
-                    ],
-                    "_t": np.tile(
-                        np.arange(tables, dtype=np.int32), n
-                    ),
-                    "_s": sigs.reshape(-1),
-                }
-            )
+            sigs = np.zeros((n, tables), dtype=np.int64)
+            norms = np.full(n, np.nan, dtype=np.float64)
+            if good.any():
+                V = np.vstack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, g in zip(vecs, good)
+                        if g
+                    ]
+                )
+                acc = np.zeros((len(V), W.shape[1]), dtype=np.float64)
+                if include_norm:
+                    nacc = np.zeros(len(V), dtype=np.float64)
+                for d in range(dims):
+                    # fold-ordered: multiply rounds once, add rounds
+                    # once, dimensions accumulate left to right — the
+                    # zip_with + aggregate sequence exactly (numpy runs
+                    # multiply and add as separate ufuncs, so no FMA
+                    # contraction)
+                    acc += V[:, d, None] * W[None, d, :]
+                    if include_norm:
+                        nacc += V[:, d] * V[:, d]
+                signs = acc > 0  # n_good x planes
+                sigs[good] = (
+                    signs.reshape(len(V), tables, bits)
+                    * pow2[None, None, :]
+                ).sum(axis=2, dtype=np.int64)
+                if include_norm:
+                    norms[good] = np.sqrt(nacc)
+            for i in np.flatnonzero(~good):
+                sigs[i] = _sql_sigs_row(vecs[i])
+                if include_norm:
+                    norms[i] = _sql_norm_row(vecs[i])
+            out = {id_col: np.repeat(pdf[id_col].to_numpy(), tables)}
+            if include_vec:
+                out[vec_col] = [v for v in vecs for _ in range(tables)]
+            if include_norm:
+                # malformed rows keep the NaN sentinel, which the
+                # pandas->Arrow conversion surfaces as NULL: on such
+                # rows the expression path's _n is NULL too (NULL fold)
+                # EXCEPT a NaN-coordinate vector, where it is NaN — a
+                # NaN _n makes the downstream cosine NaN, which Spark's
+                # NaN-is-largest ordering would pass through a
+                # `>= threshold` filter; NULL drops the garbage pair
+                # instead.  Signatures stay bit-identical either way;
+                # this is the one documented divergence, and it is in
+                # the drop-garbage direction.
+                out["_n"] = np.repeat(norms, tables)
+            out["_t"] = np.tile(np.arange(tables, dtype=np.int32), n)
+            out["_s"] = sigs.reshape(-1)
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(fn, schema)
 
@@ -351,6 +479,8 @@ def multi_table_signatures(
     dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = True,
+    include_norm: bool = False,
 ) -> DataFrame:
     """Explode each vector into (table, signature) bucket tags.
 
@@ -362,13 +492,23 @@ def multi_table_signatures(
     per-row interpreted lambda cost was the dominant term of the planted
     x1000 embedding_clusters cell (pytest pins the two paths
     bit-identical on the test corpora).
+
+    ``include_vec=False`` emits id-only tag rows (~40 bytes instead of a
+    dims-sized vector per tag): the near-dup self-join's shuffle payload
+    drops from tables-times-corpus vectors to tables-times-corpus
+    scalars, and the Arrow path stops round-tripping every vector
+    ``tables`` times through Arrow.  ``include_norm=True`` adds ``_n``
+    (:func:`norm_expr`), one fold per VECTOR instead of the r13 shape's
+    one per tag row.
     """
     if tables * bits >= ARROW_SIG_MIN_PLANES:
         return _multi_table_signatures_arrow(
-            emb, bits, tables, dims, id_col, vec_col
+            emb, bits, tables, dims, id_col, vec_col,
+            include_vec, include_norm,
         )
     return _multi_table_signatures_expr(
-        emb, bits, tables, dims, id_col, vec_col
+        emb, bits, tables, dims, id_col, vec_col,
+        include_vec, include_norm,
     )
 
 
@@ -947,29 +1087,25 @@ def embedding_near_duplicates(
     """
     bits = resolve_bits(emb, bits)
     tables = resolve_tables(bits, threshold, target_recall, tables)
-    # Norms ride the tag rows: cosine_expr evaluates THREE dims-wide
-    # interpreted folds per pair (dot + both norms), and at the planted
-    # x1000 shape the join emits ~60M candidate occurrences — carrying
-    # each vector's norm once per tag (a per-TAG fold, occupancy-times
-    # rarer than candidates) leaves ONE fold per candidate.
-    # ``dot/(na*nb)`` is the identical IEEE expression tree cosine_expr
-    # builds, evaluated on the same doubles, so the scores (and the
-    # oracle hashes) are unchanged bit for bit.
+    # Vectors NEVER enter the band self-join (r14, the x1000 tail's
+    # dominant remaining term per SCALING.md): tag rows carry only
+    # (id, norm, table, signature) — ~40 bytes instead of a dims-sized
+    # vector — so the self-join shuffle moves tables-x-corpus SCALARS,
+    # not tables-x-corpus 4 KB vectors.  Norms ride the tag rows (one
+    # :func:`norm_expr` fold per VECTOR, computed before the explode)
+    # because the verify needs them per candidate and they are 8 bytes.
     tagged = multi_table_signatures(
-        emb, bits, tables, dims, id_col, vec_col
-    ).withColumn("_n", norm_expr(F.col(vec_col)))
+        emb, bits, tables, dims, id_col, vec_col,
+        include_vec=False, include_norm=True,
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
-    # Verify BEFORE the pair dedup: cosine is a deterministic function of
-    # the pair, so filtering first and distinct-ing the (v1, v2, cosine)
-    # SCALARS afterwards returns exactly the same rows as dedup-then-
-    # verify — but the dropDuplicates shuffle carries ~24 bytes per
-    # surviving pair instead of TWO dims-sized vectors per CANDIDATE
-    # (at the planted x1000 shape that is ~4M scalar rows vs ~60M
-    # 4 KB rows — the r13 re-measure found the old order filling 77 GB
-    # of spill and dying before the verify even ran).  The price is one
-    # cosine evaluation per candidate OCCURRENCE instead of per distinct
-    # pair — bounded by the table count, typically ~1.2x — done map-side
-    # inside the join projection, no extra exchange.
+    # Candidate pairs dedup BEFORE the verify: with scalar-only tag rows
+    # the multi-table duplicate collapse is a ~32-byte-row shuffle, and
+    # doing it first means ONE cosine evaluation per distinct pair
+    # instead of per occurrence (the r13 shape paid per-occurrence
+    # cosines as the price of keeping vectors out of the dedup shuffle;
+    # with no vectors anywhere in the band join both orders are cheap
+    # and dedup-first strictly dominates).
     cands = (
         a.join(
             b,
@@ -980,16 +1116,39 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("v1"),
             F.col(f"b.{id_col}").alias("v2"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .dropDuplicates(["v1", "v2"])
+    )
+    # Re-attach vectors to the SURVIVING candidate id set only: two
+    # equi-joins against the corpus move each corpus vector at most once
+    # per side — candidate-bounded, independent of the table count — and
+    # the two exchanges of `emb` hash-partitioned on id are identical
+    # subplans Catalyst's ReuseExchange collapses to one.  The verify
+    # ``round(dot/(na*nb), 4)`` is the identical IEEE expression tree the
+    # r13 in-join projection evaluated, on the same doubles, so scores
+    # (and oracle hashes) are unchanged bit for bit.
+    e1 = emb.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("_va")
+    )
+    e2 = emb.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        cands.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1",
+            "v2",
             F.round(
-                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a._n") * F.col("b._n")),
+                dot_expr(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
                 4,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["v1", "v2"])
     )
-    return cands
 
 
 def brute_force_near_duplicates(

@@ -173,6 +173,19 @@ class CanonicalMapMaintainer:
     # sentinel -1 always qualifies.  ``as_of_batch=None`` (the default)
     # reads everything — exact whenever no epoch is mid-write, which is
     # the batch-recompute-equivalence contract the tests pin.
+    #
+    # SCOPE (r13 advice): ``as_of_batch`` protects against in-flight
+    # EPOCH writes only — it is NOT safe against a CONCURRENT
+    # ``compact()``.  The batch=-1 sentinel always passes the filter,
+    # and compaction's overwrite-then-delete of the per-batch
+    # partitions is itself non-atomic, so a serve racing a compaction
+    # can see the merged batch=-1 state AND not-yet-deleted per-batch
+    # partitions <= as_of and double-count them.  compact() must be
+    # quiesced against serves (same run-with-the-stream-stopped
+    # discipline the compactors already require).  After a compaction,
+    # any ``as_of_batch`` below the compacted horizon returns the FULL
+    # compacted state, not a historical prefix — the sentinel holds
+    # every folded epoch and cannot be split retroactively.
 
     def _read_state(
         self, sub: str, schema: str, as_of_batch: int | None

@@ -282,6 +282,7 @@ class IncrementalDeduper:
         accepted.write.mode("overwrite").parquet(
             f"{self.out_path}/batch={int(batch_id)}"
         )
+        self._persist_accepted_schema(accepted)
         acc_ids = accepted.select("doc_id")
         bands.join(acc_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{self.index_path}/bands/batch={int(batch_id)}"
@@ -309,6 +310,49 @@ class IncrementalDeduper:
                 done.append(name)
         return done
 
+    def _persist_accepted_schema(self, accepted: DataFrame) -> None:
+        """Cache the accepted-docs schema next to the table (once,
+        atomically via temp+rename; the leading underscore keeps Spark's
+        file index from treating it as data).  Serve-time reads then pass
+        it EXPLICITLY instead of inferring: with ``as_of_batch``,
+        planning-time inference could still sample a footer of the
+        in-flight ``batch=N`` partition being non-atomically overwritten
+        — the torn-read hatch itself could throw (r13 advice).  Written
+        best-effort for local paths (this repo's storage layer); when
+        absent the serve read falls back to inference."""
+        import json as _json
+        from pathlib import Path
+
+        try:
+            p = Path(self.out_path) / "_accepted_schema.json"
+            if p.exists():
+                return
+            tmp = p.with_name("_accepted_schema.json.tmp")
+            tmp.write_text(_json.dumps(accepted.schema.jsonValue()))
+            tmp.rename(p)
+        except OSError:
+            pass
+
+    def _read_accepted_schema(self):
+        import json as _json
+        from pathlib import Path
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        try:
+            p = Path(self.out_path) / "_accepted_schema.json"
+            if not p.exists():
+                return None
+            schema = StructType.fromJson(_json.loads(p.read_text()))
+        except (OSError, ValueError, KeyError):
+            return None
+        if "batch" not in schema.fieldNames():
+            # the partition column, typed as partition discovery would
+            schema = StructType(
+                schema.fields + [StructField("batch", IntegerType())]
+            )
+        return schema
+
     def corpus(self, as_of_batch: int | None = None) -> DataFrame:
         """All accepted documents across batches.
 
@@ -317,12 +361,21 @@ class IncrementalDeduper:
         which the index doesn't know, so an empty frame can't be built.
         ``as_of_batch`` filters to committed epochs <= it (sentinel -1
         qualifies) — the torn-read escape hatch for reads concurrent
-        with an in-flight epoch's non-atomic batch=N overwrite.
+        with an in-flight epoch's non-atomic batch=N overwrite.  The
+        schema comes from the sidecar written at first commit when
+        available (see :meth:`_persist_accepted_schema`), so the
+        ``as_of_batch`` read plans without sampling any in-flight
+        partition's footers; the batch<=N partition filter then prunes
+        the in-flight directory before any data file is opened.
         """
         from pyspark.errors import AnalysisException
 
+        reader = self.spark.read
+        cached = self._read_accepted_schema()
+        if cached is not None:
+            reader = reader.schema(cached)
         try:
-            df = self.spark.read.parquet(self.out_path)
+            df = reader.parquet(self.out_path)
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc):
                 raise

@@ -3468,3 +3468,82 @@ def test_clean_lines_defer_gate_is_lazy_and_equal(spark):
     assert sorted(map(tuple, lazy.collect())) == sorted(
         map(tuple, eager.collect())
     )
+
+
+def test_signature_tags_norm_and_malformed_parity(spark):
+    """r14: id-only tag rows with carried norms (include_vec=False,
+    include_norm=True) must agree between the expression and Arrow paths
+    — including on MALFORMED vectors, where the Arrow path replays the
+    SQL fold per row (r13 advice): wrong-length / NULL-element / NULL
+    vectors fold to NULL -> every bit 0; a NaN coordinate makes every
+    dot NaN, which Spark's NaN-is-largest ordering sends through
+    ``> 0`` -> every bit 1."""
+    import math
+
+    from nntsc_spark.pipeline.similarity import (
+        _multi_table_signatures_arrow,
+        _multi_table_signatures_expr,
+    )
+
+    dims, bits, tables = 8, 5, 3
+    base = [float((i * 7 + d) % 5 - 2) for i in range(4) for d in [0]]
+    rows = [
+        (1, [float((17 * d + 3) % 9 - 4) for d in range(dims)]),
+        (2, [float((5 * d + 1) % 7 - 3) for d in range(dims)]),
+        (3, [1.0] * (dims - 2)),              # too short
+        (4, [1.0] * (dims + 3)),              # too long
+        (5, [1.0] * (dims - 1) + [None]),     # NULL element
+        (6, None),                            # NULL vector
+        (7, [1.0] * (dims - 1) + [float("nan")]),  # NaN coordinate
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    expr = {
+        (r["vec_id"], r["_t"]): (r["_s"], r["_n"])
+        for r in _multi_table_signatures_expr(
+            emb, bits, tables, dims, "vec_id", "embedding",
+            include_vec=False, include_norm=True,
+        ).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["_t"]): (r["_s"], r["_n"])
+        for r in _multi_table_signatures_arrow(
+            emb, bits, tables, dims, "vec_id", "embedding",
+            include_vec=False, include_norm=True,
+        ).collect()
+    }
+    assert set(expr) == set(arrow)
+    for key in expr:
+        vid = key[0]
+        if vid == 7:
+            # documented divergence: pandas erases the NULL-element/NaN
+            # distinction, so the Arrow path masks NaN dots to the
+            # all-zero garbage bucket where Spark's NaN-above-everything
+            # ordering gives the expression path all-ones
+            assert expr[key][0] == (1 << bits) - 1
+            assert arrow[key][0] == 0
+        else:
+            # signatures: bit-identical on every other input,
+            # malformed included
+            assert expr[key][0] == arrow[key][0], key
+        if vid == 7:
+            # documented seam: NaN-coordinate vectors get a NaN norm
+            # from the expression fold but NULL from the Arrow path
+            # (pandas->Arrow turns the NaN sentinel into null) — the
+            # drop-garbage direction for the downstream cosine filter
+            assert expr[key][1] is not None and math.isnan(expr[key][1])
+            assert arrow[key][1] is None
+        elif vid in (3, 4):
+            # norm_expr zips the vector with itself: wrong-length
+            # vectors still fold a real norm over their own elements
+            assert expr[key][1] == arrow[key][1] == math.sqrt(
+                dims - 2 if vid == 3 else dims + 3
+            ), key
+        elif vid in (5, 6):
+            assert expr[key][1] is None and arrow[key][1] is None, key
+        else:
+            assert expr[key][1] == arrow[key][1], key  # bit-identical
+    # malformed signature values take the documented constants
+    zero_sig = {expr[(v, t)][0] for v in (3, 4, 5, 6) for t in range(tables)}
+    assert zero_sig == {0}

@@ -1650,3 +1650,37 @@ def test_canonical_compaction_and_file_stream(spark, tmp_path):
         for r in cm.canonical_map().collect()
     }
     assert after == before
+
+
+def test_incremental_dedup_as_of_serves_without_schema_inference(spark, tmp_path):
+    """r13 advice: ``corpus(as_of_batch=N)`` must not plan by sampling
+    data-file footers — the in-flight batch partition being non-atomically
+    overwritten can hold truncated garbage mid-write.  The schema sidecar
+    written at first commit lets the read plan with an explicit schema, so
+    the batch<=N partition filter prunes the torn directory before any of
+    its files is opened.  Here batch=99 holds a zero-byte 'parquet' file:
+    footer inference against it would throw; the as_of read never touches
+    it."""
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words again today")],
+        "doc_id long, text string",
+    )
+    ded.process_batch(docs, batch_id=0)
+    # the sidecar exists and is invisible to Spark's file index
+    assert (tmp_path / "corpus" / "_accepted_schema.json").exists()
+
+    # simulate a torn in-flight overwrite: a partition directory whose
+    # only file is truncated garbage
+    torn = tmp_path / "corpus" / "batch=99"
+    torn.mkdir()
+    (torn / "part-00000.snappy.parquet").write_bytes(b"")
+
+    got = ded.corpus(as_of_batch=0)
+    assert {r.doc_id for r in got.collect()} == {1, 2}
+    assert got.schema["text"].dataType.simpleString() == "string"

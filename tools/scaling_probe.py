@@ -783,14 +783,23 @@ def required_driver_mem_gb(max_factor: int) -> int:
 
 
 def _parse_mem_gb(raw: str) -> float:
-    """'48g' / '8192m' -> GiB; unparseable -> 0 (treated as too small)."""
+    """'48g' / '8192m' / '16384' -> GiB; unparseable -> 0 (too small).
+
+    Follows Spark's sizeAsMb convention for spark.driver.memory: a BARE
+    number means MiB (r13 advice — parsing it as bytes made
+    SPARK_DRIVER_MEM=16384, which Spark reads as 16 GiB, fail the
+    up-front requirement at ~1.5e-5 GiB).  k/t suffixes accepted too."""
     s = raw.strip().lower()
     try:
+        if s.endswith("t"):
+            return float(s[:-1]) * 1024.0
         if s.endswith("g"):
             return float(s[:-1])
         if s.endswith("m"):
             return float(s[:-1]) / 1024.0
-        return float(s) / (1 << 30)
+        if s.endswith("k"):
+            return float(s[:-1]) / (1024.0 * 1024.0)
+        return float(s) / 1024.0
     except ValueError:
         return 0.0
 
