@@ -199,29 +199,54 @@ def lsh_topk(
     the scan cost per query is bucket-sized, not corpus-sized, which is the
     point at 100 TB.  Exact cosine re-ranks candidates.
     """
-    from pyspark.sql import Window
-
-    tagged = multi_table_signatures(emb, bits, tables, dims, id_col, vec_col)
-    queries = tagged.where(F.col(id_col).isin(query_ids)).select(
+    # Vector-free tag rows (r14, same shape as embedding_near_duplicates):
+    # the corpus tag set carries (id, norm, table, signature) only, so the
+    # Arrow path never round-trips vectors tables times and the candidate
+    # dedup shuffles scalars.  Vectors re-attach AFTER the dedup — the
+    # query side as a broadcast, the neighbor side via one equi-join whose
+    # small (candidate) side AQE broadcasts, so corpus vectors never
+    # shuffle at all.  ``dot/(qn*n)`` is cosine_expr's identical IEEE
+    # tree (dot_expr over the same vectors, norm_expr folds carried on
+    # the tags), so scores are unchanged bit for bit.
+    tagged = multi_table_signatures(
+        emb, bits, tables, dims, id_col, vec_col,
+        include_vec=False, include_norm=True,
+    )
+    qtags = tagged.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        F.col("_n").alias("_qn"),
         "_t",
         "_s",
     )
-    # cosine inside the join projection, dedup on the scalar triple: the
-    # multi-table dedup shuffle moves (query, neighbor, score) rows, not
-    # vector pairs (see embedding_near_duplicates for the measured why)
-    scored = (
-        tagged.join(F.broadcast(queries), ["_t", "_s"])
+    cands = (
+        tagged.join(F.broadcast(qtags), ["_t", "_s"])
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 4).alias(
-                "cosine"
-            ),
+            "_qn",
+            "_n",
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qvecs = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    nvecs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    scored = (
+        cands.join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("_qv"), F.col("_nv"))
+                / (F.col("_qn") * F.col("_n")),
+                4,
+            ).alias("cosine"),
+        )
     )
     return _per_query_topk(scored, int(k), "cosine", ascending=False)
 
