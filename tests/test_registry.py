@@ -61,21 +61,28 @@ def test_no_orphan_oracles():
 #: demote a flagship out of the correctness gate.  Changing the window IS
 #: allowed — do it deliberately, by editing this list together with the
 #: registry and the tail note in plans/queries.py.
+#: r14 ROTATION: the old head-50 (stable since r5) had been
+#: driver-verified thirteen rounds in a row while the 84 later
+#: registrations only ever appeared in the committed FULL artifact; the
+#: registry rotated in place (old head -> tail) so this round's window
+#: holds 50 previously-never-driver-checked queries.  The old head stays
+#: oracle-green via CORRECTNESS_FULL.json (the test below).
 DRIVER_WINDOW = [
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
-    "dedup_minhash", "dedup_clusters", "dedup_ngram_jaccard",
-    "dedup_simhash", "similarity_ivf_topk", "embedding_neardup",
-    "multimodal_features", "text_repetition", "pack_sequences",
-    "contamination", "doc_chunks", "dedup_spans", "training_corpus",
-    "select_raw", "agg_bin", "agg_groupcols", "agg_mode", "smoke",
-    "matrix", "rollup_build", "frequency", "stream_stats",
-    "top_revenue_orders", "percentile_fan", "count_gate", "most_array",
-    "chunked_agg", "activity_pruned_select", "traceroute_shape_join",
-    "catalog_collections", "sessionize", "salted_agg", "skew_join",
-    "ingest_icmp", "ingest_throughput", "ingest_dns", "ingest_fastping",
-    "ingest_smokeping", "ingest_tcpping", "ingest_pathlen",
-    "ingest_astraceroute", "ingest_udpstream", "ingest_http",
-    "ingest_sip", "ingest_external", "ingest_youtube",
+    "smoke_array", "funnel", "cohort_retention", "event_asof",
+    "gapfill_locf", "counter_rate", "anomaly_zscore", "rollup_percentile",
+    "ewma_smooth", "holt_winters", "cusum_change", "interval_attr",
+    "seasonal_decompose", "lttb_downsample", "lttb_binned", "twa_bin",
+    "acf_stream", "stream_corr", "hampel_outliers", "gap_report",
+    "availability", "gap_report_bounded", "availability_bounded",
+    "gap_report_summary_bounded", "agg_single_bin", "frequency_bounded",
+    "pricing_summary", "nation_revenue", "doc_sample", "doc_sample_by",
+    "pii_scrub", "dedup_representatives", "contamination_ngram",
+    "doc_budget_sample", "doc_despan", "doc_despan_keepfirst",
+    "dsir_weights", "dsir_resample", "mixture_sample",
+    "mixture_token_sample", "text_unigram_logprob", "doc_quality_bands",
+    "source_vocab_stats", "curated_mixture", "embedding_clusters",
+    "source_divergence", "bpe_pair_counts", "semantic_dedup",
+    "quality_classifier", "bm25_search",
 ]
 
 
