@@ -3486,7 +3486,6 @@ def test_signature_tags_norm_and_malformed_parity(spark):
     )
 
     dims, bits, tables = 8, 5, 3
-    base = [float((i * 7 + d) % 5 - 2) for i in range(4) for d in [0]]
     rows = [
         (1, [float((17 * d + 3) % 9 - 4) for d in range(dims)]),
         (2, [float((5 * d + 1) % 7 - 3) for d in range(dims)]),
