@@ -288,8 +288,14 @@ class ExportServer:
                     # worker pool (reference client_message dispatches
                     # UNSUBSCRIBE before the job queue, exporter.py:982):
                     # the drop takes effect immediately even while a long
-                    # history query occupies both workers
-                    self._handle_unsubscribe(sock, body)
+                    # history query occupies both workers.  The inline
+                    # path sits outside _run_request's guard, so report
+                    # a malformed body as an ERROR frame here instead of
+                    # letting it kill the reader (and the connection)
+                    try:
+                        self._handle_unsubscribe(sock, body)
+                    except Exception as e:
+                        self._send(sock, Msg.ERROR, {"error": str(e)})
                     continue
                 pool.submit(self._run_request, sock, mtype, body)
         finally:

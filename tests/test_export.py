@@ -1411,3 +1411,18 @@ def test_matrix_stored_rollup_falls_back_on_undeclared_column(spark):
         s.close()
     finally:
         srv.stop()
+
+
+def test_malformed_unsubscribe_keeps_connection(server):
+    """The inline UNSUBSCRIBE path must report a malformed body as an
+    ERROR frame, not let the exception kill the reader loop (and with it
+    the connection and every live subscription)."""
+    s = _connect(server)
+    s.sendall(pack(Msg.UNSUBSCRIBE, {"streams": [1]}))  # no collection
+    mtype, body = read_message(s)
+    assert mtype == Msg.ERROR
+    # connection still usable
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.COLLECTIONS)}))
+    mtype, _ = read_message(s)
+    assert mtype == Msg.COLLECTIONS
+    s.close()
