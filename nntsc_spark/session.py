@@ -65,6 +65,15 @@ def get_spark(
             str(_env_int("SPARK_GRAFT_INITIAL_PARTITIONS") or 16 * int(cpus)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT enabled: spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+        # (AQE's runtime SMJ->SHJ conversion).  Measured on the planted
+        # x1000 near-dup cell — the workload whose re-attach joins looked
+        # like the textbook case (wide vector probe rows, scalar build
+        # side): min-of-2 warm 246 s with SMJ vs 395 s with the
+        # conversion at 128m.  The sort spills SEQUENTIALLY at disk
+        # bandwidth while the hash build+probe pays random access, so on
+        # spill-bound single-box shapes SMJ wins; leave the default off
+        # and re-evaluate on a cluster where build maps live in memory.
         # Without this, AQE is OFF inside every .persist()ed plan (cached
         # plans pin their output partitioning by default), so the wide
         # initial above would freeze 512 tiny partitions into small-scale
