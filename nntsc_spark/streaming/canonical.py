@@ -183,13 +183,17 @@ class CanonicalMapMaintainer:
     # partitions <= as_of and double-count them.  compact() must be
     # quiesced against serves (same run-with-the-stream-stopped
     # discipline the compactors already require).  After a compaction,
-    # any ``as_of_batch`` below the compacted horizon returns the FULL
-    # compacted state, not a historical prefix — the sentinel holds
-    # every folded epoch and cannot be split retroactively.
+    # any ``as_of_batch`` below the compacted horizon RAISES (r14): the
+    # sentinel holds every folded epoch and cannot be split
+    # retroactively, so a historical prefix below the horizon no longer
+    # exists — see ``dedup.check_as_of_visible``.
 
     def _read_state(
         self, sub: str, schema: str, as_of_batch: int | None
     ) -> DataFrame:
+        from .dedup import check_as_of_visible
+
+        check_as_of_visible(f"{self.path}/{sub}", as_of_batch)
         df = self.spark.read.schema(schema + ", batch int").parquet(
             f"{self.path}/{sub}"
         )

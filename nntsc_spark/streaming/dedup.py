@@ -82,6 +82,12 @@ def compact_batched_table(
     compact_fact, applied at the table-directory level (one rename
     swaps the whole table, so there is no torn multi-partition state).
 
+    Records the COMPACTION HORIZON — the highest real epoch id folded
+    into the sentinel — in a ``_compaction_horizon`` sidecar swapped in
+    atomically with the data; serve paths reject ``as_of_batch`` below
+    it (:func:`check_as_of_visible`) instead of silently serving the
+    full compacted state as a "prefix".
+
     Returns True if the table was rewritten.
     """
     import math
@@ -111,6 +117,21 @@ def compact_batched_table(
     n_batches = len(list(root.glob("batch=*")))
     if len(files) <= goal and n_batches <= 1:
         return False
+    # Horizon = the highest REAL epoch id this fold absorbs, carried
+    # forward across re-compactions (a file-count-only re-fold of an
+    # already-compacted table must not lose the recorded horizon when
+    # the old root — marker included — moves to trash).  Serve paths
+    # enforce it via :func:`check_as_of_visible`.
+    folded = [
+        int(p.name.split("=", 1)[1])
+        for p in root.glob("batch=*")
+        if p.name.split("=", 1)[1].lstrip("-").isdigit()
+    ]
+    carried = compaction_horizon(root)
+    real = [b for b in folded if b >= 0]
+    if carried is not None:
+        real.append(carried)
+    horizon = max(real) if real else None
     reader = spark.read.schema(schema + ", batch int") if schema else spark.read
     df = reader.parquet(str(root)).drop("batch")
     stage = proot / f".compact-stage-{uuid.uuid4().hex[:8]}"
@@ -119,12 +140,64 @@ def compact_batched_table(
     dest.mkdir(parents=True)
     for f in (stage / "data").glob("*.parquet"):
         os.rename(f, dest / f.name)
+    if horizon is not None:
+        # inside stage/part so the single directory rename below swaps
+        # data and marker ATOMICALLY; the underscore prefix keeps Spark's
+        # file index from reading it as data (same convention as _SUCCESS)
+        (stage / "part" / HORIZON_MARKER).write_text(str(horizon))
     trash = proot / f".compact-trash-{name}"
     os.rename(root, trash)
     os.rename(stage / "part", root)
     shutil.rmtree(trash)
     shutil.rmtree(stage, ignore_errors=True)
     return True
+
+
+#: sidecar recording the highest epoch id folded into a table's
+#: ``batch=-1`` sentinel; written atomically with the compacted data
+HORIZON_MARKER = "_compaction_horizon"
+
+
+def compaction_horizon(root) -> int | None:
+    """Highest epoch id folded into ``root``'s ``batch=-1`` sentinel, or
+    None if the table was never compacted (or predates the marker)."""
+    from pathlib import Path
+
+    try:
+        return int((Path(root) / HORIZON_MARKER).read_text().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def check_as_of_visible(root, as_of_batch: int | None) -> None:
+    """Enforce the committed-prefix serve contract against compaction —
+    the r13-advice gap, upgraded from a documented caveat to an error.
+
+    Once epochs ``<= H`` are folded into the ``batch=-1`` sentinel they
+    cannot be split retroactively: the sentinel always passes a
+    ``batch <= as_of_batch`` filter, so serving ``as_of_batch < H``
+    would silently return the FULL compacted state where the caller
+    asked for a historical prefix.  Every maintainer serve path calls
+    this before building its read, so that mismatch raises instead.
+
+    ``as_of_batch >= H`` stays exact: the compacted state IS the
+    prefix ``<= H``, and the per-batch partitions above it filter as
+    before.  The OTHER half of the r13 advice is unchanged — this
+    guards state at rest, not a serve racing a live ``compact()``
+    (whose overwrite-then-delete can transiently double-count);
+    compaction still requires the stream-stopped quiesce discipline.
+    """
+    if as_of_batch is None:
+        return
+    h = compaction_horizon(root)
+    if h is not None and int(as_of_batch) < h:
+        raise ValueError(
+            f"as_of_batch={int(as_of_batch)} predates the compaction "
+            f"horizon {h} of {root}: epochs <= {h} are folded into the "
+            "batch=-1 sentinel and a historical prefix below it no "
+            f"longer exists — pass as_of_batch >= {h}, or None for the "
+            "full state"
+        )
 
 
 def exact_dedup_stream(
@@ -367,9 +440,12 @@ class IncrementalDeduper:
         ``as_of_batch`` read plans without sampling any in-flight
         partition's footers; the batch<=N partition filter then prunes
         the in-flight directory before any data file is opened.
+        Raises ValueError if ``as_of_batch`` predates the compaction
+        horizon (see :func:`check_as_of_visible`).
         """
         from pyspark.errors import AnalysisException
 
+        check_as_of_visible(self.out_path, as_of_batch)
         reader = self.spark.read
         cached = self._read_accepted_schema()
         if cached is not None:
@@ -538,9 +614,12 @@ class IncrementalSpanIndex:
         schema before any batch has committed, matching the class's
         missing-subdirectory-reads-as-zero-rows contract).
         ``as_of_batch`` filters to committed epochs <= it — the
-        torn-read contract shared by every maintainer serve path."""
+        torn-read contract shared by every maintainer serve path
+        (ValueError below the compaction horizon, see
+        :func:`check_as_of_visible`)."""
         from pyspark.errors import AnalysisException
 
+        check_as_of_visible(self.out_path, as_of_batch)
         try:
             df = self.spark.read.parquet(self.out_path)
         except AnalysisException as exc:

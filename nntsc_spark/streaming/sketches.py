@@ -79,8 +79,12 @@ class SketchMaintainer:
         always qualifies) — the torn-read escape hatch for reads
         concurrent with an in-flight epoch's non-atomic batch=N
         overwrite, same contract as the canonical maintainer's serve
-        path.
+        path (ValueError below the compaction horizon — see
+        ``dedup.check_as_of_visible``).
         """
+        from .dedup import check_as_of_visible
+
+        check_as_of_visible(self.path, as_of_batch)
         df = self.spark.read.schema(SKETCH_SCHEMA + ", batch int").parquet(
             self.path
         )
@@ -168,7 +172,11 @@ class HllMaintainer:
     def merged(self, as_of_batch: int | None = None) -> DataFrame:
         """Stream-lifetime registers: element-wise max over all epochs
         (through ``as_of_batch`` if given — the committed-prefix
-        torn-read contract, see SketchMaintainer.merged)."""
+        torn-read contract, see SketchMaintainer.merged; ValueError
+        below the compaction horizon)."""
+        from .dedup import check_as_of_visible
+
+        check_as_of_visible(self.path, as_of_batch)
         df = self.spark.read.schema(HLL_SCHEMA + ", batch int").parquet(
             self.path
         )

@@ -1247,6 +1247,103 @@ def test_streaming_hll_compaction_preserves_estimate(spark, tmp_path):
     assert hm.estimate() == before
 
 
+def test_compaction_horizon_rejects_pre_horizon_as_of(spark, tmp_path):
+    """r14 (r13 advice upgrade): once epochs <= H fold into the batch=-1
+    sentinel, ``as_of_batch < H`` RAISES instead of silently serving the
+    full compacted state as a "prefix".  The horizon marker is written
+    atomically with the compacted data and carries forward across
+    re-compactions."""
+    import pytest
+
+    from nntsc_spark.streaming.dedup import compaction_horizon
+    from nntsc_spark.streaming.sketches import SketchMaintainer
+
+    sm = SketchMaintainer(spark, str(tmp_path / "cms"), depth=3, width=16)
+    for i in range(3):
+        sm.process_batch(
+            spark.createDataFrame(
+                [(f"t{j % 4}",) for j in range(30)], "tok string"
+            ),
+            i,
+        )
+    full = {(r.row, r.bucket): r.cnt for r in sm.merged().collect()}
+    assert sm.compact()
+    assert compaction_horizon(tmp_path / "cms") == 2
+
+    # at/above the horizon (and None) stay exact — the compacted state
+    # IS the prefix <= 2
+    for as_of in (2, 7, None):
+        got = {
+            (r.row, r.bucket): r.cnt
+            for r in sm.merged(as_of_batch=as_of).collect()
+        }
+        assert got == full
+    # below it: the prefix no longer exists -> error naming the horizon
+    with pytest.raises(ValueError, match="horizon 2"):
+        sm.merged(as_of_batch=1)
+
+    # post-compaction epochs sit above the sentinel and serve as before;
+    # a re-compaction folds them in and ADVANCES the carried horizon
+    sm.process_batch(
+        spark.createDataFrame([("t9",)] * 10, "tok string"), 3
+    )
+    prefix3 = {
+        (r.row, r.bucket): r.cnt
+        for r in sm.merged(as_of_batch=3).collect()
+    }
+    assert sm.compact()
+    assert compaction_horizon(tmp_path / "cms") == 3
+    assert {
+        (r.row, r.bucket): r.cnt for r in sm.merged().collect()
+    } == prefix3
+    with pytest.raises(ValueError, match="horizon 3"):
+        sm.merged(as_of_batch=2)
+
+
+def test_compaction_horizon_guards_every_maintainer_serve(spark, tmp_path):
+    """Every maintainer serve path routes through check_as_of_visible:
+    a horizon marker alone (no data needed — the check precedes the
+    read) makes a pre-horizon as_of raise on each of them."""
+    import pytest
+
+    from nntsc_spark.streaming.canonical import CanonicalMapMaintainer
+    from nntsc_spark.streaming.dedup import (
+        HORIZON_MARKER,
+        IncrementalDeduper,
+        IncrementalSpanIndex,
+    )
+    from nntsc_spark.streaming.sketches import HllMaintainer
+
+    def plant(table_dir):
+        table_dir.mkdir(parents=True, exist_ok=True)
+        (table_dir / HORIZON_MARKER).write_text("5")
+
+    cm = CanonicalMapMaintainer(spark, str(tmp_path / "canon"))
+    plant(tmp_path / "canon" / "counts")
+    plant(tmp_path / "canon" / "pairs")
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "idx"), str(tmp_path / "accepted")
+    )
+    plant(tmp_path / "accepted")
+    idx = IncrementalSpanIndex(
+        spark, str(tmp_path / "spanidx"), str(tmp_path / "spans")
+    )
+    plant(tmp_path / "spans")
+    hm = HllMaintainer(spark, str(tmp_path / "hll"))
+    plant(tmp_path / "hll")
+
+    for serve in (
+        cm.vocab,
+        cm.pairs,
+        cm.canonical_map,
+        ded.corpus,
+        idx.spans,
+        hm.merged,
+    ):
+        with pytest.raises(ValueError, match="horizon 5"):
+            serve(as_of_batch=4)
+
+
 def test_streaming_gap_detect_closed_and_open_channels(spark, tmp_path):
     """Gap detector, both channels.  Closed: learns the cadence and
     emits event-time gap bounds at resume.  Open: the processing-time
