@@ -572,6 +572,66 @@ def dedup_clusters(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/validation/test split that is ATOMIC over near-duplicate
+    clusters — the leakage-safe counterpart of
+    :func:`~.text.train_val_test_split`.
+
+    A per-document hash split leaks: two near-identical documents can
+    land one in train, one in test, and the held-out copy then scores
+    as memorized (the train/test overlap the GPT-3 and C4 papers had to
+    measure and patch post hoc).  Here the SAME md5 bucket draw is keyed
+    on the near-dup CLUSTER REPRESENTATIVE — the component min id from
+    :func:`connected_components` over :func:`minhash_near_duplicates`
+    pairs; singletons key on themselves — so both members of any
+    near-dup pair share the key, the key picks the split, and a
+    cross-split near-dup pair is impossible BY CONSTRUCTION, not by
+    post-hoc decontamination.
+
+    Scale shape: the cluster table is pairs-derived (orders below the
+    corpus); it re-attaches through one left equi-join keyed on the doc
+    id, and the bucket assignment is a pure projection — one join
+    beyond what the split alone costs.  Output: every ``docs`` column
+    plus ``rep_id`` (the split key) and ``split``; the three splits
+    exactly partition the corpus for any (data, salt).
+    """
+    from .text import SAMPLE_MOD, hash_priority_expr
+
+    f_train, f_val, f_test = (float(f) for f in fractions)
+    tot = f_train + f_val + f_test
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    t1 = int(round(f_train * SAMPLE_MOD))
+    t2 = int(round((f_train + f_val) * SAMPLE_MOD))
+    pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
+    cc = connected_components(pairs)
+    keyed = (
+        docs.join(
+            cc.select(
+                F.col("node").alias(id_col), F.col("label").alias("_rep")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("rep_id", F.coalesce(F.col("_rep"), F.col(id_col)))
+        .drop("_rep")
+    )
+    bucket = hash_priority_expr("rep_id", salt) % SAMPLE_MOD
+    return keyed.withColumn(
+        "split",
+        F.when(bucket < t1, F.lit("train"))
+        .when(bucket < t2, F.lit("validation"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def select_representatives(
     docs: DataFrame,
     text_col: str = "text",

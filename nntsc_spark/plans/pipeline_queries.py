@@ -379,6 +379,61 @@ FROM cc c JOIN csizes s USING (cluster_id)
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-atomic train/val/test split (r14): the md5 split
+    bucket is keyed on the connected-component representative instead of
+    the doc id, so no near-dup pair can straddle splits — leakage-safe
+    by construction, not by post-hoc decontamination.  Summarized per
+    (source, split); n_dup_members counts docs keyed by a rep other than
+    themselves (the rows the plain doc_split could have leaked)."""
+    from ..pipeline.dedup import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs, (0.9, 0.05, 0.05))
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum((F.col("rep_id") != F.col("doc_id")).cast("long")).alias(
+            "n_dup_members"
+        ),
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH}) mh
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node
+), keyed AS (
+  SELECT d.source, d.n_chars, d.doc_id,
+         coalesce(c.rep, d.doc_id) AS rep_id
+  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+), b AS (
+  SELECT source, n_chars, doc_id, rep_id,
+         ('0x' || substring(md5('split' || CAST(rep_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM keyed
+)
+SELECT source,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'validation'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN rep_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_members
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df=None: the oracle is exact, so the registered query must be
     # too — a future corpus with one shingle df>128 would otherwise

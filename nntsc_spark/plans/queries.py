@@ -707,3 +707,20 @@ REGISTRY.clear()
 for _k in _rotated:
     REGISTRY[_k] = _snapshot[_k]
 del _order, _rotated, _snapshot, _k
+
+# round-14 addition, appended AFTER the rotation so the pinned head-50
+# window is untouched: leakage-safe split — the train/val/test draw keyed
+# on the near-dup cluster representative (CC over minhash pairs), so no
+# near-dup pair can straddle splits.  Tail slot is right per the tail
+# policy above: it composes two window-verified pieces (dedup_clusters'
+# CC machinery and doc_split's bucket arithmetic) and carries a full
+# recursive-CTE oracle in CORRECTNESS_FULL.json.
+from .pipeline_queries import (  # noqa: E402
+    SQL_LEAKAGE_SAFE_SPLIT,
+    q_leakage_safe_split,
+)
+
+REGISTRY["leakage_safe_split"] = (
+    q_leakage_safe_split,
+    SQL_LEAKAGE_SAFE_SPLIT,
+)

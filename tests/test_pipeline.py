@@ -125,6 +125,37 @@ def test_dedup_clusters_survivors(docs):
     assert out[0].is_survivor and not out[1].is_survivor and not out[2].is_survivor
 
 
+def test_leakage_safe_split_is_cluster_atomic(spark, docs):
+    """r14: the split draw keys on the near-dup cluster representative,
+    so (a) the three splits exactly partition the corpus, (b) no
+    near-dup pair straddles splits — the property a per-doc hash split
+    cannot give — and (c) the assignment is deterministic."""
+    from nntsc_spark.pipeline.dedup import (
+        leakage_safe_split,
+        minhash_near_duplicates,
+    )
+
+    out = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    # exact partition: every doc, exactly one split label each
+    assert set(out) == {0, 1, 2, 3}
+    assert all(r.split in ("train", "validation", "test") for r in out.values())
+    # cluster-atomicity: docs 0,1,2 form one near-dup component -> one
+    # rep (the min id, 0) and therefore one shared split; singleton 3
+    # keys on itself
+    assert {out[i].rep_id for i in (0, 1, 2)} == {0}
+    assert len({out[i].split for i in (0, 1, 2)}) == 1
+    assert out[3].rep_id == 3
+    # the invariant stated generally: no emitted near-dup pair crosses
+    for p in minhash_near_duplicates(docs).collect():
+        assert out[p.d1].split == out[p.d2].split
+    # deterministic across re-computation
+    again = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    assert again == {k: v.split for k, v in out.items()}
+    # bad fractions refuse loudly
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, fractions=(0.8, 0.1, 0.2))
+
+
 def test_ngram_jaccard_df_cap(spark):
     from nntsc_spark.pipeline.dedup import ngram_jaccard_pairs
 
