@@ -129,6 +129,8 @@ HEADLINE = [
     "vocab_fuzzy_unicode",
     # round-13 operators
     "fuzzy_linkage_unicode",
+    # round-14 operators
+    "leakage_safe_split",
 ]
 
 
