@@ -632,6 +632,48 @@ def leakage_safe_split(
     )
 
 
+def split_leakage_report(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit ANY split assignment for near-dup leakage — the detection
+    counterpart of :func:`leakage_safe_split`'s prevention: given a
+    corpus already carrying ``split_col`` (an external pipeline's
+    assignment, a legacy per-doc hash split, shard labels), count
+    near-dup pairs by the (ordered) pair of split values their members
+    landed in.  Rows with ``split_a != split_b`` are exactly the leaks
+    a held-out evaluation would score as memorization.
+
+    Scale shape: the pair list is banded (never all-pairs); the two
+    label attachments are equi-joins of a 2-column projection against
+    the pairs-derived table, and the report is one bounded groupBy
+    (#distinct split values squared).  Output: (split_a, split_b,
+    n_pairs) with split_a <= split_b lexicographically, so the pair of
+    labels is order-canonical whichever member carried which.
+    """
+    pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
+    lab = docs.select(F.col(id_col), F.col(split_col))
+    a = lab.select(
+        F.col(id_col).alias("d1"), F.col(split_col).alias("_s1")
+    )
+    b = lab.select(
+        F.col(id_col).alias("d2"), F.col(split_col).alias("_s2")
+    )
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            F.least("_s1", "_s2").alias("split_a"),
+            F.greatest("_s1", "_s2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def select_representatives(
     docs: DataFrame,
     text_col: str = "text",

@@ -434,6 +434,47 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage AUDIT of the plain per-doc hash split (r14): near-dup
+    pair counts by the ordered pair of split labels their members drew.
+    Off-diagonal rows are exactly the train/test overlap a held-out
+    eval would score as memorization — nonzero here by design (the
+    per-doc draw ignores near-dup structure), zero by construction
+    under leakage_safe_split."""
+    from ..pipeline.dedup import split_leakage_report
+    from ..pipeline.text import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = train_val_test_split(docs, (0.9, 0.05, 0.05))
+    return split_leakage_report(labeled)
+
+
+SQL_SPLIT_LEAKAGE_REPORT = f"""
+WITH pairs AS (
+  SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH}) mh
+), lab AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 9000 THEN 'train'
+              WHEN bucket < 9500 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10000 AS bucket
+    FROM documents
+  )
+), j AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b
+  FROM pairs p
+  JOIN lab a ON a.doc_id = p.d1
+  JOIN lab b ON b.doc_id = p.d2
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df=None: the oracle is exact, so the registered query must be
     # too — a future corpus with one shingle df>128 would otherwise

@@ -717,10 +717,19 @@ del _order, _rotated, _snapshot, _k
 # recursive-CTE oracle in CORRECTNESS_FULL.json.
 from .pipeline_queries import (  # noqa: E402
     SQL_LEAKAGE_SAFE_SPLIT,
+    SQL_SPLIT_LEAKAGE_REPORT,
     q_leakage_safe_split,
+    q_split_leakage_report,
 )
 
 REGISTRY["leakage_safe_split"] = (
     q_leakage_safe_split,
     SQL_LEAKAGE_SAFE_SPLIT,
+)
+# the detection counterpart: audit ANY split assignment for cross-split
+# near-dup pairs (registered over the plain per-doc split, whose
+# off-diagonal counts are nonzero by design)
+REGISTRY["split_leakage_report"] = (
+    q_split_leakage_report,
+    SQL_SPLIT_LEAKAGE_REPORT,
 )

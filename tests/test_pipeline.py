@@ -156,6 +156,32 @@ def test_leakage_safe_split_is_cluster_atomic(spark, docs):
         leakage_safe_split(docs, fractions=(0.8, 0.1, 0.2))
 
 
+def test_split_leakage_report_counts_cross_split_pairs(spark, docs):
+    """The audit counterpart: hand-planted labels put the near-dup
+    trio 0,1,2 across train/test -> the off-diagonal rows count the
+    leaked pairs exactly; the safe split audits to zero off-diagonal."""
+    from nntsc_spark.pipeline.dedup import (
+        leakage_safe_split,
+        split_leakage_report,
+    )
+
+    labels = spark.createDataFrame(
+        [(0, "train"), (1, "test"), (2, "train"), (3, "test")],
+        "doc_id long, split string",
+    )
+    labeled = docs.join(labels, "doc_id")
+    rep = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage_report(labeled).collect()
+    }
+    # pairs among {0,1,2}: (0,1) train-test, (0,2) train-train,
+    # (1,2) train-test; doc 3 is a singleton and contributes nothing
+    assert rep == {("test", "train"): 2, ("train", "train"): 1}
+
+    safe = split_leakage_report(leakage_safe_split(docs)).collect()
+    assert all(r.split_a == r.split_b for r in safe)
+
+
 def test_ngram_jaccard_df_cap(spark):
     from nntsc_spark.pipeline.dedup import ngram_jaccard_pairs
 

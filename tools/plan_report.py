@@ -131,6 +131,7 @@ HEADLINE = [
     "fuzzy_linkage_unicode",
     # round-14 operators
     "leakage_safe_split",
+    "split_leakage_report",
 ]
 
 
