@@ -526,3 +526,43 @@ def test_per_query_topk_matches_single_window_reference(
         for rank, (s, n) in enumerate(cands[:k], start=1):
             expected.append((q, n, rank, s))
     assert got == sorted(expected)
+
+
+@given(
+    picks=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_leakage_safe_split_partition_and_atomicity(spark, picks):
+    """leakage_safe_split's two contracts hold STRUCTURALLY for any
+    duplicate topology, not just the fixed fixture: (a) the three
+    splits exactly partition the corpus; (b) every emitted near-dup
+    pair shares its component representative and therefore its split.
+    (b) is deterministic whatever the LSH recall — the invariant is
+    checked against the pairs the SAME generator emits, and both
+    endpoints of any edge sit in one component by construction."""
+    from nntsc_spark.pipeline.dedup import (
+        leakage_safe_split,
+        minhash_near_duplicates,
+    )
+
+    pool = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs today",
+        "sphinx of black quartz judge my vow tonight",
+        "how vexingly quick daft zebras jump around here",
+        "completely different words entirely unrelated text now",
+    ]
+    rows = [(i, pool[p]) for i, p in enumerate(picks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    assert set(out) == set(range(len(picks)))
+    assert all(
+        r.split in ("train", "validation", "test") for r in out.values()
+    )
+    for p in minhash_near_duplicates(docs).collect():
+        assert out[p.d1].rep_id == out[p.d2].rep_id
+        assert out[p.d1].split == out[p.d2].split
