@@ -24,10 +24,29 @@ HOUR = 3600
 MINUTE = 60
 DAY = 86400
 
+# Hourly-path grace window (influx.py:389-390): a start within 2 minutes
+# past an hour boundary backs up a FULL extra hour before snapping, because
+# the most recent hourly CQ row may not cover the boundary bin yet.
+MATRIX_HOUR_GRACE = 2 * MINUTE
+
 
 def choose_rollup_binsize(start: int, stop: int) -> int:
     """Span >= 1 h -> hourly rollup, else minute rollup (influx.py:384-394)."""
     return HOUR if (stop - start) >= HOUR else MINUTE
+
+
+def snap_matrix_start(start: int, binsize: int) -> int:
+    """Matrix start snap (influx.py:387-394).
+
+    Hourly path: subtract a whole hour first when ``start % 3600 < 120``
+    (the reference's 2-minute rule — note it fires for exactly-aligned
+    starts too), then snap down to the bin boundary.  Minute path snaps
+    only.
+    """
+    start = int(start)
+    if binsize == HOUR and start % HOUR < MATRIX_HOUR_GRACE:
+        start -= HOUR
+    return snap_down(start, binsize)
 
 
 def select_matrix_data(
@@ -45,7 +64,7 @@ def select_matrix_data(
     paths agree bit-for-bit.
     """
     binsize = choose_rollup_binsize(start, stop)
-    snapped = snap_down(start, binsize)
+    snapped = snap_matrix_start(start, binsize)
     # pre-filter the RAW scan to exactly the participating bins' rows:
     # merge_rollup's binstart predicate is derived arithmetic that parquet
     # row-group pruning can't use, so without this plain timestamp range
@@ -77,5 +96,5 @@ def select_matrix_from_stored(
     bit-for-bit (verified in tests).
     """
     return merge_rollup(
-        rollup, label_map, value_cols, snap_down(start, binsize), stop
+        rollup, label_map, value_cols, snap_matrix_start(start, binsize), stop
     )

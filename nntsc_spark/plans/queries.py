@@ -249,8 +249,11 @@ FROM tiled GROUP BY nntsclabel, tile
 def q_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/§3.3: matrix cell per label via rollup + algebraic merge."""
     # the merge includes the whole bin at binstart == stop, so the raw
-    # pushdown bound must extend to that bin's END (stop + binsize - 1)
-    fact = events_fact(spark, sf_dir, START, START + DAY + HOUR - 1)
+    # pushdown bound must extend to that bin's END (stop + binsize - 1);
+    # the lower bound backs up an hour because START sits ON an hour
+    # boundary, which trips the reference's 2-minute rule
+    # (influx.py:389-390 — see snap_matrix_start)
+    fact = events_fact(spark, sf_dir, START - HOUR, START + DAY + HOUR - 1)
     out = select_matrix_data(
         fact, _label_map(spark), ["value"], START, START + DAY
     )
@@ -284,7 +287,45 @@ SELECT nntsclabel, max(ts) AS timestamp, min(binstart) AS binstart,
        round(sum(mean_v * n) / sum(n), 4) AS avg_value,
        round(sqrt(sum(sd_v * sd_v * n) / sum(n)), 4) AS stddev_value
 FROM rollup
-WHERE binstart >= {START} AND binstart <= {START + DAY}
+WHERE binstart >= {START - HOUR} AND binstart <= {START + DAY}
+GROUP BY nntsclabel
+"""
+
+
+def q_matrix_hour_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 matrix 2-minute rule (influx.py:389-390): a start 60 s past an
+    hour boundary still backs up to the PREVIOUS hour's bin — the freshest
+    hourly rollup row may not cover the boundary yet."""
+    edge_start = START + 60  # 00:01:00 — inside the 2-minute grace window
+    edge_stop = edge_start + DAY
+    fact = events_fact(spark, sf_dir, START - HOUR, edge_stop + HOUR - 1)
+    out = select_matrix_data(
+        fact, _label_map(spark), ["value"], edge_start, edge_stop
+    )
+    return out.select(
+        "nntsclabel",
+        "timestamp",
+        "binstart",
+        F.round("sum_value", 4).alias("sum_value"),
+        "count_value",
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+SQL_MATRIX_HOUR_EDGE = f"""
+WITH {_FACT_CTE}, {_LABELED_CTE},
+rollup AS (
+  SELECT stream_id, nntsclabel, timestamp - (timestamp % {HOUR}) AS binstart,
+         max(timestamp) AS ts, avg(value) AS mean_v, count(value) AS n,
+         sum(value) AS sum_v
+  FROM labeled GROUP BY stream_id, nntsclabel, binstart
+)
+SELECT nntsclabel, max(ts) AS timestamp, min(binstart) AS binstart,
+       round(sum(sum_v), 4) AS sum_value,
+       CAST(sum(n) AS BIGINT) AS count_value,
+       round(sum(mean_v * n) / sum(n), 4) AS avg_value
+FROM rollup
+WHERE binstart >= {START - HOUR} AND binstart <= {START + 60 + DAY}
 GROUP BY nntsclabel
 """
 
@@ -733,3 +774,8 @@ REGISTRY["split_leakage_report"] = (
     q_split_leakage_report,
     SQL_SPLIT_LEAKAGE_REPORT,
 )
+
+# round-15: the matrix 2-minute hour-snap rule (influx.py:389-390) — the
+# last reference behavior that had no implementation (r14 verdict task 1).
+# A start 60 s past an hour boundary backs up to the previous hour's bin.
+REGISTRY["matrix_hour_edge"] = (q_matrix_hour_edge, SQL_MATRIX_HOUR_EDGE)

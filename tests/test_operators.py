@@ -176,6 +176,49 @@ def test_rollup_merge_algebra(spark):
     )
 
 
+def test_matrix_start_snap_two_minute_rule():
+    """influx.py:389-390: hourly-path starts within 2 min past an hour
+    boundary back up a FULL extra hour before snapping; minute path and
+    mid-hour starts just snap."""
+    from nntsc_spark.operators.matrix import snap_matrix_start
+
+    # exactly on the boundary: 0 % 3600 == 0 < 120 -> previous hour
+    assert snap_matrix_start(7200, 3600) == 3600
+    # 60 s and 119 s past: inside the grace window -> previous hour
+    assert snap_matrix_start(7260, 3600) == 3600
+    assert snap_matrix_start(7319, 3600) == 3600
+    # 120 s past: outside the window -> same hour
+    assert snap_matrix_start(7320, 3600) == 7200
+    assert snap_matrix_start(9000, 3600) == 7200
+    # minute path never applies the rule (influx.py:393-394)
+    assert snap_matrix_start(7260, 60) == 7260
+    assert snap_matrix_start(7261, 60) == 7260
+
+
+def test_matrix_hour_edge_includes_previous_hour_bin(spark):
+    """A start 60 s past the hour must include the PREVIOUS hour's rollup
+    bin — through both the inline and the stored-rollup matrix paths."""
+    from nntsc_spark.operators.matrix import (
+        select_matrix_data,
+        select_matrix_from_stored,
+    )
+
+    # one point in the 1-2 h bin, two in the 2-3 h bin
+    rows = [(1, 3600 + 30, 100.0), (1, 7200 + 500, 1.0), (1, 7200 + 900, 3.0)]
+    fact = spark.createDataFrame(rows, "stream_id long, timestamp long, value double")
+    lm = build_label_map(spark, {"L": [1]})
+    start, stop = 7260, 7260 + 7200  # 60 s past 02:00, 2 h span -> hourly
+    inline = select_matrix_data(fact, lm, ["value"], start, stop).collect()[0]
+    # without the rule the 01:00 bin's 100.0 would be dropped
+    assert inline.count_value == 3
+    assert inline.sum_value == pytest.approx(104.0)
+    stored = select_matrix_from_stored(
+        build_rollup(fact, 3600, ["value"]), lm, ["value"], start, stop, 3600
+    ).collect()[0]
+    assert stored.count_value == 3
+    assert stored.sum_value == pytest.approx(104.0)
+
+
 def test_frequency_rule_chain(spark):
     rows = []
     # stream 1: strict 10s cadence -> mode majority -> 10
