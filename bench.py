@@ -17,8 +17,17 @@ Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 MINIMUM: the first execution pays one-time per-query analysis + codegen
 (amortized to zero on a long-lived cluster), and min-of-N also suppresses
 noisy-neighbor variance on shared hardware (observed single-run jitter here
-is up to 4x on identical plans).  A global deadline (default 540 s) drops to
-single runs if the machine is slow, so the bench always completes.
+is up to 4x on identical plans).  The full tier bounds its wall clock with
+a PER-QUERY time budget (deadline / n_queries) rather than a global
+elapsed-time cutoff: a global cutoff made a query's rep count depend on its
+REGISTRY POSITION, so the r14 window rotation silently demoted a different
+set of mid-registry queries to cold single reps and their first-execution
+noise read as phantom 2x regressions (r14 verdict).  Under the per-query
+budget the rep count is a function of the query's own cost alone —
+rotation-invariant — and each query's actual rep count is recorded in the
+artifact ("reps_used") so no reader has to guess.  The committed default
+deadline is 1200 s (the r13 value; r14 accidentally ran 540, which is how
+the policy drift was discovered).
 
 Two tiers:
 
@@ -93,7 +102,12 @@ def _provenance(sf: str, tier: str, n_queries: int, registry_size: int,
         "registry_size": registry_size,
         "reps": reps,
         "deadline_sec": budget,
-        "deadline_tiering": tier == "full",
+        # full tier: reps bounded per query (deadline/n_queries), never by
+        # global elapsed time — rep counts are registry-order-invariant
+        "rep_policy": (
+            "per-query-budget" if tier == "full" else "fixed-min-of-N"
+        ),
+        "deadline_tiering": False,  # the r10-r14 global-elapsed policy
         "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
@@ -153,19 +167,25 @@ def run_tier(headline: bool, force: bool) -> dict:
     spark.range(1).mapInPandas(lambda it: it, "id long").collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "540"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1200"))
     t_start = time.time()
-    deadline = t_start + budget
-    # soft deadline (FULL tier only): past 60% of the budget, drop to
-    # min-of-2 instead of jumping straight to single COLD runs — a hard cut
-    # mid-run used to leave every later query single-rep, and their
-    # first-execution plan-compile noise (~1.4x) then read as phantom
-    # round-over-round regressions on exactly the tail of the registry.
+    # FULL tier: each query gets budget/n_queries seconds and runs reps
+    # until its NEXT rep (estimated at its own best-so-far) would exceed
+    # that slice — so a query's rep count depends only on its own cost,
+    # never on where the registry rotation happened to place it (the r14
+    # artifact mixed warm min-of-3 and cold single reps purely by
+    # position, overstating mid-registry rows up to 2x).  Every query
+    # always gets at least one rep.  A 2x-budget global deadline remains
+    # as a pathological-host backstop; hitting it is flagged in
+    # provenance because it breaks position-invariance.
     # The headline tier NEVER tiers: its whole point is a pinned rep
     # policy, so it runs full min-of-N or reports that it could not.
-    soft = t_start + 0.6 * budget
+    per_query = budget / max(1, len(names))
+    hard_deadline = t_start + 2 * budget
+    deadline_hit = False
 
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = registry[name]
@@ -177,19 +197,24 @@ def run_tier(headline: bool, force: bool) -> dict:
             # excluding it would under-report exactly the most expensive
             # queries.
             best = None
+            spent = 0.0
+            used = 0
             for rep in range(reps):
                 t0 = time.time()
                 fn(spark, sf_dir).toPandas()
                 dt = time.time() - t0
+                spent += dt
+                used += 1
                 best = dt if best is None else min(best, dt)
                 if headline:
                     continue  # pinned policy: always full min-of-N
-                now = time.time()
-                if now > deadline:  # out of budget: keep what we have
+                if time.time() > hard_deadline:
+                    deadline_hit = True
                     break
-                if now > soft and rep >= 1:  # soft regime: min-of-2
+                if spent + best > per_query:  # this query's slice is spent
                     break
             timings[name] = round(best, 3)
+            reps_used[name] = used
         except Exception as exc:  # keep benching: one bad query != no bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -197,6 +222,9 @@ def run_tier(headline: bool, force: bool) -> dict:
     total = round(sum(timings.values()), 3)
     tier = "headline" if headline else "full"
     prov = _provenance(sf, tier, len(names), len(registry), reps, budget)
+    if not headline:
+        prov["per_query_budget_sec"] = round(per_query, 3)
+        prov["deadline_hit"] = deadline_hit
     # Key ORDER is load-bearing (r13 verdict task 8): the driver's
     # captured stdout clips the middle of this (long) line, keeping its
     # head and tail — so the summary fields sit BEFORE the per-query
@@ -210,6 +238,9 @@ def run_tier(headline: bool, force: bool) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "provenance": prov,
         "queries": timings,
+        # per-query rep counts (r14 verdict task 2): a reader can tell a
+        # cold single rep from a warm min-of-3 without re-running anything
+        "reps_used": reps_used,
     }
     if errors:
         out["errors"] = errors

@@ -148,6 +148,15 @@ def test_bench_artifact_guard_and_headline_list():
                              len(bench.HEADLINE_QUERIES), len(REGISTRY),
                              reps=3, budget=540.0)
     for key in ("tier", "sf", "n_queries", "registry_size", "reps",
-                "deadline_sec", "deadline_tiering", "driver_mem", "cpus"):
+                "deadline_sec", "deadline_tiering", "rep_policy",
+                "driver_mem", "cpus"):
         assert key in prov, key
     assert prov["deadline_tiering"] is False  # headline never tiers
+    assert prov["rep_policy"] == "fixed-min-of-N"
+    # r14 verdict task 2: the full tier's rep count must depend on the
+    # query's own cost, never its registry position — policy is pinned in
+    # provenance so two artifacts can be judged comparable
+    full_prov = bench._provenance("0.1", "full", 137, 137,
+                                  reps=3, budget=1200.0)
+    assert full_prov["rep_policy"] == "per-query-budget"
+    assert full_prov["deadline_tiering"] is False
