@@ -43,7 +43,6 @@ from ..operators.matrix import (
     select_matrix_data,
     select_matrix_from_stored,
 )
-from ..operators.rollup import build_rollup
 from ..schemas import COLLECTIONS as SCHEMA_REGISTRY
 from ..operators.select import select_data
 from .frequency import estimate_frequency_rows
@@ -181,26 +180,30 @@ class ExportServer:
         self.query_timeout = query_timeout
         self.spark = spark
         self.collections = collections
-        # default each collection's stored-rollup config from the schema
+        # default each collection's matrix rollup SPECS from the schema
         # registry's matrix_cq declarations (the reference ships these in
         # its parsers and builds Influx CQs from them, amp_icmp.py:72-79,
         # cqs.py:96-107 build_cqs) — standing up the matrix service needs
-        # no per-deployment wiring.  The rollup DataFrames are declared
-        # lazily here; production replaces them with maintained tables
-        # (streaming.rollup) by passing an explicit "rollups" entry, which
+        # no per-deployment wiring.  Only the spec (binsize -> declared
+        # columns) is recorded: a registry-defaulted collection serves
+        # MATRIX through the request-time filtered build (time_filter over
+        # the raw fact with a parquet-prunable timestamp range), NOT a
+        # pre-declared rollup plan over the FULL unfiltered fact — a lazy
+        # full-fact rollup would re-aggregate the collection's entire
+        # history per request because merge_rollup's derived binstart
+        # predicate cannot prune row groups (the r5 finding; r14 ADVICE).
+        # Production passes an explicit "rollups" entry holding MAINTAINED
+        # tables (streaming.rollup) built to these specs; that stored path
         # always wins.
         for name, coll in self.collections.items():
             cs = SCHEMA_REGISTRY.get(name)
-            if "rollups" in coll or "fact" not in coll or cs is None:
+            if "fact" not in coll or cs is None:
                 continue
             cols = [
                 c for c in cs.rollup_value_cols if c in coll["fact"].columns
             ]
-            if cols:
-                coll["rollups"] = {
-                    b: build_rollup(coll["fact"], b, cols)
-                    for b in (MINUTE, HOUR)
-                }
+            if cols and "rollup_specs" not in coll:
+                coll["rollup_specs"] = {b: list(cols) for b in (MINUTE, HOUR)}
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         #: per-client bounded send queues (reference exporter.py:1510-1522)
@@ -599,11 +602,16 @@ class ExportServer:
         binsize = choose_rollup_binsize(start, stop)
         stored = coll.get("rollups", {}).get(binsize)
         if stored is not None and any(
-            f"mean_{c}" not in stored.columns for c in body["value_cols"]
+            f"{stat}_{c}" not in stored.columns
+            for c in body["value_cols"]
+            for stat in ("mean", "magiccount", "sum", "max", "min", "stddev")
         ):
-            # the stored rollup does not cover every requested column
-            # (request outside the collection's declared matrix_cq set):
-            # fall back to the inline build rather than failing the merge
+            # the stored rollup does not cover every requested column with
+            # every stat merge_rollup consumes (request outside the
+            # collection's declared matrix_cq set, or an externally
+            # maintained table missing e.g. magiccount_/stddev_): fall
+            # back to the inline build rather than failing the merge with
+            # an unresolved-column error (r14 ADVICE)
             stored = None
         if stored is not None:
             # production path: stored rollup (Influx CQ table analogue,

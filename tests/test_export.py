@@ -1304,9 +1304,11 @@ def test_new_stream_announced_live_via_ingest(spark, tmp_path):
 def test_matrix_rollups_default_from_schema_registry(spark, monkeypatch):
     """Per-collection matrix CQ declarations (amp_icmp.py:72-79, registry
     plumbing cqs.py:74-76): a server built WITHOUT hand-supplied rollup
-    config serves MATRIX from stored rollups for every collection whose
-    schema declares matrix_cq.  The inline fact-scan path is poisoned, so
-    a fall-through would fail loudly."""
+    config records the registry-derived rollup SPECS and serves MATRIX
+    through the request-time FILTERED build — never a pre-declared rollup
+    plan over the full unfiltered fact (that path re-aggregated the
+    collection's entire history per request, r14 ADVICE) and never the
+    stored path (poisoned here, so a fall-through fails loudly)."""
     import nntsc_spark.export.server as srv_mod
     from nntsc_spark.schemas import COLLECTIONS as REG
 
@@ -1334,14 +1336,19 @@ def test_matrix_rollups_default_from_schema_registry(spark, monkeypatch):
         colls[name] = {"fact": fact, "streams": streams}
 
     srv = ExportServer(spark, colls)
-    # registry defaults materialized for both rollup binsizes
-    for name in cases:
-        assert set(colls[name]["rollups"]) == {60, 3600}
+    # registry SPECS recorded for both rollup binsizes; no lazy full-fact
+    # rollup DataFrames fabricated
+    for name, (col, _mean) in cases.items():
+        assert set(colls[name]["rollup_specs"]) == {60, 3600}
+        assert col in colls[name]["rollup_specs"][3600]
+        assert "rollups" not in colls[name]
 
     def poisoned(*a, **k):
-        raise AssertionError("matrix fell through to the raw-fact path")
+        raise AssertionError(
+            "registry-defaulted matrix must not take the stored path"
+        )
 
-    monkeypatch.setattr(srv_mod, "select_matrix_data", poisoned)
+    monkeypatch.setattr(srv_mod, "select_matrix_from_stored", poisoned)
     srv.start()
     try:
         s = _connect(srv)
@@ -1364,6 +1371,57 @@ def test_matrix_rollups_default_from_schema_registry(spark, monkeypatch):
             row = matrix[0]
             assert row[f"avg_{col}"] == pytest.approx(mean)
             assert row[f"count_{col}"] == 9
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_matrix_stored_rollup_requires_every_merge_stat(spark):
+    """An externally supplied rollups table that has mean_ but lacks the
+    other stats merge_rollup consumes (magiccount_/sum_/max_/min_/stddev_)
+    must fail the coverage gate and fall back to the inline build instead
+    of dying inside the merge with an unresolved-column error
+    (r14 ADVICE)."""
+    fact = spark.createDataFrame(
+        [(1, 1000 + 60 * i, float(i)) for i in range(4)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1")], "stream_id long, source string, destination string"
+    )
+    from pyspark.sql import functions as F
+
+    # a crippled "rollup": right shape-ish, but only the mean_ column
+    crippled = (
+        fact.groupBy("stream_id")
+        .agg(F.min("timestamp").alias("binstart"),
+             F.avg("value").alias("mean_value"))
+    )
+    srv = ExportServer(
+        spark,
+        {"amp-icmp": {"fact": fact, "streams": streams,
+                      "rollups": {3600: crippled, 60: crippled}}},
+    )
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.MATRIX,
+                {"collection": "amp-icmp", "labels": {"L": [1]},
+                 "value_cols": ["value"], "start": 0, "stop": 7200},
+            )
+        )
+        matrix = []
+        while True:
+            mtype, body = read_message(s)
+            assert mtype == Msg.HISTORY, body
+            matrix.extend(body["matrix"])
+            if body["more"] is False:
+                break
+        assert len(matrix) == 1
+        assert matrix[0]["count_value"] == 4
+        assert matrix[0]["avg_value"] == pytest.approx(1.5)
         s.close()
     finally:
         srv.stop()
