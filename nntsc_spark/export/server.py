@@ -60,6 +60,9 @@ STREAMS_BATCH_ROWS = 1_000  # exporter.py:641-657
 MAX_WORKERS = 2  # query workers per client (exporter.py:103)
 LIVE_QUEUE_CAP = 1_000_000  # per-client send queue entries (exporter.py:1512)
 SEND_TIMEOUT = 10  # seconds to wait on a full queue (exporter.py:1451)
+#: announcement rounds an announced-but-never-published stream keeps its
+#: first-live forwarding entry before it is expired (see announce_streams)
+NEW_STREAM_GEN_CAP = 64
 
 
 class QueryTimeout(Exception):
@@ -220,6 +223,9 @@ class ExportServer:
         #: stream yet (reference self.newstreams, exporter.py:1371-1406,
         #: consumed at :1466-1484 with tosend=1 then deleted)
         self._new_streams: dict[int, dict] = {}
+        #: monotonically increasing announce-round counter used to expire
+        #: never-publishing _new_streams entries (r14 verdict task 7)
+        self._announce_gen = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
@@ -822,14 +828,15 @@ class ExportServer:
             return
         with self._lock:
             socks = list(self._interest.get(colname, ()))
-            for row in rows:
-                sid = row.get("stream_id")
-                if sid is not None and socks:
-                    self._new_streams[int(sid)] = {
-                        "collection": colname,
-                        "socks": list(socks),
-                        "tosend": 1,
-                    }
+        if not socks:
+            return
+        # enqueue the announcement frames BEFORE registering the
+        # first-live forwarding entries: per-socket frame order is enqueue
+        # order, so a publish_live racing this call can never place a LIVE
+        # frame for the new stream ahead of its STREAMS announcement — the
+        # 'client never sees data for a stream it was not told about'
+        # ordering holds even with concurrent publishers (r14 ADVICE; the
+        # reference relies on its single announcing thread for this)
         for sock in socks:
             for i in range(0, len(rows), STREAMS_BATCH_ROWS):
                 block = rows[i : i + STREAMS_BATCH_ROWS]
@@ -842,6 +849,30 @@ class ExportServer:
                         "more": i + STREAMS_BATCH_ROWS < len(rows),
                     },
                 )
+        with self._lock:
+            self._announce_gen += 1
+            for row in rows:
+                sid = row.get("stream_id")
+                if sid is not None:
+                    self._new_streams[int(sid)] = {
+                        "collection": colname,
+                        "socks": list(socks),
+                        "tosend": 1,
+                        "gen": self._announce_gen,
+                    }
+            # expire entries for announced streams that never published:
+            # without a cap they persist until disconnect — bounded by
+            # created-stream count but unbounded in TIME (r14 verdict
+            # task 7).  A stream that has not ingested its first batch
+            # within NEW_STREAM_GEN_CAP later announcement rounds forfeits
+            # the tosend=1 forwarding (the client still has the STREAMS
+            # announcement and can subscribe normally).
+            stale = [
+                sid for sid, ns in self._new_streams.items()
+                if self._announce_gen - ns.get("gen", 0) > NEW_STREAM_GEN_CAP
+            ]
+            for sid in stale:
+                del self._new_streams[sid]
 
     def publish_live(self, colname: str, stream_id: int, rows: list[dict]) -> None:
         """Fan out freshly ingested rows to matching subscriptions (S9).

@@ -1484,3 +1484,177 @@ def test_malformed_unsubscribe_keeps_connection(server):
     mtype, _ = read_message(s)
     assert mtype == Msg.COLLECTIONS
     s.close()
+
+
+def _interest_server(spark):
+    """Empty-fact server + a connected socket with collection interest."""
+    streams = spark.createDataFrame(
+        [], "stream_id long, source string, destination string"
+    )
+    fact = spark.createDataFrame(
+        [], "stream_id long, timestamp long, value double"
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    s = _connect(srv)
+    s.sendall(pack(Msg.REQUEST, {"request": int(Req.STREAMS),
+                                 "collection": "amp-icmp", "minid": 0}))
+    mtype, body = read_message(s)
+    assert mtype == Msg.STREAMS and body["streams"] == []
+    return srv, s
+
+
+def test_announce_precedes_racing_live_forward(spark, monkeypatch):
+    """r14 ADVICE: a publish_live racing announce_streams must never place
+    the new stream's first LIVE frame ahead of its STREAMS announcement.
+    The worst-case interleaving is forced by firing publish_live from
+    INSIDE the announcement's first frame enqueue: the forwarding entry
+    must not exist yet, so the racing batch is dropped rather than
+    reordered, and the post-announce batch is forwarded normally."""
+    import nntsc_spark.export.server as srv_mod
+
+    srv, s = _interest_server(spark)
+    real_send = srv_mod.ExportServer._send
+    fired = {"done": False}
+
+    def racing_send(self, sock, mtype, body):
+        if (mtype == Msg.STREAMS and not fired["done"]
+                and isinstance(body, dict) and body.get("streams")):
+            fired["done"] = True  # no recursion: LIVE frames skip this arm
+            self.publish_live("amp-icmp", 9,
+                              [{"timestamp": 1, "value": 1.0}])
+        real_send(self, sock, mtype, body)
+
+    monkeypatch.setattr(srv_mod.ExportServer, "_send", racing_send)
+    try:
+        srv.announce_streams(
+            "amp-icmp", [{"stream_id": 9, "source": "src",
+                          "destination": "d9"}]
+        )
+        assert fired["done"]
+        srv.publish_live("amp-icmp", 9, [{"timestamp": 2, "value": 2.0}])
+        mtype, body = read_message(s)
+        assert mtype == Msg.STREAMS  # the announcement is always first
+        assert body["streams"][0]["stream_id"] == 9
+        mtype, body = read_message(s)
+        assert mtype == Msg.LIVE
+        # the racing pre-announcement batch was dropped, not reordered
+        assert body["result"]["timestamp"] == 2
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_new_streams_entry_expires_without_publish(spark, monkeypatch):
+    """r14 verdict task 7: an announced stream that never publishes loses
+    its first-live forwarding entry after NEW_STREAM_GEN_CAP later
+    announcement rounds instead of persisting forever."""
+    import nntsc_spark.export.server as srv_mod
+
+    monkeypatch.setattr(srv_mod, "NEW_STREAM_GEN_CAP", 2)
+    srv, s = _interest_server(spark)
+    try:
+        srv.announce_streams(
+            "amp-icmp", [{"stream_id": 1, "source": "s", "destination": "a"}]
+        )
+        assert 1 in srv._new_streams
+        for sid in (2, 3):  # within the cap: entry 1 survives
+            srv.announce_streams(
+                "amp-icmp",
+                [{"stream_id": sid, "source": "s", "destination": str(sid)}],
+            )
+        assert 1 in srv._new_streams
+        srv.announce_streams(  # round 4: gen 1 is now > cap behind
+            "amp-icmp", [{"stream_id": 4, "source": "s", "destination": "d"}]
+        )
+        assert 1 not in srv._new_streams
+        assert {3, 4} <= set(srv._new_streams)
+        # an expired entry forfeits forwarding but the stream still works:
+        # a LIVE for it is simply not auto-forwarded (no subscription)
+        srv.publish_live("amp-icmp", 1, [{"timestamp": 5, "value": 1.0}])
+        # the freshest announced stream still gets its first batch
+        srv.publish_live("amp-icmp", 4, [{"timestamp": 6, "value": 2.0}])
+        got = _drain_until(s, Msg.LIVE, limit=10)
+        live = [b for t, b in got if t == Msg.LIVE]
+        assert live[0]["stream_id"] == 4
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_unsubscribe_during_history_replay(spark, monkeypatch):
+    """r14 verdict task 6 (reference waitstreams deletion,
+    exporter.py:894-905): an UNSUBSCRIBE arriving WHILE history replay is
+    in flight (waiting=True) must discard the dropped stream's buffered
+    live rows — they never arrive after the replay finishes — while the
+    sibling stream's seam ordering stays intact."""
+    import nntsc_spark.export.server as srv_mod
+
+    started, go = threading.Event(), threading.Event()
+    real_ship = srv_mod.ExportServer._ship_history
+
+    def stalled_ship(self, sock, colname, out, *args, **kwargs):
+        started.set()
+        assert go.wait(timeout=30)
+        return real_ship(self, sock, colname, out, *args, **kwargs)
+
+    monkeypatch.setattr(srv_mod.ExportServer, "_ship_history", stalled_ship)
+    fact = spark.createDataFrame(
+        [(1, 100 + i, float(i)) for i in range(3)]
+        + [(2, 200 + i, 10.0 + i) for i in range(3)],
+        "stream_id long, timestamp long, value double",
+    )
+    streams = spark.createDataFrame(
+        [(1, "src", "d1"), (2, "src", "d2")],
+        "stream_id long, source string, destination string",
+    )
+    srv = ExportServer(spark, {"amp-icmp": {"fact": fact, "streams": streams}})
+    srv.start()
+    try:
+        s = _connect(srv)
+        s.sendall(
+            pack(
+                Msg.SUBSCRIBE,
+                {"collection": "amp-icmp", "labels": {"L1": [1], "L2": [2]},
+                 "start": 1, "stop": 10_000},
+            )
+        )
+        assert started.wait(timeout=30)
+        # live rows for BOTH streams buffer behind the stalled replay
+        srv.publish_live("amp-icmp", 1, [{"timestamp": 20_000, "value": 1.0}])
+        srv.publish_live("amp-icmp", 2, [{"timestamp": 20_001, "value": 2.0},
+                                         {"timestamp": 20_002, "value": 3.0}])
+        # inline unsubscribe takes effect immediately, mid-replay
+        s.sendall(pack(Msg.UNSUBSCRIBE,
+                       {"collection": "amp-icmp", "streams": [1]}))
+        with srv._lock:
+            sub = srv._subs[0]
+        for _ in range(300):
+            with srv._lock:
+                if 1 not in sub.stream_ids:
+                    break
+            time.sleep(0.01)
+        go.set()
+        _drain_until(s, Msg.HISTORY_DONE, limit=50)
+        # both labels replayed history (the query predates the drop);
+        # after the second label's terminator ONLY stream 2's buffered
+        # rows arrive, in publish order
+        live = []
+        while len(live) < 2:
+            m = read_message(s)
+            assert m is not None
+            if m[0] == Msg.HISTORY_DONE:
+                continue  # the second label's terminator
+            assert m[0] == Msg.LIVE
+            assert m[1]["stream_id"] == 2  # stream 1's buffer was discarded
+            live.append(m[1]["result"]["timestamp"])
+        assert live == [20_001, 20_002]
+        # post-replay publishes: dropped stream stays dropped
+        srv.publish_live("amp-icmp", 1, [{"timestamp": 30_000, "value": 4.0}])
+        srv.publish_live("amp-icmp", 2, [{"timestamp": 30_001, "value": 5.0}])
+        m = read_message(s)
+        assert m[0] == Msg.LIVE and m[1]["stream_id"] == 2
+        assert m[1]["result"]["timestamp"] == 30_001
+        s.close()
+    finally:
+        srv.stop()
