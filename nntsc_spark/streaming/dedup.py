@@ -350,12 +350,16 @@ class IncrementalDeduper:
         )
         accepted = docs.join(dups, "doc_id", "left_anti").localCheckpoint()
 
+        # schema sidecar first: a batch RETYPING a column must fail HERE,
+        # before any data file with the conflicting physical type lands in
+        # the table (a sidecar that outruns a crashed data write is
+        # harmless — explicit-schema reads serve the extra column as null)
+        self._persist_accepted_schema(accepted)
         # idempotent per-batch OVERWRITES: a retry rewrites exactly these
         # directories with identical (deterministic) content
         accepted.write.mode("overwrite").parquet(
             f"{self.out_path}/batch={int(batch_id)}"
         )
-        self._persist_accepted_schema(accepted)
         acc_ids = accepted.select("doc_id")
         bands.join(acc_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{self.index_path}/bands/batch={int(batch_id)}"
@@ -384,24 +388,58 @@ class IncrementalDeduper:
         return done
 
     def _persist_accepted_schema(self, accepted: DataFrame) -> None:
-        """Cache the accepted-docs schema next to the table (once,
-        atomically via temp+rename; the leading underscore keeps Spark's
-        file index from treating it as data).  Serve-time reads then pass
-        it EXPLICITLY instead of inferring: with ``as_of_batch``,
+        """Cache the accepted-docs schema next to the table (atomically
+        via temp+rename; the leading underscore keeps Spark's file index
+        from treating it as data).  Serve-time reads then pass it
+        EXPLICITLY instead of inferring: with ``as_of_batch``,
         planning-time inference could still sample a footer of the
         in-flight ``batch=N`` partition being non-atomically overwritten
-        — the torn-read hatch itself could throw (r13 advice).  Written
-        best-effort for local paths (this repo's storage layer); when
-        absent the serve read falls back to inference."""
+        — the torn-read hatch itself could throw (r13 advice).
+
+        REVALIDATED on every commit (r14 advice): a write-once sidecar
+        silently served stale schemas once the accepted-docs schema
+        evolved.  A new batch that ADDS columns widens the sidecar to the
+        union (older partitions read those columns as null, the standard
+        parquet evolution); a batch that RETYPES a column raises — mixed
+        physical types across partitions cannot be served by one explicit
+        schema and must fail the batch loudly, not at some later read.
+        IO errors stay best-effort for local paths (this repo's storage
+        layer); when the sidecar is absent the serve read falls back to
+        inference."""
         import json as _json
         from pathlib import Path
 
+        from pyspark.sql.types import StructType
+
+        new_fields = {f.name: f for f in accepted.schema.fields}
+        merged = list(accepted.schema.fields)
         try:
             p = Path(self.out_path) / "_accepted_schema.json"
             if p.exists():
-                return
+                prior = StructType.fromJson(_json.loads(p.read_text()))
+                retyped = [
+                    f.name
+                    for f in prior.fields
+                    if f.name in new_fields
+                    and new_fields[f.name].dataType != f.dataType
+                ]
+                if retyped:
+                    raise ValueError(
+                        f"accepted-docs schema retyped columns {retyped} "
+                        f"vs the committed sidecar under {self.out_path}; "
+                        "mixed physical types across batch partitions are "
+                        "unservable — migrate the table instead"
+                    )
+                # union: keep prior-only columns (null in new partitions)
+                merged += [
+                    f for f in prior.fields if f.name not in new_fields
+                ]
+                if [f.name for f in merged] == [
+                    f.name for f in prior.fields
+                ] and len(merged) == len(prior.fields):
+                    return  # unchanged: nothing to rewrite
             tmp = p.with_name("_accepted_schema.json.tmp")
-            tmp.write_text(_json.dumps(accepted.schema.jsonValue()))
+            tmp.write_text(_json.dumps(StructType(merged).jsonValue()))
             tmp.rename(p)
         except OSError:
             pass

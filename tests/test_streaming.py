@@ -1781,3 +1781,52 @@ def test_incremental_dedup_as_of_serves_without_schema_inference(spark, tmp_path
     got = ded.corpus(as_of_batch=0)
     assert {r.doc_id for r in got.collect()} == {1, 2}
     assert got.schema["text"].dataType.simpleString() == "string"
+
+
+def test_accepted_schema_sidecar_follows_evolution(spark, tmp_path):
+    """r14 advice: the schema sidecar is revalidated on every commit.  A
+    batch ADDING a column widens the sidecar to the union (older
+    partitions serve the new column as null); a batch RETYPING a column
+    fails the commit loudly instead of leaving corpus() to plan with a
+    stale schema."""
+    import pytest as _pytest
+
+    from nntsc_spark.streaming.dedup import IncrementalDeduper
+
+    ded = IncrementalDeduper(
+        spark, str(tmp_path / "idx"), str(tmp_path / "corpus")
+    )
+    ded.process_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        batch_id=0,
+    )
+    # batch 1 adds a column: sidecar widens, corpus serves it (null for
+    # the pre-evolution partition)
+    ded.process_batch(
+        spark.createDataFrame(
+            [(2, "totally different words again today", "en")],
+            "doc_id long, text string, lang string",
+        ),
+        batch_id=1,
+    )
+    got = ded.corpus(as_of_batch=1)
+    assert "lang" in got.columns
+    rows = {r.doc_id: r.lang for r in got.collect()}
+    assert rows == {1: None, 2: "en"}
+    # batch 2 retypes doc_id: unservable across partitions -> loud
+    # failure BEFORE any data file with the conflicting type lands
+    with _pytest.raises(ValueError, match="retyped"):
+        ded.process_batch(
+            spark.createDataFrame(
+                [("3", "yet another run of fresh words")],
+                "doc_id string, text string",
+            ),
+            batch_id=2,
+        )
+    import pathlib
+    assert not (pathlib.Path(str(ded.out_path)) / "batch=2").exists()
+    # the table is still fully servable after the rejected batch
+    assert {r.doc_id for r in ded.corpus().collect()} == {1, 2}
