@@ -46,6 +46,41 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def sanitize_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Normalize non-finite coordinates (NaN/±Inf) to NULL elements.
+
+    NaN coordinates are the ONE malformation class where the expression
+    and Arrow signature paths deliberately diverge (Spark's
+    NaN-above-everything ordering answers ``NaN > 0`` TRUE in the CASE
+    expression, while the Arrow path masks NaN dots to bit 0 because
+    Spark's array<double> -> pandas conversion erases the
+    NULL-element/NaN distinction — see
+    :func:`_multi_table_signatures_arrow`).  Applying this at the
+    ingestion seam collapses that class into the NULL-element one, where
+    the two paths are bit-identical: the divergence becomes unreachable
+    for index-managed corpora (r14 advice).  NULL elements and NULL
+    vectors pass through untouched — they already behave identically on
+    both paths (all-zero signature, NULL norm, pair dies at the cosine).
+    """
+    e = F.col(vec_col)
+    inf = F.lit(float("inf"))
+    return df.withColumn(
+        vec_col,
+        F.when(
+            e.isNull(),
+            e,
+        ).otherwise(
+            F.transform(
+                e,
+                lambda x: F.when(
+                    F.isnan(x) | (F.abs(x) == inf),
+                    F.lit(None).cast("double"),
+                ).otherwise(x),
+            )
+        ),
+    )
+
+
 def _per_query_topk(
     scored: DataFrame, k: int, score_col: str, ascending: bool
 ) -> DataFrame:
@@ -1342,6 +1377,10 @@ def ivf_build_index(
     anchor.
     """
     spark = emb.sparkSession
+    # vectors enter managed storage HERE: collapse NaN/Inf coordinates to
+    # NULL elements so every later signature computation — expression or
+    # Arrow — sees the same malformation class (see sanitize_vectors)
+    emb = sanitize_vectors(emb, vec_col)
     # nlist=None -> the N/target_cell_size sizing rule (resolve_nlist):
     # an index built once at a fixed tiny nlist would overfill cells as
     # the corpus grows, the same failure semantic_dedup's default fixes
@@ -1487,6 +1526,9 @@ def ivf_append(
         .orderBy("cell_id")
         .collect()
     ]
+    # same ingestion-seam normalization as the build: NaN/Inf coordinates
+    # become NULL elements before the vectors land in the corpus
+    new = sanitize_vectors(new, vec_col)
     assigned = _assign_cells(new, cents, id_col, vec_col)
     # one eager pass computes the stats AND fills the cache the write
     # reads — the assignment projection runs once, not twice

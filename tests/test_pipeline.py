@@ -3603,3 +3603,84 @@ def test_signature_tags_norm_and_malformed_parity(spark):
     # malformed signature values take the documented constants
     zero_sig = {expr[(v, t)][0] for v in (3, 4, 5, 6) for t in range(tables)}
     assert zero_sig == {0}
+
+
+def test_sanitize_vectors_collapses_nonfinite_to_null(spark):
+    """r14 advice: normalizing NaN/Inf coordinates to NULL elements at
+    the ingestion seam makes the documented expression-vs-Arrow NaN
+    divergence unreachable — after sanitize_vectors, BOTH signature
+    paths agree bit-for-bit on every row, the NaN class included."""
+    from nntsc_spark.pipeline.similarity import (
+        _multi_table_signatures_arrow,
+        _multi_table_signatures_expr,
+        sanitize_vectors,
+    )
+
+    dims, bits, tables = 8, 5, 3
+    rows = [
+        (1, [float((17 * d + 3) % 9 - 4) for d in range(dims)]),
+        (2, [1.0] * (dims - 1) + [None]),          # NULL element: untouched
+        (3, None),                                 # NULL vector: untouched
+        (4, [1.0] * (dims - 1) + [float("nan")]),  # NaN -> NULL element
+        (5, [1.0] * (dims - 1) + [float("inf")]),  # +Inf -> NULL element
+        (6, [-float("inf")] + [1.0] * (dims - 1)), # -Inf -> NULL element
+    ]
+    emb = sanitize_vectors(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    )
+    got = {r.vec_id: r.embedding for r in emb.collect()}
+    assert got[1] == rows[0][1]          # well-formed coordinates untouched
+    assert got[2][-1] is None and got[3] is None
+    assert got[4][-1] is None and got[4][:-1] == [1.0] * (dims - 1)
+    assert got[5][-1] is None and got[6][0] is None
+    expr = {
+        (r["vec_id"], r["_t"]): (r["_s"], r["_n"])
+        for r in _multi_table_signatures_expr(
+            emb, bits, tables, dims, "vec_id", "embedding",
+            include_vec=False, include_norm=True,
+        ).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["_t"]): (r["_s"], r["_n"])
+        for r in _multi_table_signatures_arrow(
+            emb, bits, tables, dims, "vec_id", "embedding",
+            include_vec=False, include_norm=True,
+        ).collect()
+    }
+    assert expr == arrow  # bit-identical EVERYWHERE, ex-NaN rows included
+    for vid in (2, 3, 4, 5, 6):
+        for t in range(tables):
+            assert expr[(vid, t)] == (0, None)  # NULL-poisoned fold
+
+
+def test_ivf_index_sanitizes_vectors_at_ingestion(spark, tmp_path):
+    """ivf_build_index / ivf_append are the managed-storage seam: a NaN
+    or Inf coordinate never lands in the corpus — it is stored as a NULL
+    element, so every later read sees the parity-safe malformation
+    class."""
+    import math
+
+    from nntsc_spark.pipeline.similarity import ivf_append, ivf_build_index
+
+    dims = 4
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, float("nan")]),
+         (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf")
+    ivf_build_index(emb, path, nlist=2)
+    new = spark.createDataFrame(
+        [(4, [float("inf"), 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_append(new, path, batch_id=1)
+    stored = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{path}/corpus").collect()
+    }
+    assert set(stored) == {1, 2, 3, 4}
+    flat = [x for v in stored.values() for x in v]
+    assert not any(x is not None and not math.isfinite(x) for x in flat)
+    assert stored[2][3] is None and stored[4][0] is None
