@@ -579,6 +579,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     salt: str = "split",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/validation/test split that is ATOMIC over near-duplicate
     clusters — the leakage-safe counterpart of
@@ -601,6 +602,11 @@ def leakage_safe_split(
     beyond what the split alone costs.  Output: every ``docs`` column
     plus ``rep_id`` (the split key) and ``split``; the three splits
     exactly partition the corpus for any (data, salt).
+
+    ``pairs`` injects a precomputed near-dup pair table ((d1, d2)
+    columns, e.g. one shared with :func:`split_leakage_report` so a
+    split-then-audit composition bands the corpus once, not twice);
+    when omitted the banded pass runs here.
     """
     from .text import SAMPLE_MOD, hash_priority_expr
 
@@ -610,7 +616,8 @@ def leakage_safe_split(
         raise ValueError(f"fractions must sum to 1, got {tot}")
     t1 = int(round(f_train * SAMPLE_MOD))
     t2 = int(round((f_train + f_val) * SAMPLE_MOD))
-    pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
+    if pairs is None:
+        pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
     cc = connected_components(pairs)
     keyed = (
         docs.join(
@@ -638,6 +645,7 @@ def split_leakage_report(
     text_col: str = "text",
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Audit ANY split assignment for near-dup leakage — the detection
     counterpart of :func:`leakage_safe_split`'s prevention: given a
@@ -653,8 +661,13 @@ def split_leakage_report(
     (#distinct split values squared).  Output: (split_a, split_b,
     n_pairs) with split_a <= split_b lexicographically, so the pair of
     labels is order-canonical whichever member carried which.
+
+    ``pairs`` injects a precomputed pair table (see
+    :func:`leakage_safe_split`); with it supplied, ``docs`` only needs
+    (``id_col``, ``split_col``) — no text column is touched.
     """
-    pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
+    if pairs is None:
+        pairs = minhash_near_duplicates(docs, text_col, threshold=threshold)
     lab = docs.select(F.col(id_col), F.col(split_col))
     a = lab.select(
         F.col(id_col).alias("d1"), F.col(split_col).alias("_s1")

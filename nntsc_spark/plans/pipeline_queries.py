@@ -2780,6 +2780,140 @@ FROM tc JOIN cur ON cur.vec_id = tc.doc_id
 """
 
 
+def _pairs_sql_over(src: str, threshold: float, suf: str) -> str:
+    """CTE chain computing minhash near-dup pairs over an arbitrary
+    (doc_id, text) CTE — the SQL mirror of
+    :func:`~.pipeline.dedup.minhash_near_duplicates` with the source
+    relation and jaccard threshold parameterized (the module-level
+    _SHINGLES/_SIGS/_BANDS constants pin the documents-table instance at
+    0.5).  All CTE names carry ``suf`` so the chain can sit next to
+    other pair machinery in one WITH list."""
+    sigs = ", ".join(
+        f"min(('0x' || substring(md5('{i}:' || shingle), 1, 15))::BIGINT)"
+        f" AS mh{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS band_hash"
+        f" FROM sigs{suf}"
+        for b in range(4)
+    )
+    return f"""
+toks{suf} AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM {src}
+), shingles{suf} AS MATERIALIZED (
+  SELECT DISTINCT doc_id, s.shingle
+  FROM toks{suf}, LATERAL (
+    SELECT unnest([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                   FOR i IN range(greatest(len(l) - 2, 1))]) AS shingle
+  ) s
+  WHERE s.shingle IS NOT NULL
+), sigs{suf} AS (
+  SELECT doc_id, {sigs} FROM shingles{suf} GROUP BY doc_id
+), bands{suf} AS ({bands}),
+cand{suf} AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands{suf} a JOIN bands{suf} b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), jhash{suf} AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS sh_h
+  FROM shingles{suf}
+), inter{suf} AS (
+  SELECT c.d1, c.d2, count(*) AS n_inter
+  FROM cand{suf} c
+  JOIN jhash{suf} s1 ON s1.doc_id = c.d1
+  JOIN jhash{suf} s2 ON s2.doc_id = c.d2 AND s2.sh_h = s1.sh_h
+  GROUP BY c.d1, c.d2
+), sizes{suf} AS (
+  SELECT doc_id, count(*) AS n FROM shingles{suf} GROUP BY doc_id
+), pairs{suf} AS MATERIALIZED (
+  SELECT i.d1, i.d2
+  FROM inter{suf} i
+  JOIN sizes{suf} z1 ON z1.doc_id = i.d1
+  JOIN sizes{suf} z2 ON z2.doc_id = i.d2
+  WHERE round(i.n_inter / CAST(z1.n + z2.n - i.n_inter AS DOUBLE), 4)
+        >= {threshold}
+)"""
+
+
+#: the audit runs STRICTER (lower) than the capstone's 0.5 dedup: pairs
+#: too weak to have been deduplicated must STILL not straddle splits
+_AUDIT_TAU = 0.3
+
+
+def q_curated_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 verdict task 5: the curated capstone closed with the
+    leakage-safe split AND its own audit — the split manifest carries
+    its proof (n_cross_split_pairs = 0 by construction).  The audit
+    threshold (0.3) sits BELOW the capstone's dedup threshold (0.5):
+    near-dup structure too weak to be collapsed by dedup must still be
+    split-atomic, so the composed check is non-vacuous even over a
+    deduplicated corpus."""
+    from ..pipeline.corpus import corpus_split_audit, training_corpus
+
+    cur = training_corpus(
+        load_table(spark, sf_dir, "documents"),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+        emb_nlist=_SEMDEDUP_NLIST,
+        emb_threshold=_SEMDEDUP_TAU,
+        emb_per_cell=15,
+    )
+    return corpus_split_audit(cur, threshold=_AUDIT_TAU)
+
+
+SQL_CURATED_SPLIT_AUDIT = f"""
+WITH RECURSIVE cur AS MATERIALIZED (
+  SELECT doc_id, text FROM ({{curated}}) q
+), {{pairs_chain}},
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairsc
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM pairsc
+), reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS rep FROM reach GROUP BY node
+), lab AS (
+  SELECT k.doc_id, k.rep_id,
+         CASE WHEN k.bucket < 9000 THEN 'train'
+              WHEN k.bucket < 9500 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT c.doc_id, coalesce(cc.rep, c.doc_id) AS rep_id,
+           ('0x' || substring(md5('split' ||
+               CAST(coalesce(cc.rep, c.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+             % 10000 AS bucket
+    FROM cur c LEFT JOIN cc ON cc.doc_id = c.doc_id
+  ) k
+), pj AS (
+  SELECT least(a.split, b.split) AS sa, greatest(a.split, b.split) AS sb
+  FROM pairsc p
+  JOIN lab a ON a.doc_id = p.d1
+  JOIN lab b ON b.doc_id = p.d2
+), tot AS (
+  SELECT CAST(coalesce(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_same_split_pairs,
+         CAST(coalesce(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cross_split_pairs
+  FROM pj
+)
+SELECT lab.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rep_id <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_members,
+       tot.n_same_split_pairs, tot.n_cross_split_pairs
+FROM lab CROSS JOIN tot
+GROUP BY lab.split, tot.n_same_split_pairs, tot.n_cross_split_pairs
+""".format(
+    curated=SQL_TRAINING_CORPUS_CURATED,
+    pairs_chain=_pairs_sql_over("cur", _AUDIT_TAU, "c"),
+)
+
+
+
 
 
 def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:

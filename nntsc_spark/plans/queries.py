@@ -779,3 +779,18 @@ REGISTRY["split_leakage_report"] = (
 # last reference behavior that had no implementation (r14 verdict task 1).
 # A start 60 s past an hour boundary backs up to the previous hour's bin.
 REGISTRY["matrix_hour_edge"] = (q_matrix_hour_edge, SQL_MATRIX_HOUR_EDGE)
+
+# round-15: the curated capstone closed with the leakage-safe split AND
+# its own audit in one pass (r14 verdict task 5) — the split manifest
+# ships its proof (n_cross_split_pairs pinned 0 by construction, audited
+# at a STRICTER threshold than the capstone's dedup so the check is
+# non-vacuous over a deduplicated corpus)
+from .pipeline_queries import (  # noqa: E402
+    SQL_CURATED_SPLIT_AUDIT,
+    q_curated_split_audit,
+)
+
+REGISTRY["curated_split_audit"] = (
+    q_curated_split_audit,
+    SQL_CURATED_SPLIT_AUDIT,
+)

@@ -566,3 +566,46 @@ def test_leakage_safe_split_partition_and_atomicity(spark, picks):
     for p in minhash_near_duplicates(docs).collect():
         assert out[p.d1].rep_id == out[p.d2].rep_id
         assert out[p.d1].split == out[p.d2].split
+
+
+@given(
+    picks=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=12
+    ),
+    salt=st.sampled_from(["split", "s2", "epoch7", ""]),
+)
+@settings(**SETTINGS)
+def test_corpus_split_audit_off_diagonal_empty(spark, picks, salt):
+    """r14 verdict task 5: the composed split-plus-audit's off-diagonal
+    is EMPTY for any duplicate topology and any salt — the audit runs
+    over leakage_safe_split's own assignment, where a cross-split
+    near-dup pair is impossible by construction.  The per-split doc
+    counts must also exactly partition the corpus."""
+    from nntsc_spark.pipeline.corpus import corpus_split_audit
+    from nntsc_spark.pipeline.dedup import (
+        leakage_safe_split,
+        split_leakage_report,
+    )
+
+    pool = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs today",
+        "sphinx of black quartz judge my vow tonight",
+        "how vexingly quick daft zebras jump around here",
+        "completely different words entirely unrelated text now",
+    ]
+    rows = [(i, pool[p]) for i, p in enumerate(picks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = corpus_split_audit(docs, salt=salt).collect()
+    assert sum(r.n_docs for r in out) == len(picks)
+    assert all(r.n_cross_split_pairs == 0 for r in out)
+    # the corpus-level pair totals are constant across the split rows
+    assert len({(r.n_same_split_pairs, r.n_cross_split_pairs)
+                for r in out}) == 1
+    # the raw report agrees: no off-diagonal rows at all
+    labeled = leakage_safe_split(docs, salt=salt)
+    rep = split_leakage_report(labeled).collect()
+    assert all(r.split_a == r.split_b for r in rep)
+    assert sum(r.n_pairs for r in rep) == out[0].n_same_split_pairs
