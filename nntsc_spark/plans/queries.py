@@ -794,3 +794,37 @@ REGISTRY["curated_split_audit"] = (
     q_curated_split_audit,
     SQL_CURATED_SPLIT_AUDIT,
 )
+
+# round-15: FINAL window rotation (r14 verdict task 3).  The driver hashes
+# the first 50 registered queries; after the r13 (original head-50) and
+# r14 (rotated head-50) windows, exactly 38 registry entries have never
+# had a driver-written green: the 34 entries the r14 rotation left at
+# positions 51-84 (the sketch/vocab/fuzzy/ANN-index/capstone families and
+# the four round-5 tail demotions) plus the four r14/r15 registrations.
+# Front-loading them closes the sweep — after this round every registry
+# query has a driver-written green on record.  The set is unchanged (the
+# full registry still runs under tools/verify_local.py and bench.py); the
+# reorder is IN PLACE so every alias of the dict sees it.
+_R15_HEAD = [
+    "cms_topk", "bigram_logprob", "ngram_diversity", "doc_clean_lines",
+    "hll_distinct", "pq_topk", "textrank_keywords", "hll_merge_days",
+    "ivfpq_topk", "ivfpq_index_topk", "doc_split", "corpus_shuffle",
+    "corpus_diff", "source_cap", "epoch_mixture", "media_dedup",
+    "contamination_suite", "cluster_sample", "hybrid_search",
+    "quality_calibrated", "embedding_curation", "training_corpus_curated",
+    "phrase_hits", "phrase_hits_many", "vocab_fuzzy", "vocab_canonical",
+    "doc_normalize_tokens", "fuzzy_linkage", "vocab_fuzzy_unicode",
+    "fuzzy_linkage_unicode", "arraysize", "dedup_exact",
+    "similarity_topk", "multimodal_meta",
+    "leakage_safe_split", "split_leakage_report",
+    "matrix_hour_edge", "curated_split_audit",
+]
+_snapshot = dict(REGISTRY)
+assert set(_R15_HEAD) <= set(_snapshot), sorted(
+    set(_R15_HEAD) - set(_snapshot)
+)
+_rest = [k for k in _snapshot if k not in set(_R15_HEAD)]
+REGISTRY.clear()
+for _k in _R15_HEAD + _rest:
+    REGISTRY[_k] = _snapshot[_k]
+del _snapshot, _rest, _k

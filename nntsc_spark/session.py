@@ -88,6 +88,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill/broadcast block codec.  Default lz4; the planted
+        # x1000 near-dup cell (spill-bound per SCALING.md) was measured
+        # with zstd as well — see SCALING.md r15 for the numbers and the
+        # call.  The env knob keeps the experiment reproducible.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -61,28 +61,29 @@ def test_no_orphan_oracles():
 #: demote a flagship out of the correctness gate.  Changing the window IS
 #: allowed — do it deliberately, by editing this list together with the
 #: registry and the tail note in plans/queries.py.
-#: r14 ROTATION: the old head-50 (stable since r5) had been
-#: driver-verified thirteen rounds in a row while the 84 later
-#: registrations only ever appeared in the committed FULL artifact; the
-#: registry rotated in place (old head -> tail) so this round's window
-#: holds 50 previously-never-driver-checked queries.  The old head stays
-#: oracle-green via CORRECTNESS_FULL.json (the test below).
+#: r15 ROTATION (final): after the r13 (original head) and r14 (rotated
+#: head) windows, 38 entries had never received a driver-written green —
+#: the 34 the r14 rotation left at positions 51-84 plus the four r14/r15
+#: registrations.  This window front-loads all 38 and fills the remaining
+#: 12 slots with the front of the r14-verified set; after this round every
+#: registry query has a driver-written green on record.  Everything else
+#: stays oracle-green via CORRECTNESS_FULL.json (the test below).
 DRIVER_WINDOW = [
+    "cms_topk", "bigram_logprob", "ngram_diversity", "doc_clean_lines",
+    "hll_distinct", "pq_topk", "textrank_keywords", "hll_merge_days",
+    "ivfpq_topk", "ivfpq_index_topk", "doc_split", "corpus_shuffle",
+    "corpus_diff", "source_cap", "epoch_mixture", "media_dedup",
+    "contamination_suite", "cluster_sample", "hybrid_search",
+    "quality_calibrated", "embedding_curation", "training_corpus_curated",
+    "phrase_hits", "phrase_hits_many", "vocab_fuzzy", "vocab_canonical",
+    "doc_normalize_tokens", "fuzzy_linkage", "vocab_fuzzy_unicode",
+    "fuzzy_linkage_unicode", "arraysize", "dedup_exact",
+    "similarity_topk", "multimodal_meta",
+    "leakage_safe_split", "split_leakage_report",
+    "matrix_hour_edge", "curated_split_audit",
     "smoke_array", "funnel", "cohort_retention", "event_asof",
     "gapfill_locf", "counter_rate", "anomaly_zscore", "rollup_percentile",
     "ewma_smooth", "holt_winters", "cusum_change", "interval_attr",
-    "seasonal_decompose", "lttb_downsample", "lttb_binned", "twa_bin",
-    "acf_stream", "stream_corr", "hampel_outliers", "gap_report",
-    "availability", "gap_report_bounded", "availability_bounded",
-    "gap_report_summary_bounded", "agg_single_bin", "frequency_bounded",
-    "pricing_summary", "nation_revenue", "doc_sample", "doc_sample_by",
-    "pii_scrub", "dedup_representatives", "contamination_ngram",
-    "doc_budget_sample", "doc_despan", "doc_despan_keepfirst",
-    "dsir_weights", "dsir_resample", "mixture_sample",
-    "mixture_token_sample", "text_unigram_logprob", "doc_quality_bands",
-    "source_vocab_stats", "curated_mixture", "embedding_clusters",
-    "source_divergence", "bpe_pair_counts", "semantic_dedup",
-    "quality_classifier", "bm25_search",
 ]
 
 
