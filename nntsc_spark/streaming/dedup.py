@@ -438,6 +438,9 @@ class IncrementalDeduper:
                     f.name for f in prior.fields
                 ] and len(merged) == len(prior.fields):
                     return  # unchanged: nothing to rewrite
+            # the sidecar now commits BEFORE the first data write, so the
+            # table directory may not exist yet on batch 0
+            p.parent.mkdir(parents=True, exist_ok=True)
             tmp = p.with_name("_accepted_schema.json.tmp")
             tmp.write_text(_json.dumps(StructType(merged).jsonValue()))
             tmp.rename(p)
