@@ -234,9 +234,28 @@ def corpus_split_audit(
 
     One banded pair table feeds both stages (the ``pairs=`` seam), so
     the composition costs one banding pass + one bounded groupBy beyond
-    the split itself.  Only the 3-column (doc_id, rep_id, split)
-    assignment is persisted between the two consumers — never the full
-    corpus.
+    the split itself.  Persisted between stages: the 2-column
+    (doc_id, text) corpus projection the audit actually touches, the
+    pair table, and the 3-column assignment — never a full-width corpus.
+
+    The corpus projection is persisted AND lineage-truncated
+    (``localCheckpoint``) — both matter when ``docs`` is itself an
+    expensive pipeline (the curated capstone).  The persist makes the
+    two consumer stages (shingle pass, split-assignment join) and warm
+    re-runs read one materialization.  The truncation is the bigger
+    win: a persist keeps the full upstream LOGICAL plan, so every
+    downstream eager step (CC rounds, cache-fill counts, the final
+    action) re-analyzed an 87k-line physical tree — measured 18.6 s
+    warm min-of-3 for the composed ``curated_split_audit`` with persist
+    alone vs 6.3 s with the checkpoint seam, planning time not data
+    (optimization guide §3.3/§7.3: very wide plans make planning itself
+    the bottleneck; materialize an intermediate to truncate — and §5:
+    ``localCheckpoint`` is the cheap lineage cut when fault tolerance
+    of the intermediate is not critical; re-derivable scratch here).
+    The split consumer additionally narrows to ``doc_id`` alone before
+    the cluster join — with ``pairs`` injected, :func:`~.dedup
+    .leakage_safe_split` never needs the text — so the join ships ids,
+    not documents (guide §2.3: project before the exchange).
 
     Output: one row per split — (split, n_docs, n_dup_members,
     n_same_split_pairs, n_cross_split_pairs); the last two are
@@ -250,13 +269,20 @@ def corpus_split_audit(
         split_leakage_report,
     )
 
+    # persist first (warm re-runs of the same composition hit this
+    # cache), then cut the lineage: the one eager localCheckpoint job
+    # fills the cache AND hands every consumer a plan rooted at the
+    # materialized blocks instead of the whole upstream pipeline
+    src = scratch_persist(
+        docs.select("doc_id", text_col)
+    ).localCheckpoint()
     pairs = scratch_persist(
-        minhash_near_duplicates(docs, text_col, threshold=threshold)
+        minhash_near_duplicates(src, text_col, threshold=threshold)
     )
     assign = scratch_persist(
         leakage_safe_split(
-            docs, fractions, text_col, threshold=threshold, salt=salt,
-            pairs=pairs,
+            src.select("doc_id"), fractions, text_col,
+            threshold=threshold, salt=salt, pairs=pairs,
         ).select("doc_id", "rep_id", "split")
     )
     report = split_leakage_report(assign, threshold=threshold, pairs=pairs)

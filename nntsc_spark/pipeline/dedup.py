@@ -34,7 +34,14 @@ SIMHASH_BITS = 60
 
 #: semanticHash -> persisted DataFrame handle (insertion order = LRU order)
 _CACHE_POOL: OrderedDict[int, DataFrame] = OrderedDict()
-_CACHE_POOL_CAP = 8
+#: 16, not 8: the deepest registered composition (training_corpus with
+#: embeddings + corpus_split_audit on top) registers ~11 distinct
+#: intermediates in one call — at cap 8 its own early stages (the text
+#: capstone's shingle/band tables and `out`) were evicted before the
+#: final action consumed them, forcing recompute inside a single query
+#: run (guide §5: cache only helps if it survives until the reuse).
+#: Still a hard bound on cache footprint; entries are spill-to-disk.
+_CACHE_POOL_CAP = 16
 
 
 def scratch_persist(df: DataFrame, level=None) -> DataFrame:
@@ -452,11 +459,15 @@ def connected_components(
     needed = graph diameter, and dedup graphs are unions of small
     near-clique clusters (diameter a handful), so this converges in a few
     rounds — per round: one shuffle join (labels x edges) + one min-groupBy
-    + an O(1) convergence probe.  The edge list is |near-dup pairs|, orders
-    of magnitude smaller than the corpus, so even at 100 TB corpus scale
-    this iterates over a comparatively small table.  The symmetric edge
-    list is persisted once and reused every round; superseded label tables
-    are unpersisted eagerly.
+    + a convergence probe that is a plain filter over the round's own
+    checkpointed output (each node's previous label rides through the
+    groupBy, so no second join per round — guide §2.4).  Round 1 is fused
+    into the init: min(self, neighbors) comes straight off the edge list
+    with the same groupBy the identity init spent on its distinct, saving
+    one full round of join+groupBy+checkpoint on every call.  The edge
+    list is |near-dup pairs|, orders of magnitude smaller than the corpus,
+    so even at 100 TB corpus scale this iterates over a comparatively
+    small table.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence (a pathological chain-shaped graph) rather than returning
@@ -495,27 +506,45 @@ def connected_components(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
     )
+    # Round 1 fused into init: every node's first-round label is
+    # min(self, neighbors), computable straight off the edge list with
+    # the same groupBy the old identity init needed for its distinct —
+    # identical labels to (identity init + one propagate round), one
+    # whole round (shuffle join + groupBy + checkpoint + probe) cheaper.
+    # No convergence probe here: any edge (a,b) strictly lowers the
+    # larger endpoint's label, so round 1 always improves when edges
+    # exist, and with no edges the loop below sees empty tables and
+    # exits on its first (trivially cheap) probe.
     labels = ckpt(
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("label")
+        )
     )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "label"
+            F.col("dst").alias("node"), "label", F.lit(False).alias("_own")
         )
+        # carry each node's previous label through the same groupBy
+        # (exactly one _own row per node, so min-over-when recovers it):
+        # the convergence probe is then a filter over THIS checkpointed
+        # table instead of a second shuffle join per round
         new_labels = ckpt(
-            labels.unionAll(nbr)
+            labels.select("node", "label", F.lit(True).alias("_own"))
+            .unionAll(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_own"), F.col("label"))).alias("_old"),
+            )
         )
         improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
+            new_labels.where(F.col("label") < F.col("_old"))
             .limit(1)
             .count()
         )
+        new_labels = new_labels.select("node", "label")
         # Superseded generations are NOT explicitly freed: Dataset.unpersist
         # does not release localCheckpoint blocks (verified on Spark 4.1.2 —
         # they belong to the checkpointed RDD, not the cache manager), so the
