@@ -125,6 +125,21 @@ def stream_correlation(
 
     Output: (stream_a, stream_b, n_bins, corr) — corr round-4 pinned.
     """
+    # The self-join consumes `binned` TWICE; without a persist each side
+    # re-evaluates the whole upstream lineage (measured: two full scans +
+    # two identical bin aggregations of the fact table in the physical
+    # plan — ReuseExchange cannot collapse them because the build side is
+    # a BroadcastExchange, not a matching shuffle).  The binned grid is
+    # the CONSOLIDATED volume (streams x bins, orders of magnitude below
+    # raw samples), so materializing it once is exactly the
+    # decide-on-small-rows shape the optimization guide §8 prescribes;
+    # scratch_persist keeps it LRU-bounded (guide §5: persist only reused
+    # intermediates, with an unpersist story).
+    from ..pipeline.dedup import scratch_persist
+
+    binned = scratch_persist(
+        binned.select(F.col(key), F.col(bin_col), F.col(value_col))
+    )
     a = binned.select(
         F.col(key).alias("stream_a"),
         F.col(bin_col).alias("_b"),

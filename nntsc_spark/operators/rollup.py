@@ -159,6 +159,19 @@ def histogram_rollup(
     bucket) count — map-side combinable, output bounded by rollup rows x
     nbins — and the array assembly re-aggregates THAT table (never the
     corpus) into dense vectors via a map lookup projection.
+
+    The assembly stage is fed by an explicit ``repartition(stream_id)``
+    rather than the groupBy's own (stream, binstart) exchange: hash
+    partitioning on a SUBSET of the grouping keys satisfies the
+    aggregation's clustering requirement, so the assembly runs with no
+    exchange of its own AND every downstream per-stream consumer (the
+    element-wise rollup merge, per-stream percentile reads) inherits the
+    stream-keyed partitioning — one exchange where the previous shape
+    paid two, and the eliminated one was the fat one (2 KB hist arrays
+    per row vs the scalar bucket counts this one carries; optimization
+    guide §2.4: two operations keyed the same way share one exchange).
+    Skew bound: a stream's rows within one partition are bins x nbins —
+    the rollup's own output contract, not corpus-sized.
     """
     b = bucket_expr(value_col, lo, hi, nbins)
     counts = (
@@ -180,7 +193,8 @@ def histogram_rollup(
         "i -> coalesce(element_at(_m, i), 0L))"
     )
     return (
-        counts.groupBy("stream_id", BINSTART_COL)
+        counts.repartition("stream_id")
+        .groupBy("stream_id", BINSTART_COL)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("_bucket", "_cnt"))

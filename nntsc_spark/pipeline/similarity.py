@@ -49,6 +49,48 @@ def local_df_1p(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     )
 
 
+#: SQL text -> parsed Column, valid for one SparkContext (see expr_cached)
+_EXPR_CACHE: dict[str, Column] = {}
+_EXPR_CACHE_CTX = None
+_EXPR_CACHE_CAP = 512
+
+
+def expr_cached(sql: str) -> Column:
+    """``F.expr`` with a per-SparkContext memo of the parsed Column.
+
+    The ANN/SemDeDup family inlines its quantizers and codebooks as SQL
+    literal text (the pass must stay a pure projection over the scan), so
+    a single query construction ships and PARSES tens of KB of SQL —
+    measured ~1.3 s of driver time per ``ivfpq_residuals`` construction,
+    paid again on EVERY re-construction of the same plan (every bench
+    rep, every registry query sharing the quantizer).  A parsed Column is
+    an immutable unresolved-expression handle, reusable across any number
+    of plans in the same JVM, so memoizing by SQL text removes the
+    re-parse without changing a single plan node (optimization guide
+    §1.2: per-task/driver work, after the algorithm is right).
+
+    The memo is keyed to the active SparkContext: a new context (test
+    harnesses stop/start them) invalidates every cached JVM handle, so
+    the whole dict is dropped when the context object changes.  Bounded
+    at ``_EXPR_CACHE_CAP`` entries (reset wholesale — the strings are
+    re-derivable; an LRU would be ceremony for a cache this cheap).
+    """
+    global _EXPR_CACHE_CTX
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is not _EXPR_CACHE_CTX:
+        _EXPR_CACHE.clear()
+        _EXPR_CACHE_CTX = sc
+    col = _EXPR_CACHE.get(sql)
+    if col is None:
+        if len(_EXPR_CACHE) >= _EXPR_CACHE_CAP:
+            _EXPR_CACHE.clear()
+        col = F.expr(sql)
+        _EXPR_CACHE[sql] = col
+    return col
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -339,7 +381,7 @@ def _multi_table_signatures_expr(
     values are bit-identical, at 1/tables the fold count."""
 
     def sig(t: int) -> Column:
-        return F.expr(signature_sql(vec_col, t, bits, dims))
+        return expr_cached(signature_sql(vec_col, t, bits, dims))
 
     pre = [F.col(id_col), F.col(vec_col)]
     post = [F.col(id_col)]
@@ -722,7 +764,7 @@ def kmeans_parallel_centroids(
     # recall vs 0.9+ exactly because of that metric mismatch.
     pts = emb.select(
         F.col(id_col).alias("_id"),
-        F.expr(
+        expr_cached(
             f"transform(`{vec_col}`, x -> double(x) / greatest(1e-30D, "
             + vnorm_sql(vec_col)
             + "))"
@@ -743,7 +785,7 @@ def kmeans_parallel_centroids(
         )
 
     for r in range(rounds):
-        d2 = pts.withColumn("_d2", F.expr(_min_d2_sql("_v", centers)))
+        d2 = pts.withColumn("_d2", expr_cached(_min_d2_sql("_v", centers)))
         cost = d2.agg(F.sum("_d2")).collect()[0][0] or 0.0
         if cost <= 0:
             break
@@ -755,7 +797,7 @@ def kmeans_parallel_centroids(
     # weight candidates by how many points each one is nearest to
     idx_sql = _argmin_cells_sql("_v", centers)
     wrows = (
-        pts.select(F.expr(idx_sql).alias("_c"))
+        pts.select(expr_cached(idx_sql).alias("_c"))
         .groupBy("_c")
         .agg(F.count(F.lit(1)).alias("_w"))
         .collect()
@@ -814,7 +856,7 @@ def kmeans_parallel_centroids(
         idx_sql = _argmin_cells_sql("_v", [list(c) for c in cents])
         dims = len(cents[0])
         means = (
-            pts.select(F.expr(idx_sql).alias("_c"), "_v")
+            pts.select(expr_cached(idx_sql).alias("_c"), "_v")
             .groupBy("_c")
             .agg(
                 *[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dims)],
@@ -953,7 +995,7 @@ def ivf_topk(
         emb, nlist, id_col, vec_col
     )
     pre = emb.select(
-        id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
+        id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn")
     )
     # materialize the (nlist-wide) score array in its own projection: the
     # fold expressions are non-cheap, so CollapseProject keeps this layer
@@ -963,11 +1005,11 @@ def ivf_topk(
     withcs = pre.select(
         id_col,
         vec_col,
-        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+        expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
     )
     # first index holding the max = lowest cell id on ties (canonical
     # id-sorted score order); emit the ACTUAL cell id, not the position
-    ids_arr = F.expr(_cell_ids_array_sql(cents))
+    ids_arr = expr_cached(_cell_ids_array_sql(cents))
     assigned = withcs.select(
         id_col,
         vec_col,
@@ -1323,15 +1365,15 @@ def _assign_cells(
             "cell",
             F.col("centroid_sim").alias("_best"),
         )
-    pre = emb.select(id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn"))
+    pre = emb.select(id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn"))
     withcs = pre.select(
-        id_col, vec_col, F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
+        id_col, vec_col, expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
     )
     return withcs.select(
         id_col,
         vec_col,
         F.element_at(
-            F.expr(_cell_ids_array_sql(cents)),
+            expr_cached(_cell_ids_array_sql(cents)),
             F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int"),
         )
         .cast("int")
@@ -1341,7 +1383,8 @@ def _assign_cells(
 
 
 def _write_assign_stats(
-    assigned: DataFrame, path: str, kind: str, batch_id: int
+    assigned: DataFrame, path: str, kind: str, batch_id: int,
+    observed: dict | None = None,
 ) -> dict:
     """Record one (kind, batch_id, n, mean_best_cosine) row in the index's
     stats table and return it — the anchor for the drift check.
@@ -1353,10 +1396,19 @@ def _write_assign_stats(
     r6 advice finding); an APPEND dynamically overwrites only its own
     batch partition, so a retried batch replaces its stats row instead
     of duplicating it.
+
+    ``observed`` carries metrics already collected by an ``Observation``
+    riding the corpus/codes write (keys ``n``, ``mean_best``): the stats
+    then cost zero extra passes.  Without it this falls back to one
+    aggregation job over ``assigned`` (the pre-r15 shape, which needed
+    the caller to persist ``assigned`` to avoid a second corpus scan).
     """
-    row = assigned.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
-    ).collect()[0]
+    if observed is not None:
+        row = observed
+    else:
+        row = assigned.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
+        ).collect()[0]
     stats = {"kind": kind, "n": int(row["n"]),
              "mean_best_cosine": float(row["mean_best"] or 0.0)}
     out = local_df_1p(
@@ -1407,29 +1459,54 @@ def ivf_build_index(
     cents = centroids if centroids is not None else centroid_rows(
         emb, resolve_nlist(emb, nlist), id_col, vec_col
     )
-    # persist: the assignment projection feeds both the corpus write and
-    # the stats aggregation — one evaluation, not two corpus scans
-    assigned = _assign_cells(emb, cents, id_col, vec_col).persist()
-    # append_batch=0 marks build-time rows; the extra partition level is
-    # what lets ivf_append overwrite exactly its own batch on retry
-    (
-        assigned.drop("_best")
-        .withColumn(APPEND_BATCH_COL, F.lit(0))
-        .write.partitionBy("cell", APPEND_BATCH_COL)
-        .mode("overwrite")
-        .parquet(f"{path}/corpus")
+    # The stats metrics ride the corpus write as an Observation
+    # (CollectMetrics): the assignment projection is evaluated exactly
+    # once, in the write pass, with no persist — the pre-r15 shape
+    # persisted the full assigned corpus just to aggregate two scalars
+    # afterwards, which at 100 TB means caching (or, on eviction,
+    # recomputing) the entire index body for a 1-row stats table
+    # (optimization guide §5: cache only when recomputation beats the
+    # memory pressure; here neither is needed).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = _assign_cells(emb, cents, id_col, vec_col).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
     )
-    local_df_1p(
-        spark,
-        # ACTUAL centroid ids, matching the corpus's cell labels — the
-        # old positional re-labeling (enumerate) made a reloaded
-        # quantizer disagree with the corpus whenever injected centroid
-        # ids were non-contiguous (r10 advice finding, generalized)
-        [(int(c), [float(x) for x in v]) for c, v in _canon_cents(cents)],
-        "cell_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_assign_stats(assigned, path, "build", 0)
-    assigned.unpersist()
+    # The tiny quantizer write is independent of the corpus write, so it
+    # runs CONCURRENTLY on a driver thread (guide §2.6: overlap
+    # independent jobs — the quantizer job back-fills while the corpus
+    # write's tail drains); both must finish before the caller's
+    # fingerprint lands, enforced by the .result() below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cents_fut = pool.submit(
+            lambda: local_df_1p(
+                spark,
+                # ACTUAL centroid ids, matching the corpus's cell labels —
+                # the old positional re-labeling (enumerate) made a
+                # reloaded quantizer disagree with the corpus whenever
+                # injected centroid ids were non-contiguous (r10 advice
+                # finding, generalized)
+                [
+                    (int(c), [float(x) for x in v])
+                    for c, v in _canon_cents(cents)
+                ],
+                "cell_id int, centroid array<double>",
+            ).write.mode("overwrite").parquet(f"{path}/centroids")
+        )
+        # append_batch=0 marks build-time rows; the extra partition level
+        # is what lets ivf_append overwrite exactly its own batch on retry
+        (
+            assigned.drop("_best")
+            .withColumn(APPEND_BATCH_COL, F.lit(0))
+            .write.partitionBy("cell", APPEND_BATCH_COL)
+            .mode("overwrite")
+            .parquet(f"{path}/corpus")
+        )
+        cents_fut.result()
+    _write_assign_stats(assigned, path, "build", 0, observed=obs.get)
 
 
 def _corpus_layout_is_legacy(spark: SparkSession, corpus_root: str) -> bool:
@@ -1550,11 +1627,17 @@ def ivf_append(
     # same ingestion-seam normalization as the build: NaN/Inf coordinates
     # become NULL elements before the vectors land in the corpus
     new = sanitize_vectors(new, vec_col)
-    assigned = _assign_cells(new, cents, id_col, vec_col)
-    # one eager pass computes the stats AND fills the cache the write
-    # reads — the assignment projection runs once, not twice
-    assigned = assigned.persist()
-    stats = _write_assign_stats(assigned, path, "append", batch_id)
+    # stats metrics ride the corpus write (Observation) — one pass, no
+    # persist; the stats row now lands AFTER the corpus write, which is
+    # also the fail-safe order ivfpq_append documents (a crash between
+    # the two leaves orphaned corpus partitions a retry replaces, never
+    # a stats row for data that never arrived)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    assigned = _assign_cells(new, cents, id_col, vec_col).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("_best").alias("mean_best")
+    )
     (
         assigned.drop("_best")
         .withColumn(APPEND_BATCH_COL, F.lit(int(batch_id)))
@@ -1563,7 +1646,9 @@ def ivf_append(
         .mode("overwrite")
         .parquet(f"{path}/corpus")
     )
-    assigned.unpersist()
+    stats = _write_assign_stats(
+        assigned, path, "append", batch_id, observed=obs.get
+    )
     # exactly one build row exists (the build statically overwrites the
     # stats table); orderBy makes the selection deterministic regardless
     build_rows = (
@@ -2130,20 +2215,20 @@ def semantic_dedup(
         assigned = _assign_cells_arrow(emb, cents, id_col, vec_col)
     else:
         pre = emb.select(
-            id_col, vec_col, F.expr(vnorm_sql(vec_col)).alias("_vn")
+            id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn")
         )
         withcs = pre.select(
             id_col,
             vec_col,
             "_vn",
-            F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+            expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
         )
         assigned = withcs.select(
             id_col,
             vec_col,
             "_vn",
             F.element_at(
-                F.expr(_cell_ids_array_sql(cents)),
+                expr_cached(_cell_ids_array_sql(cents)),
                 F.array_position(F.col("_cs"), F.array_max("_cs")).cast(
                     "int"
                 ),
@@ -2305,14 +2390,14 @@ def cluster_balanced_sample(
         emb, nlist, id_col, vec_col
     )
     assigned = emb.select(
-        id_col, F.expr(vnorm_sql(vec_col)).alias("_vn"), F.col(vec_col)
+        id_col, expr_cached(vnorm_sql(vec_col)).alias("_vn"), F.col(vec_col)
     ).select(
         id_col,
-        F.expr(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
+        expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
     ).select(
         id_col,
         F.element_at(
-            F.expr(_cell_ids_array_sql(cents)),
+            expr_cached(_cell_ids_array_sql(cents)),
             F.array_position(F.col("_cs"), F.array_max("_cs")).cast("int"),
         )
         .cast("int")
@@ -2559,19 +2644,19 @@ def ivf_query_index(
         .select(
             id_col,
             vec_col,
-            F.expr(vnorm_sql(vec_col)).alias("_vn"),
+            expr_cached(vnorm_sql(vec_col)).alias("_vn"),
         )
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.posexplode(
-                F.expr(ivf_cell_scores_sql(vec_col, cents))
+                expr_cached(ivf_cell_scores_sql(vec_col, cents))
             ).alias("_pos", "c"),
         )
         .withColumn(
             "cell",
             F.element_at(
-                F.expr(_cell_ids_array_sql(cents)),
+                expr_cached(_cell_ids_array_sql(cents)),
                 (F.col("_pos") + 1).cast("int"),
             ).cast("int"),
         )
@@ -2762,7 +2847,7 @@ def pq_encode(
         F.col(id_col),
         *[F.col(c) for c in keep],
         *[
-            F.expr(_pq_sub_sql(vec_col, s, d)).alias(f"_s{mi}")
+            expr_cached(_pq_sub_sql(vec_col, s, d)).alias(f"_s{mi}")
             for mi, (s, d) in enumerate(pq_split(dims, m))
         ],
     ).select(
@@ -2770,7 +2855,7 @@ def pq_encode(
         *[F.col(c) for c in keep],
         *[F.col(f"_s{mi}") for mi in range(m)],
         *[
-            F.expr(
+            expr_cached(
                 f"aggregate(zip_with(_s{mi}, _s{mi}, (x, y) -> x * y), "
                 "0D, (acc, x) -> acc + x)"
             ).alias(f"_n2{mi}")
@@ -2784,7 +2869,7 @@ def pq_encode(
             f"AS d, {code} AS c)"
             for code, c in enumerate(codebooks[mi])
         )
-        code_exprs.append(F.expr(f"array_min(array({cells})).c"))
+        code_exprs.append(expr_cached(f"array_min(array({cells})).c"))
     return stage.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
@@ -2862,7 +2947,7 @@ def pq_topk(
         )
     exploded = codes.select(
         F.col(id_col).alias("neighbor_id"),
-        F.explode(F.expr(f"array({', '.join(per_query)})")).alias("_q"),
+        F.explode(expr_cached(f"array({', '.join(per_query)})")).alias("_q"),
     ).select("neighbor_id", "_q.query_id", "_q.adc_d2")
     scored = exploded.where(F.col("neighbor_id") != F.col("query_id"))
     return _per_query_topk(scored, int(k), "adc_d2", ascending=True)
@@ -3058,7 +3143,7 @@ def ivfpq_residuals(
     pre = emb.select(
         id_col,
         vec_col,
-        F.expr(
+        expr_cached(
             f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
             "(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x)"
         ).alias("_n2"),
@@ -3070,7 +3155,7 @@ def ivfpq_residuals(
     withds = pre.select(
         id_col,
         vec_col,
-        F.expr(_assign_l2_round4_sql(vec_col, "_n2", centroids)).alias(
+        expr_cached(_assign_l2_round4_sql(vec_col, "_n2", centroids)).alias(
             "_ds"
         ),
     )
@@ -3087,12 +3172,12 @@ def ivfpq_residuals(
     return assigned.select(
         id_col,
         F.element_at(
-            F.expr(_cell_ids_array_sql(centroids)),
+            expr_cached(_cell_ids_array_sql(centroids)),
             (F.col("_pos") + 1).cast("int"),
         )
         .cast("int")
         .alias("cell"),
-        F.expr(
+        expr_cached(
             f"zip_with(`{vec_col}`, "
             f"element_at({_cents_array_sql(centroids)}, _pos + 1), "
             "(x, y) -> double(x) - y)"
@@ -3251,7 +3336,7 @@ def _ivfpq_adc_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.expr(f"round({chain}, 4)").alias("adc_d2"),
+            expr_cached(f"round({chain}, 4)").alias("adc_d2"),
         )
     )
     return _per_query_topk(scored, int(k), "adc_d2", ascending=True)
@@ -3290,7 +3375,8 @@ def _sampled_residual_codebooks(
 
 
 def _write_ivfpq_stats(
-    codes: DataFrame, path: str, kind: str, batch_id: int
+    codes: DataFrame, path: str, kind: str, batch_id: int,
+    observed: dict | None = None,
 ) -> dict:
     """One (kind, batch_id, n, mean_resid_norm) row in the IVFADC
     index's stats table — same idempotence contract as the IVF-Flat
@@ -3299,11 +3385,18 @@ def _write_ivfpq_stats(
     is the batch's mean residual L2 norm: a fixed coarse quantizer rots
     as the distribution moves, and rotting shows up directly as GROWING
     residuals (which the fixed-range PQ codebooks then quantize badly —
-    recall decays silently)."""
-    row = codes.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("_rnorm").alias("mean_rnorm"),
-    ).collect()[0]
+    recall decays silently).
+
+    ``observed`` carries metrics already collected by an ``Observation``
+    riding the codes write (keys ``n``, ``mean_rnorm``) — zero extra
+    passes; without it, one aggregation job over ``codes``."""
+    if observed is not None:
+        row = observed
+    else:
+        row = codes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_rnorm").alias("mean_rnorm"),
+        ).collect()[0]
     stats = {"kind": kind, "n": int(row["n"]),
              "mean_resid_norm": float(row["mean_rnorm"] or 0.0)}
     out = local_df_1p(
@@ -3338,7 +3431,7 @@ def _ivfpq_encode_batch(
     )
     res = res.withColumn(
         "_rnorm",
-        F.expr(
+        expr_cached(
             "sqrt(aggregate(zip_with(residual, residual, "
             "(x, y) -> x * y), 0D, (acc, x) -> acc + x))"
         ),
@@ -3397,40 +3490,62 @@ def ivfpq_build_index(
         codebooks = _sampled_residual_codebooks(
             emb, cents, ks, m, dims, id_col, vec_col
         )
+    # Stats metrics ride the codes write as an Observation: the encode
+    # chain is evaluated exactly once, in the write pass, with no persist
+    # — the pre-r15 shape persisted the full codes table just to
+    # aggregate two scalars afterwards (at 100 TB that caches — or, on
+    # eviction, re-encodes — the whole index body for a 1-row stats
+    # table; guide §5).  The two tiny quantizer writes are independent
+    # of the codes write and run CONCURRENTLY on a driver thread (guide
+    # §2.6: overlap independent jobs); the caller's fingerprint still
+    # lands only after everything here returned.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
     codes = _ivfpq_encode_batch(
         emb, cents, codebooks, id_col, vec_col,
         assign_two_level=assign_two_level, probe_supers=probe_supers,
-    ).persist()
-    (
-        codes.drop("_rnorm")
-        .withColumn(APPEND_BATCH_COL, F.lit(0))
-        # cluster by the partition column before the partitioned write:
-        # without it every task holding rows of cell c opens a file
-        # under cell=c (up to tasks x cells tiny files — the classic
-        # dynamic-partition small-file storm); with it each cell's rows
-        # land in one task.  At 100 TB add a salt to the repartition
-        # keys to split a giant cell across several writers.
-        .repartition("cell")
-        .write.partitionBy("cell", APPEND_BATCH_COL)
-        .mode("overwrite")
-        .parquet(f"{path}/codes")
+    ).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("_rnorm").alias("mean_rnorm")
     )
-    local_df_1p(
-        spark,
-        [(int(c), [float(x) for x in v]) for c, v in cents],
-        "cell_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
-    local_df_1p(
-        spark,
-        [
-            (mi, ci, [float(x) for x in center])
-            for mi, book in enumerate(codebooks)
-            for ci, center in enumerate(book)
-        ],
-        "mi int, code int, center array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    _write_ivfpq_stats(codes, path, "build", 0)
-    codes.unpersist()
+
+    def _write_quantizers() -> None:
+        local_df_1p(
+            spark,
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            "cell_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
+        local_df_1p(
+            spark,
+            [
+                (mi, ci, [float(x) for x in center])
+                for mi, book in enumerate(codebooks)
+                for ci, center in enumerate(book)
+            ],
+            "mi int, code int, center array<double>",
+        ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        quant_fut = pool.submit(_write_quantizers)
+        (
+            codes.drop("_rnorm")
+            .withColumn(APPEND_BATCH_COL, F.lit(0))
+            # cluster by the partition column before the partitioned
+            # write: without it every task holding rows of cell c opens a
+            # file under cell=c (up to tasks x cells tiny files — the
+            # classic dynamic-partition small-file storm); with it each
+            # cell's rows land in one task.  At 100 TB add a salt to the
+            # repartition keys to split a giant cell across several
+            # writers.
+            .repartition("cell")
+            .write.partitionBy("cell", APPEND_BATCH_COL)
+            .mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+        quant_fut.result()
+    _write_ivfpq_stats(codes, path, "build", 0, observed=obs.get)
 
 
 def _read_ivfpq_quantizers(
@@ -3484,9 +3599,14 @@ def ivfpq_append(
         raise ValueError("batch_id must be > 0 (0 is the build batch)")
     spark = new.sparkSession
     cents, codebooks = _read_ivfpq_quantizers(spark, path)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     codes = _ivfpq_encode_batch(
         new, cents, codebooks, id_col, vec_col
-    ).persist()
+    ).observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("_rnorm").alias("mean_rnorm")
+    )
     (
         codes.drop("_rnorm")
         .withColumn(APPEND_BATCH_COL, F.lit(int(batch_id)))
@@ -3502,8 +3622,11 @@ def ivfpq_append(
     # append until the batch retried.  The codes-first order fails safe:
     # orphaned code partitions are replaced by the retry, and a batch
     # with codes but no stats row under-counts rather than fabricates.
-    stats = _write_ivfpq_stats(codes, path, "append", batch_id)
-    codes.unpersist()
+    # The metrics themselves rode the codes write (Observation) — the
+    # encode chain ran once, unpersisted.
+    stats = _write_ivfpq_stats(
+        codes, path, "append", batch_id, observed=obs.get
+    )
     build_rows = (
         spark.read.parquet(f"{path}/stats")
         .where(F.col("kind") == "build")
