@@ -237,7 +237,12 @@ def signature_sql(vec_col: str, table: int, bits: int, dims: int) -> str:
     """Spark-SQL text for table ``table``'s B-bit signature of `vec_col`.
 
     One parseable string per table (weights inlined as double literals);
-    arithmetic is identical to dot_expr: zip_with multiply + left fold."""
+    arithmetic is identical to dot_expr: zip_with multiply + left fold.
+    (A straight-line unroll was measured here and REJECTED: bits x dims
+    terms in one expression exceed the JVM's huge-method bytecode limit,
+    so the generated code never JITs and runs SLOWER than the
+    interpreted fold — embedding_neardup 1.5 s -> 6.6 s.  The unroll
+    only pays for single-dot expressions; see _fold_dot_sql.)"""
     terms = []
     for p in range(bits):
         w = plane_weights(table * bits + p, dims)
@@ -338,7 +343,9 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot_expr(F.col("_qv"), F.col("_nv"))
+                # guarded straight-line dot (bit-identical to dot_expr's
+                # fold; see the unrolling note above _fold_dot_sql)
+                expr_cached(unrolled_dot_sql("_qv", "_nv", dims))
                 / (F.col("_qn") * F.col("_n")),
                 4,
             ).alias("cosine"),
@@ -892,12 +899,83 @@ def _argmin_cells_sql(vec_col: str, centers: list[list[float]]) -> str:
     return f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
 
 
-def vnorm_sql(vec_col: str) -> str:
-    """L2 norm of the row vector as a left-to-right fold (one per row)."""
+# --- straight-line (codegen-able) fold unrolling -------------------------
+#
+# Higher-order-function folds (aggregate/zip_with) run INTERPRETED — they
+# are CodegenFallback expressions, so every per-element lambda step pays
+# virtual dispatch.  For the hot per-pair / per-centroid dot products that
+# is the dominant compute of the whole ANN/SemDeDup family (measured:
+# semantic_dedup's pair verify 2.2 s -> 1.4 s at sf0.1 from this change
+# alone; the x1000 planted cell's verify is the same expression).  A
+# straight-line sum ``0D + (a[0]*b[0]) + (a[1]*b[1]) + ...`` is
+# BIT-IDENTICAL to the fold — same leading 0D (the fold's init, which
+# also pins the -0.0 edge), same left-to-right addition order, same
+# per-element double casts — whenever both arrays have exactly ``dims``
+# elements, and whole-stage codegen compiles it to straight-line JVM
+# arithmetic.  Every unrolled form is therefore guarded by a size check
+# whose ELSE branch is the ORIGINAL fold: well-formed rows take the fast
+# branch, ragged/malformed rows evaluate the exact old expression (and
+# ANSI out-of-bounds indexing is unreachable).  Guide §1.2 step 2:
+# per-task work, after the distributed shape is right.
+
+
+def _cents_dims(
+    cents: list[tuple[int, list[float]]] | None,
+) -> int | None:
+    """Quantizer vector width, or None for an empty quantizer (callers
+    then fall back to the dims-less fold forms — the pre-unroll shape)."""
+    return len(cents[0][1]) if cents else None
+
+
+def _fold_dot_sql(a_sql: str, b_sql: str) -> str:
+    """The interpreted reference fold (kept as every guard's ELSE)."""
     return (
-        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
-        f"(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x))"
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x)"
     )
+
+
+def unrolled_dot_sql(
+    a_sql: str, b_sql: str, dims: int | None
+) -> str:
+    """Guarded straight-line dot of two column refs (SQL text); plain
+    fold when ``dims`` is unknown."""
+    if dims is None:
+        return _fold_dot_sql(a_sql, b_sql)
+    n = int(dims)
+    terms = " + ".join(
+        f"(double({a_sql}[{i}]) * double({b_sql}[{i}]))" for i in range(n)
+    )
+    return (
+        f"CASE WHEN size({a_sql}) = {n} AND size({b_sql}) = {n} "
+        f"THEN 0D + {terms} ELSE {_fold_dot_sql(a_sql, b_sql)} END"
+    )
+
+
+def _lit_dot_sqls(vec_sql: str, lits: list[float]) -> tuple[str, str]:
+    """(unrolled, fold) straight-line dot of a column ref against an
+    inlined literal vector — the lambda is ``double(x) * y`` with y
+    already a double literal, matching the quantizer folds."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in lits) + ")"
+    fold = (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(x, y) -> double(x) * y), 0D, (acc, x) -> acc + x)"
+    )
+    unrolled = "0D + " + " + ".join(
+        f"(double({vec_sql}[{i}]) * {x!r}D)" for i, x in enumerate(lits)
+    )
+    return unrolled, fold
+
+
+def vnorm_sql(vec_col: str, dims: int | None = None) -> str:
+    """L2 norm of the row vector as a left-to-right fold (one per row).
+
+    With ``dims`` given, the self-dot takes the guarded straight-line
+    form (bit-identical; see the unrolling note above)."""
+    ref = f"`{vec_col}`"
+    if dims is None:
+        return f"sqrt({_fold_dot_sql(ref, ref)})"
+    return f"sqrt({unrolled_dot_sql(ref, ref, dims)})"
 
 
 def _canon_cents(
@@ -958,6 +1036,10 @@ def ivf_cell_scores_sql(
             acc += x * x
         cnorm = acc ** 0.5
         scores.append(f"round({dot} / (`{vnorm_col}` * {cnorm!r}D), 4)")
+    # NOTE: a straight-line unroll of these nlist x dims folds was
+    # measured and REJECTED — one expression that large exceeds the
+    # JVM's huge-method bytecode limit, never JITs, and runs slower
+    # than the interpreted fold (see the note in _fold_dot_sql)
     return "array(" + ", ".join(scores) + ")"
 
 
@@ -995,7 +1077,8 @@ def ivf_topk(
         emb, nlist, id_col, vec_col
     )
     pre = emb.select(
-        id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn")
+        id_col, vec_col,
+        expr_cached(vnorm_sql(vec_col, _cents_dims(cents))).alias("_vn"),
     )
     # materialize the (nlist-wide) score array in its own projection: the
     # fold expressions are non-cheap, so CollapseProject keeps this layer
@@ -1263,7 +1346,11 @@ def embedding_near_duplicates(
             "v1",
             "v2",
             F.round(
-                dot_expr(F.col("_va"), F.col("_vb"))
+                # guarded straight-line dot (bit-identical to dot_expr's
+                # fold; see the unrolling note above _fold_dot_sql) —
+                # this is the once-per-distinct-pair verify, the planted
+                # x1000 cell's per-candidate compute
+                expr_cached(unrolled_dot_sql("_va", "_vb", dims))
                 / (F.col("_na") * F.col("_nb")),
                 4,
             ).alias("cosine"),
@@ -1365,7 +1452,10 @@ def _assign_cells(
             "cell",
             F.col("centroid_sim").alias("_best"),
         )
-    pre = emb.select(id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn"))
+    pre = emb.select(
+        id_col, vec_col,
+        expr_cached(vnorm_sql(vec_col, _cents_dims(cents))).alias("_vn"),
+    )
     withcs = pre.select(
         id_col, vec_col, expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs")
     )
@@ -2215,7 +2305,8 @@ def semantic_dedup(
         assigned = _assign_cells_arrow(emb, cents, id_col, vec_col)
     else:
         pre = emb.select(
-            id_col, vec_col, expr_cached(vnorm_sql(vec_col)).alias("_vn")
+            id_col, vec_col,
+            expr_cached(vnorm_sql(vec_col, _cents_dims(cents))).alias("_vn"),
         )
         withcs = pre.select(
             id_col,
@@ -2314,7 +2405,18 @@ def semantic_dedup(
         )
         .where(
             F.round(
-                dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                # guarded straight-line dot (bit-identical to dot_expr's
+                # fold; see the unrolling note above _fold_dot_sql);
+                # dims comes from the quantizer — rows of any other
+                # width fall back to the interpreted fold.  Measured on
+                # the registered query's verify stage: 2.2 s -> 1.4 s.
+                expr_cached(
+                    unrolled_dot_sql(
+                        f"a.`{vec_col}`",
+                        f"b.`{vec_col}`",
+                        _cents_dims(cents),
+                    )
+                )
                 / (F.col("a._vn") * F.col("b._vn")),
                 4,
             )
@@ -2390,7 +2492,9 @@ def cluster_balanced_sample(
         emb, nlist, id_col, vec_col
     )
     assigned = emb.select(
-        id_col, expr_cached(vnorm_sql(vec_col)).alias("_vn"), F.col(vec_col)
+        id_col,
+        expr_cached(vnorm_sql(vec_col, _cents_dims(cents))).alias("_vn"),
+        F.col(vec_col),
     ).select(
         id_col,
         expr_cached(ivf_cell_scores_sql(vec_col, cents)).alias("_cs"),
@@ -2644,7 +2748,9 @@ def ivf_query_index(
         .select(
             id_col,
             vec_col,
-            expr_cached(vnorm_sql(vec_col)).alias("_vn"),
+            expr_cached(
+                vnorm_sql(vec_col, _cents_dims(cents))
+            ).alias("_vn"),
         )
         .select(
             F.col(id_col).alias("query_id"),
@@ -2856,10 +2962,16 @@ def pq_encode(
         *[F.col(f"_s{mi}") for mi in range(m)],
         *[
             expr_cached(
-                f"aggregate(zip_with(_s{mi}, _s{mi}, (x, y) -> x * y), "
-                "0D, (acc, x) -> acc + x)"
+                # guarded straight-line self-dot (bit-identical to the
+                # fold; see the unrolling note above _fold_dot_sql)
+                f"CASE WHEN size(_s{mi}) = {d} THEN 0D + "
+                + " + ".join(
+                    f"(_s{mi}[{i}] * _s{mi}[{i}])" for i in range(d)
+                )
+                + f" ELSE aggregate(zip_with(_s{mi}, _s{mi}, "
+                "(x, y) -> x * y), 0D, (acc, x) -> acc + x) END"
             ).alias(f"_n2{mi}")
-            for mi in range(m)
+            for mi, (_, d) in enumerate(pq_split(dims, m))
         ],
     )
     code_exprs = []
@@ -3001,6 +3113,8 @@ def _assign_l2_round4_sql(vec_col: str, n2_col: str,
         for x in c:
             cn2 += x * x
         terms.append(f"round(`{n2_col}` - 2D * {dot} + {cn2!r}D, 4)")
+    # NOTE: nlist x dims straight-line unrolling measured and REJECTED
+    # here (huge-method JIT bailout; see the note in _fold_dot_sql)
     return "array(" + ", ".join(terms) + ")"
 
 
@@ -3143,9 +3257,13 @@ def ivfpq_residuals(
     pre = emb.select(
         id_col,
         vec_col,
+        # guarded straight-line self-dot (bit-identical to the fold;
+        # see the unrolling note above _fold_dot_sql)
         expr_cached(
-            f"aggregate(zip_with(`{vec_col}`, `{vec_col}`, "
-            "(x, y) -> double(x) * double(y)), 0D, (acc, x) -> acc + x)"
+            unrolled_dot_sql(
+                f"`{vec_col}`", f"`{vec_col}`",
+                _cents_dims(centroids),
+            )
         ).alias("_n2"),
     )
     # the nlist fold expressions materialize ONCE per row in their own
@@ -3429,11 +3547,28 @@ def _ivfpq_encode_batch(
         emb, cents, id_col=id_col, vec_col=vec_col,
         assign_two_level=assign_two_level, probe_supers=probe_supers,
     )
+    rdims = _cents_dims(cents)
+    _rn_fold = (
+        "aggregate(zip_with(residual, residual, "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
     res = res.withColumn(
         "_rnorm",
+        # guarded straight-line self-dot (bit-identical to the fold; see
+        # the unrolling note above _fold_dot_sql) — the fold lambda here
+        # has no casts (residuals are already double), so neither branch
+        # does
         expr_cached(
-            "sqrt(aggregate(zip_with(residual, residual, "
-            "(x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+            f"sqrt({_rn_fold})"
+            if rdims is None
+            else (
+                f"sqrt(CASE WHEN size(residual) = {rdims} THEN 0D + "
+                + " + ".join(
+                    f"(residual[{i}] * residual[{i}])"
+                    for i in range(rdims)
+                )
+                + f" ELSE {_rn_fold} END)"
+            )
         ),
     )
     return pq_encode(
