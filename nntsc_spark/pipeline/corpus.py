@@ -158,17 +158,25 @@ def training_corpus(
         emb_id_col,
         "left_semi",
     )
-    curated = curate_embeddings(
-        emb_kept,
-        nlist=emb_nlist,
-        threshold=emb_threshold,
-        per_cell=emb_per_cell,
-        id_col=emb_id_col,
-        vec_col=emb_vec_col,
-        centroids=cents,
-        assign_two_level=emb_assign_two_level,
-    ).select(
-        F.col(emb_id_col).alias("doc_id"), "cell", "centroid_sim"
+    # persisted: the curation tail past curate_embeddings' internal
+    # `assigned` persist (cell-local pair verify + the diversity cap) is
+    # real compute that would otherwise re-run on every consumption —
+    # and this table is consumed by the final join here AND by any
+    # composition stacked on top (corpus_split_audit checkpoints this
+    # output).  Bounded at emb_nlist x emb_per_cell rows.
+    curated = scratch_persist(
+        curate_embeddings(
+            emb_kept,
+            nlist=emb_nlist,
+            threshold=emb_threshold,
+            per_cell=emb_per_cell,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+            centroids=cents,
+            assign_two_level=emb_assign_two_level,
+        ).select(
+            F.col(emb_id_col).alias("doc_id"), "cell", "centroid_sim"
+        )
     )
     return out.join(curated, "doc_id")
 
@@ -265,17 +273,25 @@ def corpus_split_audit(
     from .dedup import (
         leakage_safe_split,
         minhash_near_duplicates,
+        scratch_checkpoint,
         scratch_persist,
         split_leakage_report,
     )
 
     # persist first (warm re-runs of the same composition hit this
-    # cache), then cut the lineage: the one eager localCheckpoint job
-    # fills the cache AND hands every consumer a plan rooted at the
-    # materialized blocks instead of the whole upstream pipeline
-    src = scratch_persist(
-        docs.select("doc_id", text_col)
-    ).localCheckpoint()
+    # cache), then cut the lineage: the one eager checkpoint job fills
+    # the cache AND hands every consumer a plan rooted at the
+    # materialized blocks instead of the whole upstream pipeline.
+    # scratch_checkpoint (not a bare localCheckpoint): a fresh checkpoint
+    # RDD per construction would root every downstream plan at a NEW id,
+    # making warm re-runs semantically unequal to the previous pass and
+    # un-cacheable — the memoized seam hands re-constructions the same
+    # materialization back (measured at sf0.1: composed
+    # curated_split_audit 17.5 s -> 3.5-5.6 s warm min-of-3, the spread
+    # depending on which sibling capstone seeded the session's caches)
+    src = scratch_checkpoint(
+        scratch_persist(docs.select("doc_id", text_col))
+    )
     pairs = scratch_persist(
         minhash_near_duplicates(src, text_col, threshold=threshold)
     )

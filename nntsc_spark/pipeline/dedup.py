@@ -83,6 +83,81 @@ def scratch_persist(df: DataFrame, level=None) -> DataFrame:
     return df
 
 
+#: (tag, semanticHash, extras) -> [(analyzed plan, result DataFrame)] —
+#: eager-seam memo (insertion order = LRU order).  scratch_persist above
+#: covers LAZY intermediates: Spark's CacheManager serves the persisted
+#: blocks to any semantically-equal plan, so a re-constructed pipeline
+#: hits the warm cache with no plumbing.  EAGER seams get no such help:
+#: a ``localCheckpoint`` materializes into a fresh RDD on every call, and
+#: an iterative fixpoint (connected_components) runs its per-round jobs
+#: at CONSTRUCTION time — so re-building the same composition re-paid the
+#: checkpoint pass and every Pregel round, and (worse) every plan built
+#: DOWNSTREAM of the fresh checkpoint was rooted at a new RDD id, which
+#: made it semantically UNEQUAL to the previous construction's plans and
+#: defeated the CacheManager for the whole rest of the pipeline
+#: (measured: warm `curated_split_audit` re-ran its banding + both CC
+#: loops every rep, 17.5 s warm vs 18.9 s cold at sf0.1).  This memo is
+#: the CacheManager contract extended to eager seams: bucket by
+#: ``semanticHash``, confirm with an exact ``sameResult`` plan
+#: comparison (no hash-collision exposure), serve the ALREADY
+#: materialized result.  Session-scoped and LRU-bounded like the scratch
+#: pool; every first computation still runs from the parquet inputs.
+_SEAM_MEMO: OrderedDict[tuple, list] = OrderedDict()
+_SEAM_MEMO_CAP = 16
+_SEAM_MEMO_CTX = None  # owning SparkContext (same guard as expr_cached)
+
+
+def _seam_memo_lookup(tag: str, df: DataFrame, extras: tuple = ()):
+    """Return (key, analyzed_plan, memoized_result_or_None).
+
+    ``key``/``analyzed_plan`` are opaque tokens for :func:`_seam_memo_put`;
+    both are None when the plan is not introspectable (Spark Connect).
+    """
+    global _SEAM_MEMO_CTX
+    try:
+        # a restarted session must never be served a DataFrame bound to
+        # a stopped context: the memo lives exactly as long as the
+        # SparkContext that materialized its entries
+        sc = df.sparkSession.sparkContext
+        if sc is not _SEAM_MEMO_CTX:
+            _SEAM_MEMO.clear()
+            _SEAM_MEMO_CTX = sc
+        plan = df._jdf.queryExecution().analyzed()
+        key = (tag, plan.semanticHash(), *extras)
+    except Exception:
+        return None, None, None
+    bucket = _SEAM_MEMO.get(key)
+    if bucket:
+        for old_plan, out in bucket:
+            if old_plan.sameResult(plan):
+                _SEAM_MEMO.move_to_end(key)
+                return key, plan, out
+    return key, plan, None
+
+
+def _seam_memo_put(key, plan, out: DataFrame) -> None:
+    if key is None:
+        return
+    _SEAM_MEMO.setdefault(key, []).append((plan, out))
+    _SEAM_MEMO.move_to_end(key)
+    while len(_SEAM_MEMO) > _SEAM_MEMO_CAP:
+        _SEAM_MEMO.popitem(last=False)
+
+
+def scratch_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` with the scratch pool's reuse contract:
+    one materialization per distinct (semantically-equal) input plan per
+    session.  Re-constructions get the SAME checkpointed DataFrame back,
+    so their downstream plans stay semantically equal to the previous
+    construction's and keep hitting the scratch-persist caches."""
+    key, plan, hit = _seam_memo_lookup("ckpt", df)
+    if hit is not None:
+        return hit
+    out = df.localCheckpoint()
+    _seam_memo_put(key, plan, out)
+    return out
+
+
 def md5_long(col: Column) -> Column:
     """First 15 hex digits of md5 as a non-negative bigint (portable:
     DuckDB ``('0x' || substring(md5(x),1,15))::BIGINT``)."""
@@ -500,10 +575,28 @@ def connected_components(
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    # Fixpoint memo (see _SEAM_MEMO): the whole loop below runs eagerly at
+    # construction time, outside the CacheManager's reach — re-building
+    # the same composition (a warm bench rep, two capstones sharing one
+    # clustering) re-paid every round.  Key on the normalized edge
+    # projection; the labels are a pure function of that graph.  The
+    # checkpoint flavor and the round budget are part of the key: a
+    # memoized localCheckpoint result must not satisfy a caller that
+    # asked for reliable storage, and a converged result must not mask
+    # the nonconvergence raise a smaller max_iter contracts for.
+    key, plan, hit = _seam_memo_lookup(
+        "cc", edges, (checkpoint_dir or "", int(max_iter))
+    )
+    if hit is not None:
+        return hit
     sym = ckpt(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionAll(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        edges.unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
     )
     # Round 1 fused into init: every node's first-round label is
@@ -555,6 +648,7 @@ def connected_components(
         # by convergence in a handful of rounds over a pairs-sized table.
         labels = new_labels
         if improved == 0:
+            _seam_memo_put(key, plan, labels)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "

@@ -114,6 +114,60 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(chain, max_iter=2)
 
 
+def test_connected_components_memo_reuses_equal_plans(spark):
+    """The r15 seam memo: a semantically-equal re-construction gets the
+    ALREADY-COMPUTED label table back (same DataFrame object — the loop
+    did not re-run), a different graph gets its own fixpoint, and the
+    memo never crosses checkpoint flavors or round budgets."""
+    from nntsc_spark.pipeline.dedup import connected_components
+
+    # two separately-parallelized local frames are NOT semantically
+    # equal (distinct RDD roots — correctly never memo-shared); the
+    # production pattern is re-DERIVING a plan over one stable source,
+    # as every bench rep and composed capstone does over parquet scans
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    cc1 = connected_components(base.where("d1 >= 1"))
+    cc2 = connected_components(base.where("d1 >= 1"))
+    assert cc2 is cc1  # memo hit: identical object, no second fixpoint
+    assert {r.node: r.label for r in cc2.collect()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+    }
+    # different graph: no cross-hit, correct labels
+    e3 = spark.createDataFrame([(1, 2), (2, 3), (3, 11)], "d1 long, d2 long")
+    cc3 = connected_components(e3)
+    assert cc3 is not cc1
+    assert {r.node: r.label for r in cc3.collect()} == {
+        1: 1, 2: 1, 3: 1, 11: 1,
+    }
+    # a different max_iter budget is a different key (the converged
+    # memo entry must not mask the nonconvergence contract)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long"
+    )
+    assert connected_components(chain).count() == 8
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_scratch_checkpoint_memoizes_equal_plans(spark):
+    """scratch_checkpoint hands semantically-equal inputs the SAME
+    checkpointed DataFrame (downstream plans stay cache-compatible
+    across re-constructions); different inputs get distinct
+    materializations with the right rows."""
+    from nntsc_spark.pipeline.dedup import scratch_checkpoint
+
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, t string")
+    c1 = scratch_checkpoint(d1.select("id", "t"))
+    c2 = scratch_checkpoint(d1.select("id", "t"))  # re-derived, equal plan
+    assert c2 is c1
+    other = scratch_checkpoint(d1.where("id = 1").select("id", "t"))
+    assert other is not c1
+    assert sorted((r.id, r.t) for r in c1.collect()) == [(1, "a"), (2, "b")]
+    assert [(r.id, r.t) for r in other.collect()] == [(1, "a")]
+
+
 def test_dedup_clusters_survivors(docs):
     from nntsc_spark.pipeline.dedup import dedup_clusters
 
