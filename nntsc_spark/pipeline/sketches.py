@@ -35,14 +35,20 @@ def _bucket(col: F.Column, row: int, width: int) -> F.Column:
 
 
 def cms_build(
-    items: DataFrame, col: str = "tok", depth: int = 4, width: int = 2048
+    items: DataFrame,
+    col: str = "tok",
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``items[col]`` (one input row = one
-    occurrence).  Output: (row int, bucket int, cnt long) — at most
-    ``depth * width`` rows regardless of input size.
+    occurrence, or ``weight_col`` occurrences when given — pre-counted
+    keys hash once per DISTINCT key instead of once per occurrence).
+    Output: (row int, bucket int, cnt long) — at most ``depth * width``
+    rows regardless of input size.
 
-    One pass, one shuffle: each occurrence explodes into its ``depth``
-    (row, bucket) cells map-side, and the groupBy count combines
+    One pass, one shuffle: each input row explodes into its ``depth``
+    (row, bucket) cells map-side, and the groupBy sum combines
     partially before the exchange — the shuffle carries at most
     ``depth * width`` distinct keys' partial sums per partition, never
     the raw occurrences.
@@ -56,12 +62,13 @@ def cms_build(
             for r in range(int(depth))
         ]
     )
+    w = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        items.select(F.explode(cells).alias("_c"))
+        items.select(w.cast("long").alias("_w"), F.explode(cells).alias("_c"))
         .groupBy(
             F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -131,19 +138,31 @@ def cms_heavy_hitters(
     the token's ``depth`` cells collides with another token.
 
     Output: (tok, exact_cnt, cms_cnt), heaviest first, tok tie-break.
+
+    Shape (r15): the corpus token stream reduces to the vocabulary-sized
+    (tok, exact_cnt) table FIRST — one map-side-combinable groupBy, the
+    same shuffle the exact top-k already required — and BOTH consumers
+    derive from it: the sketch hashes each DISTINCT token once with its
+    count as the cell weight (identical integer cell sums, since addition
+    is associative), and the top-k is a TakeOrdered over the counts.  The
+    earlier form exploded ``depth`` md5 cells per token OCCURRENCE and
+    persisted the raw occurrence stream — per-corpus hash work and an
+    occurrence-sized cache entry for results a vocabulary-sized pass
+    determines (guide §1.2: don't compute per-row what a pre-aggregation
+    makes per-key; §5: don't cache the big thing when the small thing
+    serves).
     """
     from .text import tokens_expr
 
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("tok"))
     from .dedup import scratch_persist
 
-    toks = scratch_persist(toks)
-    sketch = cms_build(toks, "tok", depth, width)
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
-        .limit(int(topk))
+    counts = scratch_persist(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    sketch = cms_build(counts, "tok", depth, width, weight_col="exact_cnt")
+    exact = counts.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(
+        int(topk)
     )
     est = cms_estimate(sketch, exact, "tok", depth, width)
     return (

@@ -1017,38 +1017,52 @@ def apply_token_map(
     joins by token, and the document reassembles by position — the same
     ordered collect_list reassembly as ``clean_lines``.
 
-    Distributed shape: one left equi-join of the corpus token table
-    against the map (AQE broadcasts a small map; no explicit hint, so an
-    adversarially large map degrades to a shuffle join instead of a
-    driver OOM — the ``clean_lines`` r9 lesson as a default), then one
-    map-side-combinable groupBy(doc).  Output:
+    Distributed shape (r15): the rewrite happens IN the token array —
+    documents are never exploded into a corpus-sized token stream and
+    reassembled (the pre-r15 posexplode → join → ordered-collect_list
+    form shuffled and sorted every token of every document to apply a
+    variant-sized map; guide §2.3/§8: decide on small rows, keep the
+    heavy payload where it is).  Per document, only its DISTINCT tokens
+    that ACTUALLY hit the map survive the inner equi-join (AQE
+    broadcasts a small map; no explicit hint, so an adversarially large
+    map degrades to a shuffle join instead of a driver OOM — the
+    ``clean_lines`` r9 lesson as a default); the hits fold into a
+    per-doc mini-map (hit-sized groupBy, not corpus-sized), which joins
+    back onto the INTACT document row and a ``transform`` over the
+    token array applies it position-exactly — order and spacing are
+    preserved because token positions never leave their array.  Docs
+    with no hits pass through the left join unchanged.  Output:
     (id, text_norm, n_changed).
 
+    ``token_map`` keys must be unique (it is a map; duplicate ``tok``
+    rows raised duplicate output rows under the old form and raise
+    DUPLICATED_MAP_KEY under this one).
+
     Null contract: a NULL ``text`` normalizes to ``text_norm = ''`` with
-    ``n_changed = 0`` — the document SURVIVES the rewrite.  (Without the
-    coalesce, ``posexplode`` of a null token array emits no rows and the
-    doc would silently vanish from the output, breaking the
-    rewrite-every-document contract.)"""
-    toks = docs.select(
-        id_col,
-        F.posexplode(
-            tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("pos", "tok"),
+    ``n_changed = 0`` — the document SURVIVES the rewrite (the token
+    array of the coalesced empty string is [''], never empty)."""
+    arr = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    hits = (
+        docs.select(
+            id_col, F.explode(F.array_distinct(arr)).alias("tok")
+        )
+        .join(token_map, "tok")
+        .where(F.col("canonical") != F.col("tok"))
     )
-    mapped = toks.join(token_map, "tok", "left").select(
-        id_col,
-        "pos",
-        F.coalesce(F.col("canonical"), F.col("tok")).alias("out"),
-        (F.col("canonical").isNotNull()
-         & (F.col("canonical") != F.col("tok"))).alias("_chg"),
+    per_doc = hits.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "canonical"))
+        ).alias("_m")
     )
-    return mapped.groupBy(id_col).agg(
+    # try_element_at, not map[key]: ANSI mode (Spark 4 default) makes a
+    # missing map key an error, and almost every token misses the map
+    lookup = lambda t: F.try_element_at(F.col("_m"), t)  # noqa: E731
+    return docs.join(per_doc, id_col, "left").select(
+        id_col,
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "out"))),
-                lambda s: s["out"],
-            ),
-            " ",
+            F.transform(arr, lambda t: F.coalesce(lookup(t), t)), " "
         ).alias("text_norm"),
-        F.sum(F.col("_chg").cast("int")).cast("long").alias("n_changed"),
+        F.size(
+            F.filter(arr, lambda t: lookup(t).isNotNull())
+        ).cast("long").alias("n_changed"),
     )
