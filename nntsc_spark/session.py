@@ -88,10 +88,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # shuffle/spill/broadcast block codec.  Default lz4; the planted
-        # x1000 near-dup cell (spill-bound per SCALING.md) was measured
-        # with zstd as well — see SCALING.md r15 for the numbers and the
-        # call.  The env knob keeps the experiment reproducible.
+        # shuffle/spill/broadcast block codec.  Default lz4, MEASURED
+        # (SCALING.md r15, tools/planted_probe.py): zstd is ~14% faster
+        # on the planted x100 cell but a wash (500.0 vs 496.5 s) at the
+        # spill-bound x1000 decade that motivated the experiment — the
+        # job is CPU-saturated while spilling, so zstd's compression CPU
+        # eats what its ratio saves at disk speed.  Counters bit-
+        # identical under both.  lz4 stays for artifact comparability;
+        # re-measure on a cluster where network bytes also pay.
         .config(
             "spark.io.compression.codec",
             os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
