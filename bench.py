@@ -33,7 +33,20 @@ Two tiers:
 
 - **full** (default): the whole registry, deadline-tiered reps, writes
   BENCH_FULL.json.  Before it starts it spawns ``--headline`` in a FRESH
-  subprocess (skip with SPARK_GRAFT_SKIP_HEADLINE=1).
+  subprocess (skip with SPARK_GRAFT_SKIP_HEADLINE=1).  Since r16 the full
+  tier resets the session-scoped scratch pool and seam memo BETWEEN
+  queries (r15 verdict task 1): the shared caches made rep-1 walls depend
+  on registry position — a late query's first rep either rode an earlier
+  query's cache or paid its eviction — so cold walls were unattributable.
+  Within a query the caches still apply (that reuse is engine behavior
+  under test); "queries" stays min-of-reps, and the artifact additionally
+  records per-query ``cold_sec`` (rep 1) and ``warm_sec`` (min of later
+  reps) so both axes are readable.  The headline tier's policy is pinned
+  and unchanged.  Both artifacts now carry
+  ``provenance.stability_band`` (sum of per-query rep minima vs maxima of
+  THE SAME run); the committed artifact is always the single run it
+  reports — min-over-RUNS, used once in r15 and flagged by its verdict,
+  is retired.
 - **--headline**: the fixed HEADLINE_QUERIES list only, full min-of-3 with
   NO deadline tiering, writes BENCH_HEADLINE.json.  This is the
   round-over-round comparison tier: the full registry's numbers drift with
@@ -55,6 +68,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from nntsc_spark.pipeline.dedup import reset_scratch
 from nntsc_spark.plans import queries as _q
 from nntsc_spark.session import get_spark
 
@@ -104,8 +118,10 @@ def _provenance(sf: str, tier: str, n_queries: int, registry_size: int,
         "deadline_sec": budget,
         # full tier: reps bounded per query (deadline/n_queries), never by
         # global elapsed time — rep counts are registry-order-invariant
+        # v2 (r16): scratch/seam caches reset between queries, minimum two
+        # reps per query (one cold + one warm), cold_sec/warm_sec recorded
         "rep_policy": (
-            "per-query-budget" if tier == "full" else "fixed-min-of-N"
+            "per-query-budget-v2" if tier == "full" else "fixed-min-of-N"
         ),
         "deadline_tiering": False,  # the r10-r14 global-elapsed policy
         "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
@@ -186,9 +202,21 @@ def run_tier(headline: bool, force: bool) -> dict:
 
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
+    cold_sec: dict[str, float] = {}
+    warm_sec: dict[str, float] = {}
+    worst_total = 0.0
     errors: dict[str, str] = {}
     for name in names:
         fn = registry[name]
+        if not headline:
+            # FULL tier: drop the session-scoped scratch pool and seam memo
+            # between queries (r15 verdict task 1) so every query's rep 1
+            # is ITS OWN cold wall — not a hit on a cache an earlier query
+            # left behind, and not inflated by evicting one.  Within a
+            # query the caches still work (that reuse is the optimization
+            # under test); the headline tier keeps its pinned r10+ policy
+            # untouched for round-over-round comparability.
+            reset_scratch()
         try:
             # fn() runs INSIDE the timer on every rep: for most queries it
             # is pure plan construction, but the iterative operators
@@ -199,10 +227,12 @@ def run_tier(headline: bool, force: bool) -> dict:
             best = None
             spent = 0.0
             used = 0
+            dts: list[float] = []
             for rep in range(reps):
                 t0 = time.time()
                 fn(spark, sf_dir).toPandas()
                 dt = time.time() - t0
+                dts.append(dt)
                 spent += dt
                 used += 1
                 best = dt if best is None else min(best, dt)
@@ -211,10 +241,26 @@ def run_tier(headline: bool, force: bool) -> dict:
                 if time.time() > hard_deadline:
                     deadline_hit = True
                     break
-                if spent + best > per_query:  # this query's slice is spent
+                # this query's slice is spent — but never stop before one
+                # WARM rep has run: with the between-query cache reset,
+                # rep 1 is a construction-inclusive cold wall, and a
+                # cold-only row would make "queries" (min-of-reps) flip
+                # between cold and warm semantics depending on the budget,
+                # the r14/r15 phantom-regression mechanism.  One warm rep
+                # costs far less than the cold rep that already ran; the
+                # 2x-budget hard deadline above remains the backstop.
+                if used >= 2 and spent + best > per_query:
                     break
             timings[name] = round(best, 3)
             reps_used[name] = used
+            # both walls, per query (r15 verdict task 1): rep 1 is the
+            # attributable cold cost (full tier: caches reset above), the
+            # min of later reps is the warm steady state.  min-of-all
+            # ("queries") stays as the committed comparison number.
+            cold_sec[name] = round(dts[0], 3)
+            if used > 1:
+                warm_sec[name] = round(min(dts[1:]), 3)
+            worst_total += max(dts)
         except Exception as exc:  # keep benching: one bad query != no bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -225,6 +271,15 @@ def run_tier(headline: bool, force: bool) -> dict:
     if not headline:
         prov["per_query_budget_sec"] = round(per_query, 3)
         prov["deadline_hit"] = deadline_hit
+    # within-run noise band (r15 verdict task 7): "value" is the sum of
+    # per-query rep MINIMA; rep_total_max is the sum of per-query rep
+    # MAXIMA of the same run.  The committed artifact is always the single
+    # run it reports (min-over-RUNS is no longer applied anywhere); a
+    # reader judges a round-over-round delta against this band.
+    prov["stability_band"] = {
+        "rep_total_min": total,
+        "rep_total_max": round(worst_total, 3),
+    }
     # Key ORDER is load-bearing (r13 verdict task 8): the driver's
     # captured stdout clips the middle of this (long) line, keeping its
     # head and tail — so the summary fields sit BEFORE the per-query
@@ -241,6 +296,10 @@ def run_tier(headline: bool, force: bool) -> dict:
         # per-query rep counts (r14 verdict task 2): a reader can tell a
         # cold single rep from a warm min-of-3 without re-running anything
         "reps_used": reps_used,
+        # per-query cold (rep 1) and warm (min of later reps) walls (r15
+        # verdict task 1) — additions-only; "queries" above is unchanged
+        "cold_sec": cold_sec,
+        "warm_sec": warm_sec,
     }
     if errors:
         out["errors"] = errors

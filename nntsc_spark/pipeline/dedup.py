@@ -158,6 +158,36 @@ def scratch_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def reset_scratch() -> None:
+    """Release every session-scoped cache this module owns.
+
+    The scratch pool and the seam memo exist so that ONE query's
+    re-constructions (warm bench reps, composed capstones sharing a
+    sub-pipeline) reuse work inside a session.  Shared across QUERIES they
+    make a measurement unattributable: a later query's first rep either
+    rides an earlier query's cache (reads too fast) or pays its eviction
+    churn (reads too slow) — the r15 verdict's item 1.  Measurement
+    harnesses call this between queries so every rep-1 wall is the query's
+    own cold cost; streaming maintainers that mutate a parquet path a
+    memoized seam was built over can call it to drop the stale
+    materializations (the memo itself cannot see the append — it compares
+    PLANS, and a re-read of the same path is plan-equal).
+
+    Persisted blocks are unpersisted; checkpoint blocks are released by the
+    ContextCleaner once the memo drops the last reference (Dataset.unpersist
+    does not free localCheckpoint RDDs — see connected_components).
+    """
+    global _SEAM_MEMO_CTX
+    while _CACHE_POOL:
+        _, df = _CACHE_POOL.popitem(last=False)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SEAM_MEMO.clear()
+    _SEAM_MEMO_CTX = None
+
+
 def md5_long(col: Column) -> Column:
     """First 15 hex digits of md5 as a non-negative bigint (portable:
     DuckDB ``('0x' || substring(md5(x),1,15))::BIGINT``)."""

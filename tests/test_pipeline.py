@@ -168,6 +168,25 @@ def test_scratch_checkpoint_memoizes_equal_plans(spark):
     assert [(r.id, r.t) for r in other.collect()] == [(1, "a")]
 
 
+def test_reset_scratch_clears_memo_and_pool(spark):
+    """reset_scratch (the r16 bench's between-query hook) empties the seam
+    memo and the scratch pool: a post-reset re-construction computes fresh
+    (new object, same rows), and the pool holds no persisted handles."""
+    from nntsc_spark.pipeline import dedup as dd
+
+    base = spark.createDataFrame([(1, 2), (2, 3)], "d1 long, d2 long")
+    cc1 = dd.connected_components(base.where("d1 >= 1"))
+    ck1 = dd.scratch_checkpoint(base.select("d1"))
+    dd.scratch_persist(base.select("d2"))
+    assert dd._SEAM_MEMO and dd._CACHE_POOL
+    dd.reset_scratch()
+    assert not dd._SEAM_MEMO and not dd._CACHE_POOL
+    cc2 = dd.connected_components(base.where("d1 >= 1"))
+    assert cc2 is not cc1  # recomputed, not served from the cleared memo
+    assert {r.node: r.label for r in cc2.collect()} == {1: 1, 2: 1, 3: 1}
+    assert dd.scratch_checkpoint(base.select("d1")) is not ck1
+
+
 def test_dedup_clusters_survivors(docs):
     from nntsc_spark.pipeline.dedup import dedup_clusters
 

@@ -159,5 +159,8 @@ def test_bench_artifact_guard_and_headline_list():
     # provenance so two artifacts can be judged comparable
     full_prov = bench._provenance("0.1", "full", 137, 137,
                                   reps=3, budget=1200.0)
-    assert full_prov["rep_policy"] == "per-query-budget"
+    # v2 since r16: caches reset between queries, minimum one warm rep,
+    # cold_sec/warm_sec recorded (r15 verdict task 1)
+    assert full_prov["rep_policy"] == "per-query-budget-v2"
     assert full_prov["deadline_tiering"] is False
+    assert "stability_band" not in full_prov  # stamped at run time, not here
