@@ -223,6 +223,59 @@ def merged_histogram_agg(hist_col: str, nbins: int) -> F.Column:
     )
 
 
+def merge_histograms(
+    df: DataFrame,
+    group_cols: list[str],
+    hist_col: str,
+    nbins: int,
+) -> DataFrame:
+    """Element-wise histogram merge as relational codegen: posexplode the
+    vectors, drop the zero entries, sum per (group, bucket), rebuild the
+    dense array — bit-identical long sums to :func:`merged_histogram_agg`
+    (addition of the dropped zeros changes nothing), pinned by
+    test_merge_histograms_matches_agg_expression.
+
+    Exists because the fold form (``aggregate`` over ``collect_list`` with
+    a ``zip_with`` per input row) is CodegenFallback: every per-element
+    lambda step runs interpreted, and it allocates one fresh nbins-array
+    per input row per group — measured 2.6 s of the registered
+    rollup_percentile's 4.0 s at sf0.1 (~10.5M interpreted steps), where
+    this shape runs the same merge in ~0.2 s (guide §4.1: built-ins with
+    codegen over higher-order lambdas).  Sparsity pays twice: rollup
+    vectors here are ~0.4% non-zero, and only non-zero cells survive the
+    explode.  No new exchange: hash partitioning on ``group_cols`` (the
+    upstream ``repartition(stream_id)``) satisfies both the per-bucket
+    and the assembly grouping, so the whole merge is partition-local.
+
+    Contract: a group whose EVERY input entry is zero would produce no
+    output row (the fold form would emit its zero vector).  Impossible
+    for :func:`histogram_rollup` output — a (stream, bin) row exists only
+    when at least one event counted into it — so rollup merges are exact;
+    do not feed hand-built all-zero vectors through this.
+    """
+    cells = (
+        df.select(
+            *group_cols, F.posexplode(F.col(hist_col)).alias("_i", "_v")
+        )
+        .where(F.col("_v") != 0)
+        .groupBy(*group_cols, "_i")
+        .agg(F.sum("_v").alias("_v"))
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {int(nbins) - 1}), "
+        "i -> coalesce(element_at(_m, i), 0L))"
+    )
+    return (
+        cells.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_i", "_v"))
+            ).alias("_m")
+        )
+        .select(*group_cols, dense.alias(hist_col))
+    )
+
+
 def histogram_percentile(
     hist_col: str, lo: float, hi: float, p: float
 ) -> F.Column:

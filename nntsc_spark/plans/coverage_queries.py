@@ -966,15 +966,16 @@ def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import (
         histogram_percentiles,
         histogram_rollup,
-        merged_histogram_agg,
+        merge_histograms,
     )
 
     nbins, lo, hi = 250, 0.0, 500.0
     fact = time_filter(events_fact(spark, sf_dir, START, STOP), START, STOP)
     hr = histogram_rollup(fact, 6 * HOUR, "value", lo, hi, nbins)
-    merged = hr.groupBy("stream_id").agg(
-        merged_histogram_agg("hist", nbins).alias("hist")
-    )
+    # relational merge (see merge_histograms): identical sums to the
+    # merged_histogram_agg fold, codegen instead of interpreted lambdas,
+    # and partition-local under the rollup's stream-keyed exchange
+    merged = merge_histograms(hr, ["stream_id"], "hist", nbins)
     return histogram_percentiles(
         merged, "hist", lo, hi, {"p50": 0.5, "p95": 0.95}, total_col="n"
     ).select("stream_id", "n", "p50", "p95")

@@ -198,6 +198,58 @@ def test_histogram_rollup_merge_matches_direct_build(spark):
     assert sum(sum(h) for h in merged.values()) == 600
 
 
+def test_merge_histograms_matches_agg_expression(spark):
+    """merge_histograms (the relational codegen merge, r16) returns the
+    exact vectors of the merged_histogram_agg fold on rollup output, for
+    every group and at a second grouping arity."""
+    import random
+
+    from nntsc_spark.operators.rollup import (
+        histogram_rollup,
+        merge_histograms,
+        merged_histogram_agg,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i % 5, i * 37, round(rng.uniform(-10, 110), 2))  # incl. clamping
+        for i in range(900)
+    ]
+    fact = spark.createDataFrame(
+        rows, "stream_id long, timestamp long, value double"
+    )
+    nbins = 40
+    hr = histogram_rollup(fact, 900, "value", 0.0, 100.0, nbins=nbins)
+    fold = {
+        r.stream_id: r.hist
+        for r in hr.groupBy("stream_id")
+        .agg(merged_histogram_agg("hist", nbins).alias("hist"))
+        .collect()
+    }
+    rel = {
+        r.stream_id: r.hist
+        for r in merge_histograms(hr, ["stream_id"], "hist", nbins).collect()
+    }
+    assert rel == fold
+    # two-column grouping (bins coarsened 900 -> 1800) agrees as well
+    from pyspark.sql import functions as F
+
+    hr2 = hr.withColumn("_day", (F.col("binstart") / 1800).cast("long"))
+    fold2 = {
+        (r.stream_id, r._day): r.hist
+        for r in hr2.groupBy("stream_id", "_day")
+        .agg(merged_histogram_agg("hist", nbins).alias("hist"))
+        .collect()
+    }
+    rel2 = {
+        (r.stream_id, r._day): r.hist
+        for r in merge_histograms(
+            hr2, ["stream_id", "_day"], "hist", nbins
+        ).collect()
+    }
+    assert rel2 == fold2
+
+
 def test_histogram_percentile_within_one_bucket_of_exact(spark):
     """The percentile estimate read off a histogram must sit within one
     bucket width of the exact order statistic, at every probed p."""

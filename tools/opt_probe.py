@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--plan", default=None, help="suffix: before|after")
+    ap.add_argument("--plandir", default="r16", help="plans/<dir>/ target")
     ap.add_argument(
         "--no-noop", action="store_true",
         help="skip the noop-sink timing (pandas only)",
@@ -62,7 +63,7 @@ def main() -> None:
 
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", args.plandir,
     )
     for name in args.names:
         fn = registry[name]
