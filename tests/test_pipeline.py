@@ -187,6 +187,36 @@ def test_reset_scratch_clears_memo_and_pool(spark):
     assert dd.scratch_checkpoint(base.select("d1")) is not ck1
 
 
+def test_reset_scratch_invalidates_memo_after_parquet_append(spark, tmp_path):
+    """The r15 verdict's staleness hazard, pinned: a parquet path APPENDED
+    within one session re-reads as a plan `sameResult`-equal to the
+    pre-append read, so a memoized seam consumer (connected_components
+    here) serves the PRE-append materialization — the same hazard class
+    Spark's own CacheManager has for persist().  reset_scratch() is the
+    maintainers' invalidation hook: after it, the consumer recomputes
+    from storage and sees the appended data.  If Spark ever starts
+    distinguishing the re-read (first assertion fails), the hook becomes
+    unnecessary for this case and the memo comment should be updated."""
+    import nntsc_spark.pipeline.dedup as dd
+
+    p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame([(1, 2)], "d1 long, d2 long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    cc1 = dd.connected_components(spark.read.parquet(p))
+    assert sorted(r.node for r in cc1.collect()) == [1, 2]
+    spark.createDataFrame([(10, 11)], "d1 long, d2 long").write.mode(
+        "append"
+    ).parquet(p)
+    # documented hazard: the re-read is plan-equal, the memo serves stale
+    stale = dd.connected_components(spark.read.parquet(p))
+    assert stale is cc1
+    # the hook: drop the memo, recompute, see the appended component
+    dd.reset_scratch()
+    fresh = dd.connected_components(spark.read.parquet(p))
+    assert sorted(r.node for r in fresh.collect()) == [1, 2, 10, 11]
+
+
 def test_dedup_clusters_survivors(docs):
     from nntsc_spark.pipeline.dedup import dedup_clusters
 
